@@ -1,0 +1,132 @@
+"""Guarded upsert (MERGE) — the consumer's persist step, batch-expressed.
+
+Implements as one DataFrame transform what the reference does row-at-a-
+time in lib/dionysus/consumer/persistor.rb:46-95:
+
+  J1  upsert key join         find_or_initialize_by(synced_id)   persistor.rb:59-60
+  F1  stale-update guard      skip unless event.updated_at >= stored.synced_updated_at,
+                              accept when either side missing    synchronizable_model.rb:16-26
+  F3  soft-delete / restore   destroyed => set canceled_at (or hard delete);
+                              created/updated => canceled_at from payload (restore = NULL)
+                                                                 synchronizable_model.rb:40-56
+  S10 tombstone               NULL payload under a key => delete  tombstone_publisher.rb:4-21
+  F8  event dispatch          created/updated/destroyed; unknown dropped
+                                                                 dionysus_event.rb:14-28
+
+Physical shape: the source batch is A1-deduped (one row per key — the
+reference guarantees this via RemoveDuplicatesStrategy before persist),
+then a single full-outer shuffle join on the key decides each row's
+fate. On Delta this whole function is one ``MERGE INTO``; here it is the
+engine-agnostic plan (works on parquet snapshots via rewrite). At 100 TB
+the join shuffles only the key + guard columns of the *target* if you
+project first — callers holding wide targets should bucket the target
+table by the merge key so the join co-locates without a target shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import keep_latest
+
+EVENT_CREATED = "created"
+EVENT_UPDATED = "updated"
+EVENT_DESTROYED = "destroyed"
+KNOWN_EVENTS = (EVENT_CREATED, EVENT_UPDATED, EVENT_DESTROYED)
+
+
+def guarded_merge(
+    target: DataFrame,
+    source: DataFrame,
+    key: str = "synced_id",
+    event_col: str = "event",
+    source_updated: str = "synced_updated_at",
+    target_updated: str = "synced_updated_at",
+    canceled_col: str | None = "synced_canceled_at",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Return the post-merge state of ``target``.
+
+    ``source`` rows carry the payload columns (same names as target's data
+    columns) plus ``event_col`` ∈ {created, updated, destroyed}; a
+    tombstone is ``event = destroyed`` with all payload columns NULL —
+    both delete hard. Unknown event names are dropped (F8; the reference
+    logs them to the error handler — streaming callers attach a
+    dead-letter sink instead, see streaming/pipeline.py).
+
+    Guard truth table (synchronizable_model.rb:24-26): persist iff
+    ``src.updated_at >= tgt.updated_at`` OR either is NULL. Destroys are
+    NOT guarded (the reference applies the guard inside the
+    created/updated branch only; destroy always proceeds).
+    """
+    data_cols = [c for c in target.columns]
+    src = source.filter(F.col(event_col).isin(*KNOWN_EVENTS))
+    src = keep_latest(
+        src,
+        [key],
+        source_updated,
+        tiebreak_cols=[order_tiebreak] if order_tiebreak else (),
+    )
+
+    t = target.alias("t")
+    s = src.alias("s")
+    joined = t.join(s, F.col(f"t.{key}").eqNullSafe(F.col(f"s.{key}")), "full_outer")
+
+    matched = F.col(f"s.{event_col}").isNotNull() & F.col(f"t.{key}").isNotNull()
+    src_only = F.col(f"t.{key}").isNull() & F.col(f"s.{event_col}").isNotNull()
+    is_destroy = F.col(f"s.{event_col}") == EVENT_DESTROYED
+
+    guard_ok = (
+        F.col(f"s.{source_updated}").isNull()
+        | F.col(f"t.{target_updated}").isNull()
+        | (F.col(f"s.{source_updated}") >= F.col(f"t.{target_updated}"))
+    )
+
+    if canceled_col is not None:
+        # soft delete: destroy with a canceled_at in the payload cancels;
+        # destroy without one hard-deletes; create/update writes the
+        # payload's canceled_at through (NULL => restore).
+        soft_destroy = is_destroy & F.col(f"s.{canceled_col}").isNotNull()
+        hard_delete = is_destroy & F.col(f"s.{canceled_col}").isNull()
+    else:
+        soft_destroy = F.lit(False)
+        hard_delete = is_destroy
+
+    def out_col(c: str):
+        # destroyed-with-cancel keeps the target's attrs, stamping only
+        # the canceled timestamp from the payload (synchronizable_model.rb:44-50)
+        soft_val = F.col(f"s.{c}") if c == canceled_col else F.col(f"t.{c}")
+        return (
+            F.when(matched & soft_destroy, soft_val)
+            .when(matched & ~is_destroy & guard_ok, F.col(f"s.{c}"))
+            .when(matched, F.col(f"t.{c}"))  # guard rejected => keep target
+            .when(src_only, F.col(f"s.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+        )
+
+    keep = (
+        # target-only rows survive; matched rows survive unless hard delete
+        (F.col(f"s.{event_col}").isNull() & F.col(f"t.{key}").isNotNull())
+        | (matched & ~hard_delete)
+        | (src_only & ~is_destroy)  # destroy of a row we never had: no-op
+    )
+    return joined.filter(keep).select(*[out_col(c) for c in data_cols])
+
+
+def reconcile_to_many(
+    local_children: DataFrame,
+    payload_child_ids: DataFrame,
+    parent_key: str,
+    child_key: str,
+) -> DataFrame:
+    """J4: rows to DELETE — local children of a parent absent from the
+    payload's id list (ref persistor.rb:128-151, README.md:866-876:
+    ``where.not(id: ids).destroy_all``). Anti-join on (parent, child);
+    broadcast the payload side when it is one batch's worth."""
+    return local_children.join(
+        payload_child_ids,
+        on=[parent_key, child_key],
+        how="left_anti",
+    )

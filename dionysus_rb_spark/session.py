@@ -1,0 +1,62 @@
+"""SparkSession construction tuned for the engine.
+
+Local testing runs ``local[N]``; the same config block is what we would
+ship on a 1000-executor cluster — AQE on (runtime re-planning, skew-join
+splitting, partition coalescing), adaptive broadcast detection, and Arrow
+for the few pandas-UDF paths. Nothing here is local-mode-specific except
+the master URL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and necessary) to set on an externally provided
+# session at runtime: used by tables.load_table() on the driver's session.
+RUNTIME_CONFS = {
+    # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects by default; read as long and convert (tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic wall-clock rendering, matching DuckDB's naive timestamps
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> None:
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked on this session; reads may still succeed
+
+
+def get_spark(app_name: str = "dionysus-rb-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) a session.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all local cores. Shuffle
+    partition count follows core count locally; on a real cluster AQE
+    coalesces the 2x over-provisioned shuffle partitions down to size.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    apply_runtime_confs(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
