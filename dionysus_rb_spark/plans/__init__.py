@@ -9,3 +9,4 @@ from .catalog import QueryDef, all_queries, query  # noqa: F401
 
 # Register query modules (import side effect fills the catalog).
 from . import queries_core  # noqa: E402,F401
+from . import queries_pipeline  # noqa: E402,F401

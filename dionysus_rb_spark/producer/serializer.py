@@ -1,0 +1,120 @@
+"""Producer-side serialization: flat tables -> aggregate payload structs.
+
+Re-expresses lib/dionysus/producer/model_serializer.rb set-wise:
+
+  P1  attribute projection     attributes :a, :b     model_serializer.rb:13-25,63-67
+  P2  link (FK) projection     has_one -> links.x = x_id; has_many ->
+                               links.y = [ids]        model_serializer.rb:27-49,68-75
+  P3  sideload assembly        include'd children serialized inline
+                               (recursively)          model_serializer.rb:76-88
+  P5  deleted-record projection pk + declared payload on the delete branch
+                                                      deleted_record_serializer.rb:4-16
+  P6  serialization bypass     serialize: false -> raw as_json (id-only DTOs)
+                                                      karafka_responder_generator.rb:72-75
+
+The Ruby code walks records one by one; here each has_many is one
+``groupBy(fk).agg(collect_list(struct(...)))`` and the aggregate is one
+left join per relationship — at scale, child aggregation shuffles on the
+FK once and the parent join is FK-co-located (bucket both sides by the
+key in the lakehouse layout to avoid even that).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class ChildRel:
+    """A has_many relationship to sideload (P2 ids + P3 inline objects)."""
+
+    child: DataFrame
+    fk: str  # column on child referencing parent id
+    child_id: str  # child pk column
+    attributes: list[str] = field(default_factory=list)  # serialized child cols
+    sideload: bool = True  # include inline objects, not just link ids
+    order_col: str | None = None  # deterministic sideload order
+
+
+def serialize_aggregate(
+    parent: DataFrame,
+    parent_id: str,
+    attributes: list[str],
+    to_one_links: dict[str, str] | None = None,
+    has_many: dict[str, ChildRel] | None = None,
+) -> DataFrame:
+    """Build a ``payload`` struct column per parent row: declared
+    attributes + ``links`` (to-one ids, to-many id arrays) + sideloaded
+    child object arrays. Returns the parent frame with ``payload``."""
+    to_one_links = to_one_links or {}
+    has_many = has_many or {}
+
+    df = parent
+    link_cols: list[tuple[str, Column]] = [
+        (name, F.col(col)) for name, col in to_one_links.items()
+    ]
+    sideload_cols: list[tuple[str, Column]] = []
+
+    for name, rel in has_many.items():
+        struct_cols = [F.col(c) for c in ([rel.child_id] + rel.attributes)]
+        obj = F.struct(*struct_cols)
+        id_col, obj_col = F.col(rel.child_id), obj
+        if rel.order_col:
+            # collect under a sort key, then strip it: deterministic arrays
+            # independent of task/partition ordering
+            pair = F.struct(F.col(rel.order_col).alias("__o"), obj_col.alias("o"))
+            idp = F.struct(F.col(rel.order_col).alias("__o"), id_col.alias("i"))
+            grouped = rel.child.groupBy(rel.fk).agg(
+                F.transform(F.array_sort(F.collect_list(idp)), lambda x: x["i"]).alias(
+                    f"__ids_{name}"
+                ),
+                F.transform(F.array_sort(F.collect_list(pair)), lambda x: x["o"]).alias(
+                    f"__objs_{name}"
+                ),
+            )
+        else:
+            grouped = rel.child.groupBy(rel.fk).agg(
+                F.collect_list(id_col).alias(f"__ids_{name}"),
+                F.collect_list(obj_col).alias(f"__objs_{name}"),
+            )
+        grouped = grouped.withColumnRenamed(rel.fk, f"__fk_{name}")
+        df = df.join(
+            grouped, df[parent_id] == grouped[f"__fk_{name}"], "left"
+        ).drop(f"__fk_{name}")
+        link_cols.append(
+            (name, F.coalesce(F.col(f"__ids_{name}"), F.array().cast("array<long>")))
+        )
+        if rel.sideload:
+            sideload_cols.append((name, F.col(f"__objs_{name}")))
+
+    payload_fields: list[Column] = [F.col(parent_id).alias("id")] + [
+        F.col(a).alias(a) for a in attributes if a != parent_id
+    ]
+    if link_cols:
+        payload_fields.append(
+            F.struct(*[c.alias(n) for n, c in link_cols]).alias("links")
+        )
+    payload_fields.extend(c.alias(n) for n, c in sideload_cols)
+
+    out = df.withColumn("payload", F.struct(*payload_fields))
+    return out.drop(*[f"__ids_{n}" for n in has_many], *[f"__objs_{n}" for n in has_many])
+
+
+def serialize_deleted(
+    parent: DataFrame, parent_id: str, attributes: list[str]
+) -> DataFrame:
+    """P5: destroyed records serialize pk + declared attributes (whatever
+    is still known); links omitted (deleted_record_serializer.rb:4-16)."""
+    fields = [F.col(parent_id).alias("id")] + [
+        F.col(a) for a in attributes if a != parent_id
+    ]
+    return parent.withColumn("payload", F.struct(*fields))
+
+
+def serialize_bypass(parent: DataFrame, cols: list[str]) -> DataFrame:
+    """P6: ``serialize: false`` — raw projection, no serializer
+    (id-only DTOs for e.g. mass deletes, README.md:180-213)."""
+    return parent.withColumn("payload", F.struct(*[F.col(c) for c in cols]))

@@ -1,0 +1,111 @@
+"""Versioned parquet snapshot store — the MERGE target.
+
+The reference's consumer target table (the "world model" the upsert
+maintains, persistor.rb) maps to a lakehouse table we MERGE into. Delta
+isn't available in this container, so this store implements the same
+contract on plain parquet: versioned directories + an atomic pointer
+file, merge = guarded_merge + full rewrite of the new version.
+
+On a real cluster this class is swapped for ``DeltaTable.merge`` (or
+Iceberg MERGE INTO): the transform logic (operators/merge.py) is
+identical — only the physical commit differs. The rewrite here is
+O(table) per batch, which is exactly the trade Delta's copy-on-write
+makes per touched file; partitioning the store by a stable key prefix
+(``partition_by``) bounds the rewrite to touched partitions at scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.merge import guarded_merge
+
+
+class SnapshotStore:
+    def __init__(self, path: str, key: str = "synced_id"):
+        self.path = path
+        self.key = key
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_CURRENT")
+
+    def current_version(self) -> str | None:
+        if not os.path.exists(self._pointer):
+            return None
+        with open(self._pointer) as f:
+            return json.load(f)["version"]
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        v = self.current_version()
+        if v is None:
+            return None
+        return spark.read.parquet(os.path.join(self.path, v))
+
+    def overwrite(self, df: DataFrame) -> None:
+        self._commit(df)
+
+    def merge(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        event_col: str = "event",
+        source_updated: str = "synced_updated_at",
+        target_updated: str = "synced_updated_at",
+        canceled_col: str | None = "synced_canceled_at",
+        order_tiebreak: str | None = None,
+    ) -> None:
+        """Idempotent guarded MERGE of one (micro-)batch. Replaying a
+        batch yields the same state (F1 guard + keep-latest), which is
+        what makes foreachBatch at-least-once effectively exactly-once
+        (SURVEY §2.10 T1)."""
+        target = self.read(spark)
+        if target is None:
+            # bootstrap: batch IS the initial state (minus destroys)
+            from ..operators.dedup import keep_latest
+            from pyspark.sql import functions as F
+
+            first = keep_latest(
+                batch, [self.key], source_updated,
+                [order_tiebreak] if order_tiebreak else (),
+            )
+            live = first.filter(F.col(event_col) != "destroyed").drop(event_col)
+            self._commit(live)
+            return
+        merged = guarded_merge(
+            target,
+            batch,
+            key=self.key,
+            event_col=event_col,
+            source_updated=source_updated,
+            target_updated=target_updated,
+            canceled_col=canceled_col,
+            order_tiebreak=order_tiebreak,
+        )
+        self._commit(merged)
+
+    def _commit(self, df: DataFrame) -> None:
+        version = f"v{int(time.time() * 1000)}_{os.getpid()}"
+        out = os.path.join(self.path, version)
+        df.write.mode("overwrite").parquet(out)
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, self._pointer)  # atomic pointer swap
+        self._gc(keep=3)
+
+    def _gc(self, keep: int) -> None:
+        versions = sorted(
+            d for d in os.listdir(self.path)
+            if d.startswith("v") and os.path.isdir(os.path.join(self.path, d))
+        )
+        current = self.current_version()
+        for d in versions[:-keep]:
+            if d != current:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
