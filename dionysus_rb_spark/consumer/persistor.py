@@ -1,0 +1,96 @@
+"""Consumer persist pipeline: wire batch -> canonical frames -> MERGE.
+
+Batch-expressed equivalent of lib/dionysus/consumer/persistor.rb +
+karafka_consumer_generator.rb: decode the envelope (D1), dispatch event
+types (F8), deserialize to canonical per-entity frames (D2-D7), and
+idempotently MERGE each into its snapshot store with the F1/F3 guards
+(the store applies A1 keep-latest internally). Used directly for batch
+backfills and as the foreachBatch body under Structured Streaming
+(streaming/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..consumer.deserializer import (
+    DeserializerConfig,
+    _sideload_fields,
+    canonical_columns,
+    deserialize,
+)
+from ..operators.events import dispatch_events, parse_event_name
+from ..sources.envelope import decode_envelope
+from ..streaming.snapshot_store import SnapshotStore
+
+
+@dataclass
+class EntitySink:
+    store: SnapshotStore
+
+
+@dataclass
+class PersistResult:
+    persisted: dict[str, int] = field(default_factory=dict)
+    dead_letter_count: int = 0
+
+
+def persist_batch(
+    spark: SparkSession,
+    raw: DataFrame,
+    snapshot_schema: StructType,
+    entity: str,
+    sinks: dict[str, EntitySink],
+    cfg: DeserializerConfig | None = None,
+    polymorphic_types: dict[str, list[str]] | None = None,
+    dead_letter_store: SnapshotStore | None = None,
+) -> PersistResult:
+    """One micro-batch, end to end. ``raw`` carries a ``value`` column of
+    envelope JSON (Kafka-shaped; NULL value = tombstone). Unknown event
+    names go to the dead-letter store (T9, F4)."""
+    cfg = cfg or DeserializerConfig()
+    result = PersistResult()
+
+    decoded = decode_envelope(raw, snapshot_schema)
+    _, action = parse_event_name(F.col("event"))
+    decoded = decoded.withColumn("__action", action).cache()
+    try:
+        known, unknown = dispatch_events(
+            decoded.filter(F.col("record").isNotNull()), "__action"
+        )
+        if dead_letter_store is not None:
+            dl = unknown.filter(F.col("event").isNotNull()).select("event", "value")
+            n = dl.count()
+            if n:
+                dead_letter_store.overwrite(dl)
+            result.dead_letter_count = n
+
+        # root frame: canonical columns + the event action driving the
+        # created/updated/destroyed MERGE branches
+        sideloads = set(_sideload_fields(snapshot_schema))
+        root = known.select(
+            F.col("__action").alias("event"),
+            *canonical_columns(F.col("record"), snapshot_schema, entity, cfg, sideloads),
+        )
+        if entity in sinks:
+            sinks[entity].store.merge(spark, root)
+            result.persisted[entity] = result.persisted.get(entity, 0) + root.count()
+
+        # children: always upserts (their delete path is J4 reconciliation)
+        for ent in deserialize(
+            known, snapshot_schema, entity, cfg, polymorphic_types=polymorphic_types
+        ):
+            if ent.relationship == "root" or ent.entity not in sinks:
+                continue
+            frame = ent.frame.withColumn("event", F.lit("updated")).drop("__parent_id")
+            sinks[ent.entity].store.merge(spark, frame)
+            result.persisted[ent.entity] = (
+                result.persisted.get(ent.entity, 0) + frame.count()
+            )
+    finally:
+        decoded.unpersist()
+    return result

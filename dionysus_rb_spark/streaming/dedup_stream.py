@@ -1,0 +1,85 @@
+"""Streaming keep-latest dedup — A1 as a continuous stateful operator.
+
+Batch A1 is a window function (operators/dedup.py). Under Structured
+Streaming the same semantics need per-key state: remember the winning
+(newest-timestamp) row per key across micro-batches and emit only when
+a new winner arrives. The reference gets this implicitly because its
+target table is the state (SURVEY §2.10 T5); this operator exists for
+pipelines that want deduped *streams* (e.g. to cut sink write volume)
+rather than a merged table.
+
+Implementation: ``applyInPandasWithState`` (Arrow-batched; state =
+exactly one row per key). An optional processing-time timeout bounds
+state size — with the F1 guard downstream, expiring state is safe
+(a late replay merges idempotently).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+try:  # pyspark >= 3.4
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+except ImportError:  # pragma: no cover
+    GroupState = object  # type: ignore[misc,assignment]
+    GroupStateTimeout = None  # type: ignore[assignment]
+
+
+def keep_latest_stream(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Emit a row per key whenever a strictly-newer (or first) row
+    arrives; missing timestamp counts as newest (A1's "missing => now",
+    remove_duplicates_strategy.rb:24-41)."""
+    out_schema = sdf.schema
+    cols = [f.name for f in out_schema.fields]
+    ts_idx = cols.index(ts_col)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def beats(ts, best_ts) -> bool:
+        # missing timestamp counts as "now": an incoming missing-ts row
+        # always wins; a stored missing-ts winner yields only to another
+        if pd.isna(ts):
+            return True
+        if pd.isna(best_ts):
+            return False
+        return ts >= best_ts
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        best = state.get if state.exists else None
+        best_ts = best[ts_idx] if best is not None else None
+        changed = False
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                vals = tuple(row)
+                ts = vals[ts_idx]
+                if best is None or beats(ts, best_ts):
+                    best, best_ts, changed = vals, ts, True
+        if changed:
+            state.update(best)
+            if state_ttl_ms:
+                state.setTimeoutDuration(state_ttl_ms)
+            yield pd.DataFrame([best], columns=cols)
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=out_schema,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

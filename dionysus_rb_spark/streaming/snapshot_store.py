@@ -65,6 +65,14 @@ class SnapshotStore:
         batch yields the same state (F1 guard + keep-latest), which is
         what makes foreachBatch at-least-once effectively exactly-once
         (SURVEY §2.10 T1)."""
+        from pyspark.sql import functions as F
+
+        # entities without soft-delete / update-timestamp columns degrade
+        # gracefully (FIXTURES.md §4's column-less variants)
+        if canceled_col is not None and canceled_col not in batch.columns:
+            canceled_col = None
+        if source_updated not in batch.columns:
+            batch = batch.withColumn(source_updated, F.lit(None).cast("timestamp"))
         target = self.read(spark)
         if target is None:
             # bootstrap: batch IS the initial state (minus destroys)
