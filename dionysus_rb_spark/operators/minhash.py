@@ -1,0 +1,212 @@
+"""MinHash + LSH near-duplicate detection, Spark-first.
+
+Pipeline (the standard web-dedup shape: shingle -> minhash -> band ->
+bucket-join -> verify):
+  1. word k-shingles per doc (distinct)
+  2. num_perm minhash values  sig_i = min over shingles of
+     (a_i * h32(shingle) + b_i) mod (2^31-1)
+  3. bands of r rows; band key = "band_idx:sig values"
+  4. docs sharing any band bucket are candidate pairs (one shuffle on
+     the band key — never an all-pairs join)
+  5. candidates verified with exact shingle-set Jaccard >= threshold
+
+Permutation parameters are generated from a fixed seed and inlined both
+here and into the DuckDB oracle SQL, so the whole approximate pipeline
+is deterministic and cross-engine checkable.
+
+Scale note: the only shuffles are groupBy(doc) for shingles (map-side)
+and the band-bucket self-join; bucket skew (a degenerate band shared by
+thousands of docs) is the classic hazard — cap bucket width
+(``max_bucket``) exactly like production LSH dedups do, and let AQE
+handle residual skew.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE_PRIME, h32, shingles, tokenize
+
+NUM_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+
+def perm_params(num_perm: int = NUM_PERM, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_PRIME) | 1, rng.randrange(0, MERSENNE_PRIME))
+        for _ in range(num_perm)
+    ]
+
+
+def doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(tokenize(F.col(text_col)), k).alias("shingle_set"),
+    ).withColumn("shingle_hashes", F.transform("shingle_set", h32))
+
+
+def minhash_signature(
+    sh: DataFrame, num_perm: int = NUM_PERM, seed: int = 42
+) -> DataFrame:
+    params = perm_params(num_perm, seed)
+
+    def perm_fn(a: int, b: int):
+        # factory (not default-arg lambdas: PySpark reads lambda arity)
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_PRIME)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform("shingle_hashes", perm_fn(a, b)))
+            for a, b in params
+        ]
+    )
+    return sh.withColumn("signature", sig)
+
+
+def lsh_candidate_pairs(
+    signed: DataFrame,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing >= 1 band bucket."""
+    band_rows = signed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        F.lit(str(b)),
+                        *[
+                            F.col("signature")[i].cast("string")
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    if max_bucket is not None:
+        # cap pathological buckets (skew guard): count per key, drop huge
+        counts = band_rows.groupBy("band_key").agg(F.count("*").alias("__n"))
+        band_rows = band_rows.join(
+            counts.filter(F.col("__n") <= max_bucket).select("band_key"), "band_key"
+        )
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs only."""
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle_set").alias("__sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle_set").alias("__sb"))
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size(F.array_union("__sa", "__sb"))
+    return (
+        joined.withColumn("n_intersect", inter.cast("long"))
+        .withColumn("n_union", union.cast("long"))
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_intersect", "n_union", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Full pipeline -> verified near-duplicate pairs."""
+    sh = doc_shingles(df, text_col, id_col, k)
+    signed = minhash_signature(sh, num_perm, seed)
+    pairs = lsh_candidate_pairs(signed, bands, num_perm // bands)
+    return verify_jaccard(pairs, sh, threshold)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL mirror (inlined perm params, same constants)
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_dedup_sql(
+    k: int = 3,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> str:
+    from ..functions.hashing import h32_sql, shingles_sql, tokenize_sql
+
+    params = perm_params(num_perm, seed)
+    rows = num_perm // bands
+    sig_exprs = ",\n      ".join(
+        f"list_aggregate(list_transform(shingle_hashes,"
+        f" h -> (h * {a} + {b}) % {MERSENNE_PRIME}), 'min') AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_keys = ", ".join(
+        "concat_ws(',', '%d', %s)"
+        % (b, ", ".join(f"CAST(s{i} AS VARCHAR)" for i in range(b * rows, (b + 1) * rows)))
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             {shingles_sql(tokenize_sql('text'), k)} AS shingle_set
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, shingle_set,
+             list_transform(shingle_set, s -> {h32_sql('s')}) AS shingle_hashes
+      FROM sh
+    ),
+    signed AS (
+      SELECT doc_id, shingle_set,
+      {sig_exprs}
+      FROM hashed
+    ),
+    band_rows AS (
+      SELECT doc_id, unnest([{band_keys}]) AS band_key FROM signed
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM band_rows a JOIN band_rows b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(len(list_intersect(sa.shingle_set, sb.shingle_set)) AS BIGINT)
+               AS n_intersect,
+           CAST(len(list_distinct(sa.shingle_set || sb.shingle_set)) AS BIGINT)
+               AS n_union,
+           round(CAST(len(list_intersect(sa.shingle_set, sb.shingle_set)) AS DOUBLE)
+                 / len(list_distinct(sa.shingle_set || sb.shingle_set)), 6) AS jaccard
+    FROM pairs p
+    JOIN hashed sa ON sa.doc_id = p.doc_a
+    JOIN hashed sb ON sb.doc_id = p.doc_b
+    WHERE round(CAST(len(list_intersect(sa.shingle_set, sb.shingle_set)) AS DOUBLE)
+                / len(list_distinct(sa.shingle_set || sb.shingle_set)), 6) >= {threshold}
+    """

@@ -1,0 +1,203 @@
+"""Embedding similarity search: brute-force cosine top-k (the exact
+baseline) and hyperplane-LSH bucketing (the scale path), plus
+embedding-cosine near-duplicate pairs.
+
+Cosine is computed as an explicit left-fold (F.aggregate over zip_with)
+in double precision — the same sequential order DuckDB's list_reduce
+uses, so oracle results are bit-identical, no tolerance needed.
+
+Scale shape: top-k for a query batch is broadcast(queries) x candidates
+with a per-query TakeOrdered — one scan of the corpus, no shuffle of
+the big side. The IVF/LSH variant buckets the corpus once (one narrow
+shuffle of (bucket, id, vec)) and probes only matching buckets — the
+standard recall/cost trade, with deterministic planes so it's testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+def _fold_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns (NULL if either
+    norm is zero)."""
+    dot = _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+    na = F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
+    nb = F.sqrt(_fold_sum(F.transform(b, lambda x: x * x)))
+    return dot / (na * nb)
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for a (small) query set: broadcast the
+    queries across the corpus scan; rank per query."""
+    emb = embeddings.select(
+        F.col(id_col).alias("cand_id"), as_double(F.col(vec_col)).alias("__cv")
+    )
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-duplicate pairs (cos >= threshold), optionally blocked
+    on a partition column so the self-join shuffles per block instead of
+    exploding all-pairs."""
+    base = embeddings.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, cond)
+        .withColumn("cos", F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cos",
+        )
+    )
+
+
+# -- hyperplane LSH ---------------------------------------------------------
+
+
+def planes(num_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [[1 if rng.random() < 0.5 else -1 for _ in range(dim)] for _ in range(num_planes)]
+
+
+def lsh_bucket(vec: Column, plane_list: list[list[int]]) -> Column:
+    """Bucket id = sign-bit vector across hyperplanes (literal ±1
+    weights; dot via fold in the vector dimension)."""
+    bucket = F.lit(0).cast("long")
+    for p, w in enumerate(plane_list):
+        signs = F.array(*[F.lit(float(x)) for x in w])
+        dot = _fold_sum(F.zip_with(vec, signs, lambda x, s: x * s))
+        bucket = bucket + F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+    return bucket
+
+
+def lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: bucket by hyperplane signs, exact-verify within
+    buckets only. Deterministic planes => oracle-checkable."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    pl = planes(num_planes, dim, seed)
+    base = embeddings.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("bucket", lsh_bucket(F.col("__v"), pl))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("cos", F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cos",
+        )
+    )
+
+
+# -- DuckDB SQL mirrors -----------------------------------------------------
+
+_COS_SQL = """
+    list_reduce(list_transform(range(len({a})), i -> {a}[i+1] * {b}[i+1]),
+                (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform({a}, x -> x*x), (x,y) -> x+y))
+       * sqrt(list_reduce(list_transform({b}, x -> x*x), (x,y) -> x+y)))
+"""
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return _COS_SQL.format(a=a, b=b)
+
+
+def brute_force_topk_sql(query_ids: list[int], k: int = 10) -> str:
+    ids = ", ".join(map(str, query_ids))
+    cos = cosine_sql("q.__qv", "c.__cv")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS __qv FROM base WHERE vec_id IN ({ids})),
+    c AS (SELECT vec_id AS cand_id, v AS __cv FROM base)
+    SELECT query_id, cand_id, round({cos}, 6) AS cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY round({cos}, 6) DESC, cand_id ASC) AS BIGINT) AS rank
+    FROM q JOIN c ON cand_id <> query_id
+    QUALIFY rank <= {k}
+    """
+
+
+def lsh_near_dup_sql(
+    plane_list: list[list[int]], threshold: float = 0.9
+) -> str:
+    bucket_terms = []
+    for p, w in enumerate(plane_list):
+        lits = ", ".join(f"CAST({x} AS DOUBLE)" for x in w)
+        bucket_terms.append(
+            f"CASE WHEN list_reduce(list_transform(range(len(v)),"
+            f" i -> v[i+1] * ([{lits}])[i+1]), (x,y) -> x+y) >= 0"
+            f" THEN (CAST(1 AS BIGINT) << {p}) ELSE 0 END"
+        )
+    bucket = " + ".join(bucket_terms)
+    cos = cosine_sql("a.v", "b.v")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    bucketed AS (SELECT vec_id, v, {bucket} AS bucket FROM base)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({cos}, 6) >= {threshold}
+    """

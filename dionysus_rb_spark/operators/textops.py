@@ -1,0 +1,91 @@
+"""Text-analysis operators for training-data pipelines (beyond-reference,
+BASELINE.json north star): language-ID, quality scoring, token stats,
+document fingerprinting. All pure built-in column expressions —
+JVM-side, codegen-friendly, linear scans with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h32, shingles, tokenize
+
+# Function-word sets per language (tiny, deterministic heuristic).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pour", "dans"),
+    "es": ("el", "los", "las", "y", "es", "un", "una", "para", "con"),
+}
+LANG_ORDER = ("en", "de", "fr", "es")  # deterministic tie-break order
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def token_stats(text: Column) -> dict[str, Column]:
+    toks = tokenize(text)
+    n = F.size(toks)
+    return {
+        "n_tokens": n.cast("long"),
+        "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("long"),
+        "mean_token_len": F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+            / F.greatest(n, F.lit(1)),
+            6,
+        ),
+    }
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Composite [0,1] quality heuristic: alphabetic-character ratio,
+    stopword presence, and a length prior — the length/punct/stopword
+    trio every web-scale corpus filter starts from."""
+    alpha_ratio = F.length(F.regexp_replace(text, "[^A-Za-z ]", "")) / F.greatest(
+        F.length(text), F.lit(1)
+    )
+    toks = F.array_distinct(tokenize(text))
+    stop_ratio = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in EN_STOPWORDS]))
+    ) / F.greatest(F.size(toks), F.lit(1))
+    len_prior = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    return F.round(0.4 * alpha_ratio + 0.4 * stop_ratio + 0.2 * len_prior, 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = F.array_distinct(tokenize(text))
+    return {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(s) for s in words]))
+        ).cast("long")
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def predicted_lang(scores: dict[str, Column]) -> Column:
+    """argmax over languages, first-in-LANG_ORDER tie-break, 'und'
+    (undetermined) when no function word hits at all."""
+    best = None
+    for lang in LANG_ORDER:
+        cond = scores[lang] > 0
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            later = LANG_ORDER.index(other) > LANG_ORDER.index(lang)
+            cond = cond & (
+                (scores[lang] >= scores[other]) if later else (scores[lang] > scores[other])
+            )
+        best = F.when(cond, lang) if best is None else best.when(cond, lang)
+    return best.otherwise("und")
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical content fingerprint: md5 of the token-normalized text
+    (case/punctuation/whitespace-insensitive exact identity)."""
+    return F.md5(F.array_join(tokenize(text), " "))
+
+
+def min_shingle_hash(text: Column, k: int = 3) -> Column:
+    """1-perm minhash: min h32 over word k-shingles — a cheap rolling
+    content signature for near-identity bucketing."""
+    return F.array_min(F.transform(shingles(tokenize(text), k), h32))

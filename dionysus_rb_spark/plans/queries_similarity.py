@@ -1,0 +1,66 @@
+"""Similarity-search queries over ``embeddings`` (beyond-reference,
+BASELINE.json north star): exact brute-force cosine top-k as the
+baseline, hyperplane-LSH bucketing as the scale path — both
+deterministic and oracle-checked (fold-order-identical double math)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import similarity
+from ..tables import load_table
+from .catalog import query
+
+QUERY_IDS = [0, 1, 2, 3, 4]
+LSH_PLANES = similarity.planes(num_planes=8, dim=64, seed=42)
+
+
+@query(
+    "ann_bruteforce_topk",
+    refs="beyond:similarity",
+    bench=True,
+    oracle=similarity.brute_force_topk_sql(QUERY_IDS, k=10),
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for a query batch: broadcast(queries) x one
+    corpus scan, per-query rank — the recall=1.0 ANN baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, QUERY_IDS, k=10)
+
+
+@query(
+    "ann_lsh_neardup",
+    refs="beyond:similarity",
+    bench=True,
+    oracle=similarity.lsh_near_dup_sql(LSH_PLANES, threshold=0.2),
+)
+def ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup: 8 deterministic sign planes bucket the
+    corpus (2^8 buckets); exact cosine verify within buckets only —
+    the O(n·bucket) scale path vs the O(n^2) exact join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_near_dup_pairs(
+        emb, threshold=0.2, num_planes=8, seed=42
+    )
+
+
+@query(
+    "emb_cosine_neardup",
+    refs="beyond:dedup,beyond:similarity",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({similarity.cosine_sql('a.v', 'b.v')}, 6) AS cos
+    FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({similarity.cosine_sql('a.v', 'b.v')}, 6) >= 0.25
+    """,
+)
+def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact, blocked on label
+    (the cluster prior) so the self-join never goes all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.25, block_col="label")

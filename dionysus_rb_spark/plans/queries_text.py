@@ -1,0 +1,226 @@
+"""Training-data text-analysis + dedup queries over ``documents``
+(beyond-reference operators, BASELINE.json north star). Every hash is
+the portable h32 (functions/hashing.py) so even the approximate
+pipelines (MinHash-LSH, SimHash) are bit-reproducible by the oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h32_sql, shingles_sql, tokenize_sql
+from ..operators import minhash, simhash, textops
+from ..operators.dedup import exact_dedup
+from ..tables import load_table
+from .catalog import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+_TOKS = tokenize_sql("text")
+_DTOKS = f"list_distinct({_TOKS})"
+
+
+@query(
+    "t_token_stats",
+    refs="beyond:text",
+    bench=True,
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len({_DTOKS}) AS BIGINT) AS n_distinct_tokens,
+           round(CAST(list_reduce(list_transform({_TOKS}, t -> len(t)),
+                      (a,b) -> a+b) AS DOUBLE)
+                 / greatest(len({_TOKS}), 1), 6) AS mean_token_len
+    FROM documents
+    """,
+)
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace+punct tokenizer): counts and mean
+    token length per document — pure codegen scan, no shuffle."""
+    stats = textops.token_stats(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(n) for n, c in stats.items()]
+    )
+
+
+_STOPS = ", ".join(f"'{s}'" for s in textops.EN_STOPWORDS)
+
+
+@query(
+    "t_quality_score",
+    refs="beyond:text",
+    oracle=f"""
+    SELECT doc_id,
+           round(0.4 * (CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                        / greatest(len(text), 1))
+               + 0.4 * (CAST(len(list_intersect({_DTOKS}, [{_STOPS}])) AS DOUBLE)
+                        / greatest(len({_DTOKS}), 1))
+               + 0.2 * least(n_chars / 500.0, 1.0), 6) AS quality
+    FROM documents
+    """,
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: alphabetic ratio + stopword ratio + length
+    prior, the standard first-pass web-corpus filter trio."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        textops.quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textops.LANG_STOPWORDS[lang])
+    return f"CAST(len(list_intersect({_DTOKS}, [{words}])) AS BIGINT)"
+
+
+@query(
+    "t_lang_id",
+    refs="beyond:text",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_lang_score_sql('en')} AS en_score,
+             {_lang_score_sql('de')} AS de_score,
+             {_lang_score_sql('fr')} AS fr_score,
+             {_lang_score_sql('es')} AS es_score
+      FROM documents
+    )
+    SELECT doc_id, en_score, de_score, fr_score, es_score,
+           CASE
+             WHEN en_score > 0 AND en_score >= de_score AND en_score >= fr_score
+                  AND en_score >= es_score THEN 'en'
+             WHEN de_score > 0 AND de_score > en_score AND de_score >= fr_score
+                  AND de_score >= es_score THEN 'de'
+             WHEN fr_score > 0 AND fr_score > en_score AND fr_score > de_score
+                  AND fr_score >= es_score THEN 'fr'
+             WHEN es_score > 0 AND es_score > en_score AND es_score > de_score
+                  AND es_score > fr_score THEN 'es'
+             ELSE 'und' END AS predicted_lang
+    FROM scored
+    """,
+)
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/function-word language-ID heuristic with deterministic
+    argmax tie-break (en > de > fr > es order)."""
+    scores = textops.lang_scores(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        *[scores[lang].alias(f"{lang}_score") for lang in textops.LANG_ORDER],
+        textops.predicted_lang(scores).alias("predicted_lang"),
+    )
+
+
+@query(
+    "t_fingerprint",
+    refs="beyond:text",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string({_TOKS}, ' ')) AS fp,
+           CAST(list_aggregate(list_transform(
+                    {shingles_sql(tokenize_sql("text"), 3)},
+                    s -> {h32_sql('s')}), 'min') AS BIGINT) AS min_shingle_hash
+    FROM documents
+    """,
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized-content md5 (exact identity
+    under case/punct/whitespace changes) + 1-perm min-shingle hash
+    (rolling-hash content signature)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        textops.fingerprint(F.col("text")).alias("fp"),
+        textops.min_shingle_hash(F.col("text")).alias("min_shingle_hash"),
+    )
+
+
+@query(
+    "dd_exact_dedup",
+    refs="beyond:dedup,A1",
+    oracle=f"""
+    SELECT doc_id FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY md5(array_to_string({_TOKS}, ' '))
+        ORDER BY doc_id ASC) = 1
+    """,
+)
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash: one shuffle on the
+    32-byte digest (never the document body), keep lowest doc_id."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "__fp", textops.fingerprint(F.col("text"))
+    )
+    return exact_dedup(docs, ["__fp"], "doc_id").select("doc_id")
+
+
+@query(
+    "dd_minhash_lsh",
+    refs="beyond:dedup",
+    bench=True,
+    oracle=minhash.minhash_lsh_dedup_sql(k=3, threshold=0.5),
+)
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH(4 bands) near-dup pairs, exact-Jaccard
+    verified at 0.5 — shingle->signature->band-bucket-join, no all-pairs
+    comparison anywhere."""
+    return minhash.minhash_lsh_dedup(
+        _docs(spark, sf_dir), "text", "doc_id", k=3, threshold=0.5
+    )
+
+
+@query(
+    "dd_ngram_jaccard",
+    refs="beyond:dedup",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source,
+             {shingles_sql(tokenize_sql("text"), 2)} AS s2
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.s2, b.s2)) AS DOUBLE)
+                 / len(list_distinct(a.s2 || b.s2)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.s2, b.s2)) AS DOUBLE)
+                / len(list_distinct(a.s2 || b.s2)), 6) >= 0.3
+    """,
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (word-bigram) Jaccard pairs, blocked on source —
+    the exact-verification baseline the LSH pipelines approximate."""
+    from ..functions.hashing import shingles, tokenize
+
+    sh = _docs(spark, sf_dir).select(
+        "doc_id", "source", shingles(tokenize(F.col("text")), 2).alias("s2")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect("a.s2", "b.s2"))
+    union = F.size(F.array_union("a.s2", "b.s2"))
+    jac = F.round(inter / union, 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+    )
+
+
+@query(
+    "dd_simhash",
+    refs="beyond:dedup",
+    oracle=simhash.simhash_sql(max_hamming=6),
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup pairs within Hamming<=6, candidate
+    generation blocked on the fingerprint's high half-word."""
+    fps = simhash.simhash(_docs(spark, sf_dir), "text", "doc_id")
+    return simhash.simhash_pairs(fps, max_hamming=6)
