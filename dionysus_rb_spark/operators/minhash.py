@@ -74,7 +74,14 @@ def lsh_candidate_pairs(
     rows_per_band: int = ROWS_PER_BAND,
     max_bucket: int | None = 1000,
 ) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing >= 1 band bucket."""
+    """Distinct (doc_a < doc_b) pairs sharing >= 1 band bucket.
+
+    One shuffle total: groupBy(band_key) collects each bucket's doc ids,
+    and ordered pairs are expanded bucket-locally (no self-join, so the
+    upstream signature pipeline is computed exactly once). The skew guard
+    is free — a degenerate bucket is just a long collected list, dropped
+    by size before expansion.
+    """
     band_rows = signed.select(
         "doc_id",
         F.explode(
@@ -93,21 +100,25 @@ def lsh_candidate_pairs(
             )
         ).alias("band_key"),
     )
+    buckets = band_rows.groupBy("band_key").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
+    )
+    buckets = buckets.filter(F.size("ids") >= 2)
     if max_bucket is not None:
-        # cap pathological buckets (skew guard): count per key, drop huge
-        counts = band_rows.groupBy("band_key").agg(F.count("*").alias("__n"))
-        band_rows = band_rows.join(
-            counts.filter(F.col("__n") <= max_bucket).select("band_key"), "band_key"
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    ids = F.col("ids")
+    pairs_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -140,8 +151,18 @@ def minhash_lsh_dedup(
     threshold: float = 0.7,
     seed: int = 42,
 ) -> DataFrame:
-    """Full pipeline -> verified near-duplicate pairs."""
-    sh = doc_shingles(df, text_col, id_col, k)
+    """Full pipeline -> verified near-duplicate pairs.
+
+    The shingle stage is persisted: it feeds the signature branch once
+    and the verification join twice; recomputing tokenize+shingle+md5
+    three times dominates runtime otherwise (at cluster scale this stage
+    would be a checkpointed/staged table).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sh = doc_shingles(df, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     signed = minhash_signature(sh, num_perm, seed)
     pairs = lsh_candidate_pairs(signed, bands, num_perm // bands)
     return verify_jaccard(pairs, sh, threshold)

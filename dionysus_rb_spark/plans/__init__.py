@@ -9,6 +9,7 @@ from .catalog import QueryDef, all_queries, query  # noqa: F401
 
 # Register query modules (import side effect fills the catalog).
 from . import queries_core  # noqa: E402,F401
+from . import queries_coverage  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
 from . import queries_similarity  # noqa: E402,F401

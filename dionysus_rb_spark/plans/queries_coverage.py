@@ -1,0 +1,489 @@
+"""Coverage queries for the SURVEY §2 operators not yet certified by
+queries_core/pipeline: genesis fan-out + filters, tombstones, deleted /
+bypass projections, message filters, suppression, the remaining joins
+and sorts, and the canonical deserializer (D2-D7) as batch roundtrips.
+
+Every query here is a thin composition of the engine's operator modules
+over the driver's testdata, paired with its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..consumer.deserializer import (
+    DeserializerConfig,
+    canonical_columns,
+    deserialize,
+)
+from ..operators import dedup, merge
+from ..producer.serializer import ChildRel, serialize_aggregate, serialize_bypass, serialize_deleted
+from ..tables import load_table
+from .catalog import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --------------------------------------------------------------------------
+# §2.1 sources/sinks
+# --------------------------------------------------------------------------
+
+
+@query(
+    "s5_genesis_topic_fanout",
+    refs="S5",
+    oracle="""
+    SELECT event_type AS topic,
+           'Event:' || CAST(event_id AS VARCHAR) AS key,
+           event_id
+    FROM events WHERE event_type <> 'error'
+    UNION ALL
+    SELECT event_type || '_genesis' AS topic,
+           'Event:' || CAST(event_id AS VARCHAR) AS key,
+           event_id
+    FROM events
+    """,
+)
+def s5_genesis_topic_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 dual-topic genesis-replica fan-out (karafka_responder_generator
+    .rb:26-40, registry.rb:63-76): every event also lands on
+    ``{topic}_genesis``; ``genesis_only`` rows ('error' here) skip the
+    primary. Physically a union of two sink projections over ONE scan —
+    no join, no shuffle."""
+    ev = _events(spark, sf_dir)
+    key = F.concat(F.lit("Event:"), F.col("event_id").cast("string"))
+    primary = ev.filter(F.col("event_type") != "error").select(
+        F.col("event_type").alias("topic"), key.alias("key"), "event_id"
+    )
+    genesis = ev.select(
+        F.concat(F.col("event_type"), F.lit("_genesis")).alias("topic"),
+        key.alias("key"),
+        "event_id",
+    )
+    return primary.unionAll(genesis)
+
+
+@query(
+    "s10_tombstone_merge",
+    refs="S10,T7,S8,J1",
+    oracle="""
+    WITH tgt AS (
+        SELECT user_id AS synced_id, ts AS synced_updated_at, value AS val
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT synced_id, synced_updated_at, val FROM tgt WHERE synced_id % 7 <> 0
+    """,
+)
+def s10_tombstone_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/T7 tombstone application (tombstone_publisher.rb:4-21): NULL
+    payloads under existing keys hard-delete through the same MERGE the
+    upserts use (WHEN MATCHED AND payload NULL THEN DELETE); S8 because
+    the whole tombstone batch applies set-wise in one pass."""
+    ev = _events(spark, sf_dir)
+    target = dedup.keep_latest(ev, ["user_id"], "ts", ["event_id"]).select(
+        F.col("user_id").alias("synced_id"),
+        F.col("ts").alias("synced_updated_at"),
+        F.col("value").alias("val"),
+        F.lit(None).cast("timestamp").alias("synced_canceled_at"),
+    )
+    tombstones = (
+        ev.filter(F.col("user_id") % 7 == 0)
+        .select(F.col("user_id").alias("synced_id"))
+        .distinct()
+        .select(
+            "synced_id",
+            F.lit(None).cast("timestamp").alias("synced_updated_at"),
+            F.lit(None).cast("double").alias("val"),
+            F.lit(None).cast("timestamp").alias("synced_canceled_at"),
+            F.lit("destroyed").alias("event"),
+        )
+    )
+    merged = merge.guarded_merge(
+        target, tombstones, key="synced_id", canceled_col="synced_canceled_at"
+    )
+    return merged.select("synced_id", "synced_updated_at", "val")
+
+
+# --------------------------------------------------------------------------
+# §2.2 projections
+# --------------------------------------------------------------------------
+
+
+@query(
+    "p5_deleted_projection",
+    refs="P5",
+    oracle="""
+    SELECT event_id AS id, user_id, value
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def p5_deleted_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 deleted-record projection (deleted_record_serializer.rb:4-16):
+    destroyed records serialize pk + declared payload only."""
+    destroyed = _events(spark, sf_dir).filter(F.col("event_type") == "error")
+    out = serialize_deleted(destroyed, "event_id", ["user_id", "value"])
+    return out.select("payload.id", "payload.user_id", "payload.value")
+
+
+@query(
+    "p6_serialization_bypass",
+    refs="P6",
+    oracle="SELECT event_id AS id FROM events WHERE event_type = 'click'",
+)
+def p6_serialization_bypass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 ``serialize: false`` bypass (karafka_responder_generator.rb:
+    72-75; README.md:180-213): raw id-only DTOs straight to the sink."""
+    clicks = _events(spark, sf_dir).filter(F.col("event_type") == "click")
+    out = serialize_bypass(clicks.select(F.col("event_id").alias("id")), ["id"])
+    return out.select("payload.id")
+
+
+# --------------------------------------------------------------------------
+# §2.4 filters
+# --------------------------------------------------------------------------
+
+
+@query(
+    "f4_message_filter",
+    refs="F4,T9",
+    oracle="""
+    SELECT event_id, event_type
+    FROM events
+    WHERE len(props) <= 64 AND event_type <> 'error'
+    """,
+)
+def f4_message_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 poison/oversize message guard (default_message_filter.rb:11-17,
+    params_batch_processor.rb:30-34): pluggable ignore predicates; the
+    dropped complement feeds the dead-letter sink (T9)."""
+    ev = _events(spark, sf_dir)
+    keep = (F.length("props") <= 64) & (F.col("event_type") != "error")
+    return ev.filter(keep).select("event_id", "event_type")
+
+
+@query(
+    "f5f7_genesis_scan",
+    refs="F5,F6,F7,S9",
+    oracle="""
+    SELECT event_id, user_id, ts, value
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                 AND TIMESTAMP '2024-01-20 00:00:00'
+      AND value <= 150
+      AND event_type = 'purchase'
+    """,
+)
+def f5f7_genesis_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 genesis backfill scan with its three filters composed
+    (streamer.rb:28-52): F5 updated_at window, F6 not-soft-deleted
+    (value<=150 plays canceled_at IS NULL), F7 arbitrary equality
+    conditions. All pushed to the parquet scan."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(F.col("ts").between("2024-01-10 00:00:00", "2024-01-20 00:00:00"))
+        .filter(F.col("value") <= 150)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+
+
+@query(
+    "f9_publish_suppression",
+    refs="F9",
+    oracle="""
+    SELECT event_id, event_type FROM events
+    WHERE event_type NOT IN ('view', 'error')
+    """,
+)
+def f9_publish_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 publish suppression (suppressor.rb:7-17): a config-gated
+    off-switch; suppressed topics' events never reach the sink."""
+    suppressed = ["view", "error"]
+    ev = _events(spark, sf_dir)
+    return ev.filter(~F.col("event_type").isin(suppressed)).select(
+        "event_id", "event_type"
+    )
+
+
+@query(
+    "f11_deleted_resource_guard",
+    refs="F11",
+    oracle="""
+    SELECT e.event_id, e.user_id FROM events e
+    WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    """,
+)
+def f11_deleted_resource_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 deleted-resource guard (outbox/publisher.rb:19-34): drop
+    created/updated events whose resource no longer exists — a left_semi
+    join of events against the source table before publish."""
+    ev = _events(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    return ev.join(
+        F.broadcast(customer.select("c_custkey")),
+        ev.user_id == F.col("c_custkey"),
+        "left_semi",
+    ).select("event_id", "user_id")
+
+
+# --------------------------------------------------------------------------
+# §2.6 joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "j5_to_one_resolution",
+    refs="J5",
+    oracle="""
+    SELECT s.s_suppkey AS synced_id, s.s_name,
+           n.n_nationkey AS nation_id, n.n_name AS nation_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def j5_to_one_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 to-one association resolution (persistor.rb:102-126): link the
+    upserted record to its local parent by remote id — an equi-join with
+    the (small) parent dimension broadcast."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select(
+        F.col("s_suppkey").alias("synced_id"),
+        "s_name",
+        F.col("n_nationkey").alias("nation_id"),
+        F.col("n_name").alias("nation_name"),
+    )
+
+
+@query(
+    "j7_observer_overflow",
+    refs="J7,J3",
+    oracle="""
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM events e WHERE e.user_id = c.c_custkey AND e.value > 180)
+    """,
+)
+def j7_observer_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 observer-overflow re-select (outbox/publisher.rb:120-130):
+    above the inline threshold, observers are re-fetched by id — the id
+    set as a semi-join filter on the observed table."""
+    ev = _events(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    observer_ids = ev.filter(F.col("value") > 180).select("user_id").distinct()
+    return customer.join(
+        F.broadcast(observer_ids),
+        customer.c_custkey == observer_ids.user_id,
+        "left_semi",
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# §2.7/§2.8 aggregation + ordering
+# --------------------------------------------------------------------------
+
+
+@query(
+    "g4_per_key_batches",
+    refs="G4,T2",
+    oracle="""
+    SELECT event_type AS topic,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_keys,
+           min(event_id) AS first_event_id,
+           max(event_id) AS last_event_id
+    FROM events GROUP BY event_type
+    """,
+)
+def g4_per_key_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 group-by-key batch processing (outbox/runner.rb:52-77,
+    params_batch_processor.rb:64-68): per-topic batch stats; per-key
+    serial processing maps to partition-by-key execution (T2)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.col("event_type").alias("topic"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_keys"),
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("last_event_id"),
+        )
+    )
+
+
+@query(
+    "o2_publish_fifo_position",
+    refs="O2,O1",
+    oracle="""
+    SELECT event_id, CAST(position AS BIGINT) AS position FROM (
+        SELECT event_id,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY ts, event_id) AS position
+        FROM events)
+    WHERE position <= 100
+    """,
+)
+def o2_publish_fifo_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 publish FIFO (model.rb:20-21, active_record_publishable.rb:
+    55-57): per-topic creation-order rank, first batch of 100 — a
+    WindowGroupLimit (per-partition top-k), never a global sort."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .withColumn("position", F.row_number().over(w))
+        .filter(F.col("position") <= 100)
+        .select("event_id", F.col("position").cast("long").alias("position"))
+    )
+
+
+@query(
+    "o4_genesis_id_batches",
+    refs="O4,G3",
+    oracle="""
+    SELECT topic, user_id, CAST((rn - 1) // 100 AS BIGINT) AS batch_idx FROM (
+        SELECT event_type AS topic, user_id,
+               row_number() OVER (PARTITION BY event_type ORDER BY user_id) AS rn
+        FROM (SELECT DISTINCT event_type, user_id FROM events))
+    """,
+)
+def o4_genesis_id_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/G3 genesis id batching (base_job.rb:11-28): per topic, ids
+    sorted then chunked into fixed-size batches for time-distributed
+    enqueue."""
+    w = Window.partitionBy("topic").orderBy("user_id")
+    return (
+        _events(spark, sf_dir)
+        .select(F.col("event_type").alias("topic"), "user_id")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "topic",
+            "user_id",
+            ((F.col("rn") - 1) / 100).cast("long").alias("batch_idx"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 canonical deserialization as batch roundtrips
+# --------------------------------------------------------------------------
+
+
+@query(
+    "d2d7_canonical_flatten",
+    refs="D2,D3,D5,D6,D7",
+    oracle="""
+    SELECT user_id AS synced_id,
+           date_trunc('second', ts) AS synced_updated_at,
+           user_id % 50 AS synced_account_id,
+           array_to_string([event_id, event_id * 2], ',') AS synced_item_ids,
+           user_id AS synced_owner_id,
+           CASE WHEN user_id % 2 = 0 THEN 'Customer' ELSE 'Supplier' END
+               AS synced_owner_type,
+           value AS val
+    FROM events
+    """,
+)
+def d2d7_canonical_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2-D7 composed on a wire-shaped snapshot: reserved attrs remap to
+    synced_* (D2, string timestamps re-typed), links flatten by shape —
+    scalar -> _id, array -> _ids, {type,id} -> _id+_type (D3/D5) — D6
+    renames value->val, and D7 drops undeclared columns (props)."""
+    ev = _events(spark, sf_dir)
+    wire = ev.select(
+        F.struct(
+            F.col("user_id").alias("id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("updated_at"),
+            F.struct(
+                (F.col("user_id") % 50).alias("account"),
+                F.array(F.col("event_id"), F.col("event_id") * 2).alias("items"),
+                F.struct(
+                    F.when(F.col("user_id") % 2 == 0, "Customer")
+                    .otherwise("Supplier")
+                    .alias("type"),
+                    F.col("user_id").alias("id"),
+                ).alias("owner"),
+            ).alias("links"),
+            F.col("value").alias("value"),
+            F.col("props").alias("props"),
+        ).alias("record")
+    )
+    schema = wire.schema["record"].dataType
+    cfg = DeserializerConfig(
+        attribute_mappers={"event": {"value": "val"}},
+        target_columns={
+            "event": [
+                "synced_id",
+                "synced_updated_at",
+                "synced_account_id",
+                "synced_item_ids",
+                "synced_owner_id",
+                "synced_owner_type",
+                "val",
+            ]
+        },
+    )
+    cols = canonical_columns(F.col("record"), schema, "event", cfg, set())
+    out = wire.select(*cols).drop("synced_data")
+    # driver value-hash compatibility: arrays serialize as CSV on output
+    return out.withColumn(
+        "synced_item_ids",
+        F.array_join(F.transform("synced_item_ids", lambda x: x.cast("string")), ","),
+    )
+
+
+@query(
+    "d4_aggregate_dismantle",
+    refs="D4,P3",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate BETWEEN TIMESTAMP '1995-02-01' AND TIMESTAMP '1995-02-28'
+    """,
+)
+def d4_aggregate_dismantle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 recursive relationship extraction as the inverse of P3: orders
+    sideload their lineitems into the payload (serialize_aggregate), the
+    deserializer explodes them back out — the child frame must equal the
+    original child table (assembly/dismantling roundtrip)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-02-01", "1995-02-28")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    parent = orders.select(F.col("o_orderkey").alias("id"), "o_totalprice")
+    child = lineitem.select(
+        F.col("l_orderkey").alias("fk"),
+        F.col("l_linenumber").alias("id"),
+        F.col("l_quantity").alias("quantity"),
+    )
+    agg = serialize_aggregate(
+        parent,
+        parent_id="id",
+        attributes=["o_totalprice"],
+        has_many={
+            "lineitems": ChildRel(
+                child=child,
+                fk="fk",
+                child_id="id",
+                attributes=["quantity"],
+                order_col="id",
+            )
+        },
+    )
+    wire = agg.select(F.col("payload").alias("record"))
+    schema = wire.schema["record"].dataType
+    frames = deserialize(wire, schema, "order")
+    children = [e for e in frames if e.relationship == "has_many"]
+    li = children[0].frame
+    return li.select(
+        F.col("__parent_id").alias("l_orderkey"),
+        F.col("synced_id").alias("l_linenumber"),
+        F.col("quantity").alias("l_quantity"),
+    )

@@ -8,8 +8,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import similarity
-from ..tables import load_table
+from ..tables import ensure_min_parallelism, load_table
 from .catalog import query
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"))
 
 QUERY_IDS = [0, 1, 2, 3, 4]
 LSH_PLANES = similarity.planes(num_planes=8, dim=64, seed=42)
@@ -24,7 +28,7 @@ LSH_PLANES = similarity.planes(num_planes=8, dim=64, seed=42)
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for a query batch: broadcast(queries) x one
     corpus scan, per-query rank — the recall=1.0 ANN baseline."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return similarity.brute_force_topk(emb, QUERY_IDS, k=10)
 
 
@@ -38,7 +42,7 @@ def ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH near-dup: 8 deterministic sign planes bucket the
     corpus (2^8 buckets); exact cosine verify within buckets only —
     the O(n·bucket) scale path vs the O(n^2) exact join."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return similarity.lsh_near_dup_pairs(
         emb, threshold=0.2, num_planes=8, seed=42
     )
@@ -62,5 +66,5 @@ def ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact, blocked on label
     (the cluster prior) so the self-join never goes all-pairs."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return similarity.cosine_near_dup_pairs(emb, threshold=0.25, block_col="label")

@@ -11,12 +11,12 @@ from pyspark.sql import functions as F
 from ..functions.hashing import h32_sql, shingles_sql, tokenize_sql
 from ..operators import minhash, simhash, textops
 from ..operators.dedup import exact_dedup
-from ..tables import load_table
+from ..tables import ensure_min_parallelism, load_table
 from .catalog import query
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    return ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
 
 
 _TOKS = tokenize_sql("text")

@@ -40,3 +40,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition only if the scan yields fewer partitions than cores.
+
+    Expression-heavy stages (md5 shingling, per-token folds, cosine math)
+    inherit the scan's partitioning; a small single-file parquet table
+    gives one partition and serializes the whole stage onto one core. On
+    a real cluster the 100 TB input has thousands of splits and this is a
+    no-op — the condition keeps it from ever injecting a full-table
+    shuffle where parallelism already exists.
+    """
+    spark = df.sparkSession
+    if min_parts is None:
+        min_parts = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df

@@ -32,8 +32,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.dt.floor("us").astype("datetime64[us]")
         elif s.dtype == object:
+            import numpy as np
+
             df[c] = s.map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
             )
     key = df.columns.tolist()
     return df.sort_values(key, na_position="first").reset_index(drop=True)
