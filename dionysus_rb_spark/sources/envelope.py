@@ -38,9 +38,11 @@ def encode_envelope(
     model_name: Column,
     data: Column,
     key: Column | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """P7: build ``(key, value)`` Kafka-shaped output. ``data`` must be an
-    array<struct> column (one or more snapshots per event)."""
+    array<struct> column (one or more snapshots per event); ``keep_cols``
+    pass through untouched (e.g. a partition-ordering column)."""
     value = F.to_json(
         F.struct(
             F.array(
@@ -52,9 +54,9 @@ def encode_envelope(
             ).alias("message")
         )
     )
-    cols = [value.alias("value")]
+    cols = [*keep_cols, value.alias("value")]
     if key is not None:
-        cols.insert(0, key.alias("key"))
+        cols.insert(len(keep_cols), key.alias("key"))
     return df.select(*cols)
 
 

@@ -83,3 +83,73 @@ def keep_latest_stream(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def consecutive_dedup_stream(
+    sdf: DataFrame,
+    domain_cols: Sequence[str],
+    dedup_cols: Sequence[str],
+    seq_col: str,
+    flush_ttl_ms: int | None = None,
+) -> DataFrame:
+    """A2 strict run-length dedup as a continuous operator (SURVEY §7
+    hard part 1; ref outbox/duplicates_filter.rb:15-25).
+
+    Collapse *adjacent* rows (ordered by ``seq_col`` within each
+    ``domain_cols`` group — the outbox ordering domain, e.g. topic)
+    whose ``dedup_cols`` match, keeping the LAST row of each run.
+    Non-adjacent duplicates survive, exactly like the reference.
+
+    A run only provably ends when a different-keyed row arrives, so the
+    current run's tail is held as per-domain state across micro-batches
+    and emitted on break — or flushed after ``flush_ttl_ms`` of domain
+    inactivity (the streaming trade the batch operator doesn't face).
+
+    Scale note: state is ONE row per ordering domain (topic), not per
+    key — bounded by topic count, no watermark needed for growth.
+    """
+    out_schema = sdf.schema
+    cols = [f.name for f in out_schema.fields]
+    dedup_idx = [cols.index(c) for c in dedup_cols]
+    seq_idx = cols.index(seq_col)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if flush_ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            pending = state.get if state.exists else None
+            state.remove()
+            if pending is not None:
+                yield pd.DataFrame([pending], columns=cols)
+            return
+        pending = state.get if state.exists else None
+        out: list[tuple] = []
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            rows.extend(tuple(r) for r in pdf.itertuples(index=False))
+        rows.sort(key=lambda r: r[seq_idx])
+        for vals in rows:
+            if pending is not None:
+                same_run = all(pending[i] == vals[i] for i in dedup_idx)
+                if not same_run:
+                    out.append(pending)  # run broke: emit its last row
+            pending = vals
+        if pending is not None:
+            state.update(pending)
+            if flush_ttl_ms:
+                state.setTimeoutDuration(flush_ttl_ms)
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return sdf.groupBy(*domain_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=out_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -1,0 +1,178 @@
+"""Streaming operator tests: A2 run-length dedup as a stateful stream,
+windowed latency metrics, the genesis backfill roundtrip, and the
+progress monitor (T4/T6/T10 + SURVEY §7 hard part 1)."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from dionysus_rb_spark.consumer.persistor import EntitySink
+from dionysus_rb_spark.producer.genesis import genesis_scan, genesis_stream
+from dionysus_rb_spark.streaming.dedup_stream import consecutive_dedup_stream
+from dionysus_rb_spark.streaming.monitor import ProgressMonitor, windowed_latency_metrics
+from dionysus_rb_spark.streaming.pipeline import run_consumer_stream
+from dionysus_rb_spark.streaming.snapshot_store import SnapshotStore
+
+
+def test_consecutive_dedup_stream_run_length(spark, tmp_path):
+    """Adjacent same-key rows collapse to the run's last row; the run
+    spanning the micro-batch boundary stays one run; non-adjacent
+    duplicates survive (duplicates_filter.rb:15-25 semantics)."""
+    inp = tmp_path / "ob"
+    inp.mkdir()
+    # batch 1: A A B  -> emits A(seq2) when B arrives; B pending
+    rows1 = [
+        {"topic": "t1", "resource_id": 1, "event_name": "A", "seq": 1},
+        {"topic": "t1", "resource_id": 1, "event_name": "A", "seq": 2},
+        {"topic": "t1", "resource_id": 1, "event_name": "B", "seq": 3},
+    ]
+    # batch 2: B A  -> B run continues across the boundary (seq4 wins,
+    # emitted when A arrives); A pending forever (never flushed here)
+    rows2 = [
+        {"topic": "t1", "resource_id": 1, "event_name": "B", "seq": 4},
+        {"topic": "t1", "resource_id": 1, "event_name": "A", "seq": 5},
+    ]
+    (inp / "f1.jsonl").write_text("\n".join(json.dumps(r) for r in rows1))
+    (inp / "f2.jsonl").write_text("\n".join(json.dumps(r) for r in rows2))
+
+    schema = "topic STRING, resource_id LONG, event_name STRING, seq LONG"
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(inp))
+    )
+    deduped = consecutive_dedup_stream(
+        src, ["topic"], ["resource_id", "event_name"], "seq"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("a2_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = {(r["event_name"], r["seq"]) for r in spark.sql("SELECT * FROM a2_out").collect()}
+    assert emitted == {("A", 2), ("B", 4)}
+
+
+def test_windowed_latency_metrics(spark, tmp_path):
+    inp = tmp_path / "lat"
+    inp.mkdir()
+    rows = [
+        {"created_at": "2024-01-01 10:00:00", "published_at": "2024-01-01 10:00:05"},
+        {"created_at": "2024-01-01 10:00:10", "published_at": "2024-01-01 10:00:25"},
+        {"created_at": "2024-01-01 10:01:00", "published_at": "2024-01-01 10:01:30"},
+    ]
+    (inp / "f.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    src = (
+        spark.readStream.schema("created_at STRING, published_at STRING")
+        .json(str(inp))
+        .select(
+            F.col("created_at").cast("timestamp").alias("created_at"),
+            F.col("published_at").cast("timestamp").alias("published_at"),
+        )
+    )
+    metrics = windowed_latency_metrics(src)
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("lat_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r["window_start"]): (r["minimum"], r["maximum"], r["n_published"])
+        for r in spark.sql("SELECT * FROM lat_out").collect()
+    }
+    assert got["2024-01-01 10:00:00"] == (5.0, 15.0, 2)
+    assert got["2024-01-01 10:01:00"] == (30.0, 30.0, 1)
+
+
+THING = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("updated_at", StringType()),
+        StructField("name", StringType()),
+    ]
+)
+
+
+def test_genesis_roundtrip(spark, tmp_path):
+    """Producer genesis (filtered scan -> envelopes, batched by id) fed
+    through the consumer stream reproduces the source table (T6)."""
+    source = spark.createDataFrame(
+        [
+            (i, f"2024-01-{(i % 27) + 1:02d} 10:00:00", f"thing-{i}", None if i % 5 else "2024-02-01 00:00:00")
+            for i in range(1, 26)
+        ],
+        "id LONG, updated_at STRING, name STRING, canceled_at STRING",
+    )
+    scanned = genesis_scan(
+        source,
+        updated_col="updated_at",
+        from_ts="2024-01-01 00:00:00",
+        to_ts="2024-12-31 00:00:00",
+        canceled_col="canceled_at",
+    )
+    res = genesis_stream(
+        scanned,
+        out_dir=str(tmp_path / "topics"),
+        topic="things",
+        resource="thing",
+        payload=F.struct(
+            F.col("id"), F.col("updated_at"), F.col("name")
+        ),
+        id_col="id",
+        batch_size=10,
+        genesis_replica=True,
+    )
+    assert res.n_rows == 20  # 5 canceled rows filtered by F6
+    assert res.n_batches == 2
+    assert res.topics == ["things", "things_genesis"]
+
+    store = SnapshotStore(str(tmp_path / "things_store"))
+    mon = ProgressMonitor()
+    spark.streams.addListener(mon)
+    try:
+        q = run_consumer_stream(
+            spark,
+            str(tmp_path / "topics" / "things_genesis"),
+            str(tmp_path / "cp"),
+            THING,
+            "thing",
+            {"thing": EntitySink(store)},
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.streams.removeListener(mon)
+
+    got = {r["synced_id"]: r["name"] for r in store.read(spark).collect()}
+    want = {r["id"]: r["name"] for r in scanned.collect()}
+    assert got == want
+    # T10: the monitor saw every genesis batch
+    assert mon.total_input_rows() == 20
+    assert not mon.stale(600)
+
+
+def test_genesis_dependency_only_guard():
+    import pytest
+
+    with pytest.raises(ValueError, match="dependency-only"):
+        genesis_stream(
+            None,  # never touched: the guard fires first
+            out_dir="/tmp/x",
+            topic="fees",
+            resource="fee",
+            payload=None,
+            dependency_only=True,
+        )
