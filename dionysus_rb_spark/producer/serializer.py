@@ -37,6 +37,7 @@ class ChildRel:
     attributes: list[str] = field(default_factory=list)  # serialized child cols
     sideload: bool = True  # include inline objects, not just link ids
     order_col: str | None = None  # deterministic sideload order
+    entity: str | None = None  # child entity name (registry reverse lookups)
 
 
 def serialize_aggregate(
