@@ -50,16 +50,32 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(media, every_n_bytes=64, max_frames=8)
 
 
+def _hexbyte(pos: int) -> str:
+    """DuckDB: md5-hex chars [pos, pos+1] as an int byte."""
+    return (
+        f"list_reduce(list_transform(split(substr(md5(text), {pos}, 2), ''),"
+        " x -> CAST(strpos('0123456789abcdef', x) - 1 AS BIGINT)), (a,b) -> a*16+b)"
+    )
+
+
 @query(
     "mm_decode_features",
     refs="beyond:multimodal",
-    oracle=None,  # mapInPandas stage; rows-only check (stub decode is
-    # deterministic but intentionally not re-implemented in SQL)
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS digest,
+           CAST(64 + ({_hexbyte(1)} % 960) AS INT) AS width,
+           CAST(64 + ({_hexbyte(3)} % 960) AS INT) AS height,
+           CAST(1 + ({_hexbyte(5)} % 4) AS INT) AS channels
+    FROM documents
+    """,
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode via mapInPandas (deterministic stub for the
     PIL-less container; the batch plumbing, schema, and null handling
-    are the real article)."""
+    are the real article — the stub's md5-derived dims are mirrored
+    bit-for-bit by the oracle, so even the Python stage is value-checked)."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_binary(docs, "text", "doc_id")
     return multimodal.decode_media(media)
