@@ -69,6 +69,7 @@ def s5_genesis_topic_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s10_tombstone_merge",
     refs="S10,T7,S8,J1",
+    bench=True,
     oracle="""
     WITH tgt AS (
         SELECT user_id AS synced_id, ts AS synced_updated_at, value AS val
@@ -441,6 +442,7 @@ def d2d7_canonical_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d4_aggregate_dismantle",
     refs="D4,P3",
+    bench=True,
     oracle="""
     SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
     FROM lineitem l

@@ -61,6 +61,7 @@ def _hexbyte(pos: int) -> str:
 @query(
     "mm_decode_features",
     refs="beyond:multimodal",
+    bench=True,
     oracle=f"""
     SELECT doc_id AS media_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -85,6 +85,24 @@ def keep_latest_stream(
     )
 
 
+def exact_dedup_stream(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    event_time_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-duplicated message suppression, JVM-native: the
+    at-least-once source can replay a record (T1); within the watermark
+    horizon replays drop without any Python state. Complements
+    :func:`keep_latest_stream` (which keeps the *newest* among
+    different rows per key — this drops *identical* keys only).
+    Replays older than the watermark pass through and are neutralized
+    downstream by the idempotent guarded MERGE instead."""
+    return sdf.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def consecutive_dedup_stream(
     sdf: DataFrame,
     domain_cols: Sequence[str],

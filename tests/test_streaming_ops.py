@@ -61,6 +61,42 @@ def test_consecutive_dedup_stream_run_length(spark, tmp_path):
     assert emitted == {("A", 2), ("B", 4)}
 
 
+def test_exact_dedup_stream_drops_replays(spark, tmp_path):
+    from dionysus_rb_spark.streaming.dedup_stream import exact_dedup_stream
+
+    inp = tmp_path / "replay"
+    inp.mkdir()
+    rows1 = [
+        {"k": 1, "ts": "2024-01-01 10:00:00", "v": 1.0},
+        {"k": 1, "ts": "2024-01-01 10:00:00", "v": 1.0},  # in-batch dup
+        {"k": 2, "ts": "2024-01-01 10:00:01", "v": 2.0},
+    ]
+    rows2 = [
+        {"k": 1, "ts": "2024-01-01 10:00:00", "v": 1.0},  # cross-batch replay
+        {"k": 3, "ts": "2024-01-01 10:00:02", "v": 3.0},
+    ]
+    (inp / "f1.jsonl").write_text("\n".join(json.dumps(r) for r in rows1))
+    (inp / "f2.jsonl").write_text("\n".join(json.dumps(r) for r in rows2))
+    src = (
+        spark.readStream.schema("k LONG, ts STRING, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(inp))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = exact_dedup_stream(src, ["k"], "ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("exact_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["k"] for r in spark.sql("SELECT * FROM exact_out").collect())
+    assert got == [1, 2, 3]
+
+
 def test_windowed_latency_metrics(spark, tmp_path):
     inp = tmp_path / "lat"
     inp.mkdir()
