@@ -55,7 +55,10 @@ def persist_batch(
     cfg = cfg or DeserializerConfig()
     result = PersistResult()
 
-    decoded = decode_envelope(raw, snapshot_schema)
+    has_key = "key" in raw.columns
+    decoded = decode_envelope(
+        raw, snapshot_schema, keep_cols=("key",) if has_key else ()
+    )
     _, action = parse_event_name(F.col("event"))
     decoded = decoded.withColumn("__action", action).cache()
     try:
@@ -63,7 +66,15 @@ def persist_batch(
             decoded.filter(F.col("record").isNotNull()), "__action"
         )
         if dead_letter_store is not None:
+            # T9/F4 dead letters: unknown event names, plus payloads the
+            # envelope parser rejected (non-null value, nothing decoded)
             dl = unknown.filter(F.col("event").isNotNull()).select("event", "value")
+            corrupt = decoded.filter(
+                F.col("record").isNull()
+                & F.col("event").isNull()
+                & F.col("value").isNotNull()
+            ).select("event", "value")
+            dl = dl.unionByName(corrupt)
             n = dl.count()
             if n:
                 dead_letter_store.overwrite(dl)
@@ -76,6 +87,29 @@ def persist_batch(
             F.col("__action").alias("event"),
             *canonical_columns(F.col("record"), snapshot_schema, entity, cfg, sideloads),
         )
+        if has_key:
+            # S10/T7 tombstones: NULL value under a "Model:id" key hard-
+            # deletes through the same MERGE (tombstone_publisher.rb:4-21;
+            # the delete branch fires because every payload column is NULL)
+            id_type = snapshot_schema["id"].dataType
+            tombs = raw.filter(
+                F.col("value").isNull() & F.col("key").isNotNull()
+            ).select(
+                F.lit(None).cast(snapshot_schema).alias("record"),
+                F.element_at(F.split("key", ":"), -1).cast(id_type).alias("__tomb_id"),
+            )
+            tomb_root = (
+                tombs.select(
+                    "__tomb_id",
+                    F.lit("destroyed").alias("event"),
+                    *canonical_columns(
+                        F.col("record"), snapshot_schema, entity, cfg, sideloads
+                    ),
+                )
+                .withColumn(cfg.synced_id, F.col("__tomb_id"))
+                .drop("__tomb_id")
+            )
+            root = root.unionByName(tomb_root, allowMissingColumns=True)
         if entity in sinks:
             sinks[entity].store.merge(spark, root)
             result.persisted[entity] = result.persisted.get(entity, 0) + root.count()

@@ -200,6 +200,47 @@ def test_genesis_roundtrip(spark, tmp_path):
     assert not mon.stale(600)
 
 
+def test_tombstone_and_corrupt_payload_handling(spark, tmp_path):
+    """S10: a NULL value under a 'Model:id' key hard-deletes that key.
+    Corrupt payloads (unparseable JSON) land in the dead-letter store
+    instead of vanishing (T9)."""
+    import json as _json
+
+    from dionysus_rb_spark.consumer.persistor import persist_batch
+
+    store = SnapshotStore(str(tmp_path / "things"))
+    dlq = SnapshotStore(str(tmp_path / "dlq"))
+
+    def env(event, **attrs):
+        return _json.dumps(
+            {"message": [{"event": event, "model_name": "Thing", "data": [attrs]}]}
+        )
+
+    batch1 = spark.createDataFrame(
+        [
+            ("Thing:1", env("thing_created", id=1, updated_at="2024-01-01 10:00:00", name="A")),
+            ("Thing:2", env("thing_created", id=2, updated_at="2024-01-01 10:00:00", name="B")),
+        ],
+        "key STRING, value STRING",
+    )
+    persist_batch(spark, batch1, THING, "thing", {"thing": EntitySink(store)})
+    batch2 = spark.createDataFrame(
+        [
+            ("Thing:1", None),  # tombstone: delete key 1
+            ("Thing:3", "{not json at all"),  # corrupt -> dead letter
+        ],
+        "key STRING, value STRING",
+    )
+    res = persist_batch(
+        spark, batch2, THING, "thing", {"thing": EntitySink(store)},
+        dead_letter_store=dlq,
+    )
+    state = {r["synced_id"] for r in store.read(spark).collect()}
+    assert state == {2}
+    assert res.dead_letter_count == 1
+    assert dlq.read(spark).collect()[0]["value"].startswith("{not json")
+
+
 def test_genesis_dependency_only_guard():
     import pytest
 
