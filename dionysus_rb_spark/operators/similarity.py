@@ -145,6 +145,86 @@ def lsh_near_dup_pairs(
     )
 
 
+# -- IVF (cell-probed) ANN --------------------------------------------------
+
+
+def ivf_assign(
+    base: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Assign every vector to its nearest centroid cell (argmax cosine,
+    ties to the lowest centroid id). One corpus scan x broadcast
+    centroids — the IVF "coarse quantizer" step."""
+    scored = base.join(F.broadcast(centroids)).withColumn(
+        "__cos", cosine(F.col("__v"), F.col("__cv"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("cent_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "__v", "cent_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: bucket the corpus into centroid cells, probe only
+    each query's ``nprobe`` nearest cells, exact-rank within them.
+
+    Centroids here are the first ``n_centroids`` corpus vectors — a
+    deterministic stand-in for the k-means training step (which is
+    centroid *selection*, not search; swapping in trained centroids
+    changes recall, not the plan). Search cost drops from O(n) per query
+    to O(n * nprobe / n_centroids); the assignment pass is one broadcast
+    join, shuffle-free."""
+    base = embeddings.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    )
+    centroids = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col("__v").alias("__cv")
+    )
+    assigned = ivf_assign(base, centroids, id_col)
+
+    queries = assigned.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("__v").alias("__qv")
+    )
+    qscored = queries.join(F.broadcast(centroids)).withColumn(
+        "__cos", cosine(F.col("__qv"), F.col("__cv"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("cent_id"))
+    probe = (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qv", "cent_id")
+    )
+
+    cands = (
+        probe.alias("p")
+        .join(assigned.alias("a"), F.col("p.cent_id") == F.col("a.cent_id"))
+        .filter(F.col("query_id") != F.col(f"a.{id_col}"))
+    )
+    scored = cands.withColumn(
+        "cos", F.round(cosine(F.col("__qv"), F.col("a.__v")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(f"a.{id_col}"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(f"a.{id_col}").alias("cand_id"),
+            "cos",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 # -- DuckDB SQL mirrors -----------------------------------------------------
 
 _COS_SQL = """
@@ -174,6 +254,47 @@ def brute_force_topk_sql(query_ids: list[int], k: int = 10) -> str:
                 ORDER BY round({cos}, 6) DESC, cand_id ASC) AS BIGINT) AS rank
     FROM q JOIN c ON cand_id <> query_id
     QUALIFY rank <= {k}
+    """
+
+
+def ivf_topk_sql(
+    query_ids: list[int], k: int = 10, n_centroids: int = 8, nprobe: int = 2
+) -> str:
+    ids = ", ".join(map(str, query_ids))
+    assign_cos = cosine_sql("b.v", "c.cv")
+    q_cos = cosine_sql("q.qv", "c.cv")
+    final_cos = cosine_sql("q.qv", "a.v")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id < {n_centroids}),
+    assigned AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT b.vec_id, b.v, c.cent_id,
+               row_number() OVER (PARTITION BY b.vec_id
+                   ORDER BY {assign_cos} DESC, c.cent_id ASC) AS rn
+        FROM base b CROSS JOIN cents c)
+      WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id IN ({ids})),
+    probe AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT q.query_id, q.qv, c.cent_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {q_cos} DESC, c.cent_id ASC) AS rn
+        FROM q CROSS JOIN cents c)
+      WHERE rn <= {nprobe}
+    )
+    SELECT query_id, cand_id, cos, rank FROM (
+      SELECT q.query_id, a.vec_id AS cand_id,
+             round({final_cos}, 6) AS cos,
+             CAST(row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({final_cos}, 6) DESC, a.vec_id ASC) AS BIGINT) AS rank
+      FROM probe q JOIN assigned a ON a.cent_id = q.cent_id
+      WHERE a.vec_id <> q.query_id)
+    WHERE rank <= {k}
     """
 
 

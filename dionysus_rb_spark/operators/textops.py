@@ -37,6 +37,21 @@ def token_stats(text: Column) -> dict[str, Column]:
     }
 
 
+def subword_count(text: Column, piece_len: int = 4) -> Column:
+    """BPE-ish token estimate: words split into fixed-size sub-word
+    pieces — ``ceil(len(word)/piece_len)`` summed over words, digits and
+    punctuation runs counted as one piece each. Approximates a trained
+    BPE vocab's ~piece_len-chars-per-token granularity deterministically
+    (the real tokenizer is a lookup; this is the plannable estimator
+    used for corpus sizing / cost accounting)."""
+    toks = tokenize(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda a, t: a + F.ceil(F.length(t) / piece_len).cast("long"),
+    )
+
+
 def quality_score(text: Column, n_chars: Column) -> Column:
     """Composite [0,1] quality heuristic: alphabetic-character ratio,
     stopword presence, and a length prior — the length/punct/stopword

@@ -49,6 +49,20 @@ def ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_topk",
+    refs="beyond:similarity",
+    oracle=similarity.ivf_topk_sql(QUERY_IDS, k=10, n_centroids=8, nprobe=2),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: corpus bucketed into centroid cells (broadcast
+    assignment, shuffle-free), queries probe their 2 nearest of 8 cells,
+    exact cosine rank within — the inverted-file scale path next to the
+    LSH one."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ivf_topk(emb, QUERY_IDS, k=10, n_centroids=8, nprobe=2)
+
+
+@query(
     "emb_cosine_neardup",
     refs="beyond:dedup,beyond:similarity",
     oracle=f"""

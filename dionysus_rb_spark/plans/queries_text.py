@@ -46,6 +46,25 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_bpe_token_count",
+    refs="beyond:text",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(coalesce(list_aggregate(
+                list_transform({_TOKS}, t -> (len(t) + 3) // 4), 'sum'), 0)
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def t_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (~4 chars/piece estimator): the corpus
+    cost-accounting pass — one codegen scan, no shuffle."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", textops.subword_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
 _STOPS = ", ".join(f"'{s}'" for s in textops.EN_STOPWORDS)
 
 
