@@ -117,3 +117,137 @@ class SnapshotStore:
         for d in versions[:-keep]:
             if d != current:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+
+class BucketedSnapshotStore(SnapshotStore):
+    """Key-bucketed snapshot store: MERGE cost ∝ touched buckets.
+
+    The plain store rewrites the whole table per batch — Delta's
+    copy-on-write trade at file granularity, here at table granularity.
+    This variant hashes the merge key into ``num_buckets`` partitions;
+    a batch only reads + rewrites the buckets its keys land in, and the
+    manifest (bucket -> current file set) swaps atomically. With
+    num_buckets sized so each bucket ≈ a Delta file group, this IS the
+    bounded-rewrite behavior `MERGE INTO` gives on a lakehouse — per
+    micro-batch cost tracks batch size, not table size, which is the
+    property that keeps the consumer viable at 100 TB state.
+
+    Co-location bonus: the bucket layout doubles as the pre-shuffled
+    merge-key partitioning — the full-outer join inside guarded_merge
+    shuffles only the (small) batch side against each bucket.
+    """
+
+    def __init__(self, path: str, key: str = "synced_id", num_buckets: int = 16):
+        super().__init__(path, key)
+        self.num_buckets = num_buckets
+
+    def _bucket_expr(self):
+        from pyspark.sql import functions as F
+
+        return F.pmod(F.xxhash64(F.col(self.key)), self.num_buckets).cast("int")
+
+    def _manifest(self) -> dict[str, str]:
+        if not os.path.exists(self._pointer):
+            return {}
+        with open(self._pointer) as f:
+            data = json.load(f)
+        return data.get("buckets", {})
+
+    def _write_manifest(self, buckets: dict[str, str]) -> None:
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"buckets": buckets}, f)
+        os.replace(tmp, self._pointer)  # atomic swap
+
+    def current_version(self) -> str | None:  # pragma: no cover - compat shim
+        return "bucketed" if self._manifest() else None
+
+    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame | None:
+        manifest = self._manifest()
+        if not manifest:
+            return None
+        wanted = (
+            [str(b) for b in buckets if str(b) in manifest]
+            if buckets is not None
+            else list(manifest)
+        )
+        paths = [os.path.join(self.path, manifest[b]) for b in wanted]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def overwrite(self, df: DataFrame) -> None:
+        self._commit_buckets(df, touched=None)
+
+    def _commit_buckets(self, df: DataFrame, touched: list[int] | None) -> None:
+        """Write ``df`` partitioned by bucket into a new version dir and
+        repoint only the affected manifest entries (all, if touched is
+        None)."""
+        version = f"v{int(time.time() * 1000)}_{os.getpid()}"
+        out = os.path.join(self.path, version)
+        (
+            df.withColumn("__bucket", self._bucket_expr())
+            .repartition("__bucket")
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        written = {
+            d.split("=", 1)[1]: os.path.join(version, d)
+            for d in os.listdir(out)
+            if d.startswith("__bucket=")
+        }
+        if touched is None:  # full replace
+            self._write_manifest(written)
+            return
+        manifest = self._manifest()
+        for b in {str(b) for b in touched}:
+            if b in written:
+                manifest[b] = written[b]
+            else:
+                manifest.pop(b, None)  # bucket fully deleted
+        self._write_manifest(manifest)
+
+    def merge(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        event_col: str = "event",
+        source_updated: str = "synced_updated_at",
+        target_updated: str = "synced_updated_at",
+        canceled_col: str | None = "synced_canceled_at",
+        order_tiebreak: str | None = None,
+    ) -> None:
+        from pyspark.sql import functions as F
+
+        from ..operators.dedup import keep_latest
+
+        if canceled_col is not None and canceled_col not in batch.columns:
+            canceled_col = None
+        if source_updated not in batch.columns:
+            batch = batch.withColumn(source_updated, F.lit(None).cast("timestamp"))
+
+        touched = [
+            r["__b"]
+            for r in batch.select(self._bucket_expr().alias("__b")).distinct().collect()
+        ]
+        target = self.read(spark, buckets=touched)
+        if target is None:
+            first = keep_latest(
+                batch, [self.key], source_updated,
+                [order_tiebreak] if order_tiebreak else (),
+            )
+            live = first.filter(F.col(event_col) != "destroyed").drop(event_col)
+            self._commit_buckets(live, touched=touched)
+            return
+        merged = guarded_merge(
+            target,
+            batch,
+            key=self.key,
+            event_col=event_col,
+            source_updated=source_updated,
+            target_updated=target_updated,
+            canceled_col=canceled_col,
+            order_tiebreak=order_tiebreak,
+        )
+        self._commit_buckets(merged, touched=touched)

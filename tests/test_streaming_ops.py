@@ -200,6 +200,62 @@ def test_genesis_roundtrip(spark, tmp_path):
     assert not mon.stale(600)
 
 
+def test_bucketed_store_matches_plain_and_prunes(spark, tmp_path):
+    """The bucketed store produces byte-identical state to the plain one
+    while rewriting ONLY the buckets a batch touches."""
+    from dionysus_rb_spark.streaming.snapshot_store import BucketedSnapshotStore
+
+    plain = SnapshotStore(str(tmp_path / "plain"))
+    bucketed = BucketedSnapshotStore(str(tmp_path / "bucketed"), num_buckets=8)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "synced_id LONG, synced_updated_at TIMESTAMP, val DOUBLE, "
+            "synced_canceled_at TIMESTAMP, event STRING",
+        )
+
+    from datetime import datetime
+
+    b1 = batch(
+        [(i, datetime(2024, 1, 1, 10), float(i), None, "created") for i in range(1, 21)]
+    )
+    for s in (plain, bucketed):
+        s.merge(spark, b1)
+    manifest_before = dict(bucketed._manifest())
+
+    # second batch: update key 5, destroy key 6 (hard), insert key 100
+    b2 = batch(
+        [
+            (5, datetime(2024, 1, 2, 10), 55.0, None, "updated"),
+            (6, datetime(2024, 1, 2, 10), None, None, "destroyed"),
+            (100, datetime(2024, 1, 2, 10), 100.0, None, "created"),
+        ]
+    )
+    for s in (plain, bucketed):
+        s.merge(spark, b2)
+
+    def state(s):
+        return {
+            r["synced_id"]: (r["synced_updated_at"], r["val"])
+            for r in s.read(spark).collect()
+        }
+
+    assert state(plain) == state(bucketed)
+    assert len(state(bucketed)) == 20  # 20 - 1 destroyed + 1 inserted
+
+    # pruning: buckets untouched by batch 2 still point at their v1 files
+    manifest_after = bucketed._manifest()
+    touched = {
+        str(r["__b"])
+        for r in b2.select(bucketed._bucket_expr().alias("__b")).distinct().collect()
+    }
+    for b, path in manifest_before.items():
+        if b not in touched:
+            assert manifest_after[b] == path, f"untouched bucket {b} was rewritten"
+    assert any(manifest_after[b] != manifest_before.get(b) for b in touched)
+
+
 def test_tombstone_and_corrupt_payload_handling(spark, tmp_path):
     """S10: a NULL value under a 'Model:id' key hard-deletes that key.
     Corrupt payloads (unparseable JSON) land in the dead-letter store
