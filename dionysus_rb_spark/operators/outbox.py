@@ -70,6 +70,63 @@ def retry_at_backoff(attempts: Column, base_seconds: int = 5) -> Column:
     return (F.lit(base_seconds) * F.pow(F.lit(2), attempts)).cast("long")
 
 
+def mark_published(
+    outbox: DataFrame,
+    published_keys: DataFrame,
+    now: Column,
+    pk: str,
+    published_at: str = "published_at",
+) -> DataFrame:
+    """T1 bookkeeping: stamp ``published_at`` on the drained rows
+    (ref records_processor.rb:51-55 ``update_all(published_at:)``) —
+    a broadcast semi-membership join on the outbox pk."""
+    hit = F.broadcast(published_keys.select(F.col(pk).alias("__pub_pk")))
+    joined = outbox.join(hit, outbox[pk] == F.col("__pub_pk"), "left")
+    return joined.withColumn(
+        published_at,
+        F.when(F.col("__pub_pk").isNotNull(), now).otherwise(F.col(published_at)),
+    ).drop("__pub_pk")
+
+
+def drain_topic(
+    outbox: DataFrame,
+    topic: str,
+    batch_size: int,
+    now: Column,
+    pk: str,
+    publish_fn=None,
+    max_cycles: int = 1000,
+) -> tuple[DataFrame, int]:
+    """The outbox worker poll loop (runner.rb:15-35 + records_processor
+    .rb:11-27) as repeated set-wise cycles: scan a FIFO batch, hand it to
+    ``publish_fn`` (the responder/sink), stamp it published; repeat until
+    the topic drains. Returns (final outbox state, cycles run).
+
+    The driver-side loop is bounded (ceil(pending/batch_size) cycles) and
+    each cycle is a distributed job — this is the batch-mode stand-in for
+    the streaming path, where the checkpoint replaces all of it.
+    """
+    cycles = 0
+    for _ in range(max_cycles):
+        batch = publishable_scan(
+            outbox, topic, batch_size, now, order_tiebreak=pk
+        )
+        rows = batch.cache()
+        try:
+            if rows.count() == 0:
+                break
+            if publish_fn is not None:
+                publish_fn(rows)
+            outbox = mark_published(outbox, rows.select(pk), now, pk)
+            # materialize the new state so the next scan sees it (and the
+            # lineage doesn't stack one join per cycle)
+            outbox = outbox.localCheckpoint(eager=True)
+            cycles += 1
+        finally:
+            rows.unpersist()
+    return outbox, cycles
+
+
 def mark_failed(
     outbox: DataFrame,
     now: Column,

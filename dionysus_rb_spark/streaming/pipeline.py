@@ -54,6 +54,36 @@ def file_envelope_source(spark: SparkSession, path: str, max_files_per_trigger: 
     return reader.load(path)
 
 
+def with_retries(
+    batch_fn: Callable[[DataFrame, int], None],
+    max_attempts: int = 3,
+    backoff_base_seconds: float = 0.5,
+    on_give_up: Callable[[DataFrame, int, Exception], None] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """T9 retry provider (README.md:804-852; consumer config.rb:63-69):
+    wrap a foreachBatch body with bounded retries + exponential backoff.
+    Exhausted batches go to ``on_give_up`` (dead-letter the batch) or
+    re-raise — re-raising fails the streaming query, and the checkpoint
+    replays the batch on restart (at-least-once into an idempotent MERGE,
+    so retrying is always safe)."""
+    import time as _time
+
+    def wrapped(df: DataFrame, batch_id: int) -> None:
+        for attempt in range(max_attempts):
+            try:
+                batch_fn(df, batch_id)
+                return
+            except Exception as exc:  # noqa: BLE001 - boundary wrapper
+                if attempt + 1 >= max_attempts:
+                    if on_give_up is not None:
+                        on_give_up(df, batch_id, exc)
+                        return
+                    raise
+                _time.sleep(backoff_base_seconds * (2**attempt))
+
+    return wrapped
+
+
 def run_foreach_batch(
     source: DataFrame,
     checkpoint: str,

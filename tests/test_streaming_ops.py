@@ -297,6 +297,67 @@ def test_tombstone_and_corrupt_payload_handling(spark, tmp_path):
     assert dlq.read(spark).collect()[0]["value"].startswith("{not json")
 
 
+def test_outbox_drain_loop(spark):
+    """The worker poll loop drains a topic in FIFO batches, stamps
+    published_at, and leaves retry-parked + other-topic rows alone."""
+    from datetime import datetime
+
+    from dionysus_rb_spark.operators.outbox import drain_topic
+
+    rows = []
+    for i in range(250):
+        rows.append((i, "clicks", datetime(2024, 1, 1, 10, 0, i % 60), None, None))
+    rows.append((900, "clicks", datetime(2024, 1, 1, 9), None, datetime(2099, 1, 1)))
+    rows.append((901, "views", datetime(2024, 1, 1, 9), None, None))
+    ob = spark.createDataFrame(
+        rows,
+        "event_id LONG, topic STRING, created_at TIMESTAMP, "
+        "published_at TIMESTAMP, retry_at TIMESTAMP",
+    )
+    import pyspark.sql.functions as F
+
+    seen_batches = []
+    final, cycles = drain_topic(
+        ob,
+        topic="clicks",
+        batch_size=100,
+        now=F.lit("2024-02-01 00:00:00").cast("timestamp"),
+        pk="event_id",
+        publish_fn=lambda b: seen_batches.append(b.count()),
+    )
+    assert cycles == 3 and seen_batches == [100, 100, 50]
+    got = {r["event_id"]: r["published_at"] for r in final.collect()}
+    assert sum(1 for v in got.values() if v is not None) == 250
+    assert got[900] is None and got[901] is None  # parked + other topic
+
+
+def test_with_retries_backoff_and_give_up(spark):
+    from dionysus_rb_spark.streaming.pipeline import with_retries
+
+    calls = {"n": 0}
+
+    def flaky(df, bid):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+
+    with_retries(flaky, max_attempts=3, backoff_base_seconds=0.01)(None, 1)
+    assert calls["n"] == 3  # two failures, one success
+
+    dead = []
+
+    def always_fails(df, bid):
+        raise RuntimeError("poison")
+
+    with_retries(
+        always_fails,
+        max_attempts=2,
+        backoff_base_seconds=0.01,
+        on_give_up=lambda df, bid, exc: dead.append((bid, str(exc))),
+    )(None, 7)
+    assert dead == [(7, "poison")]
+
+
 def test_genesis_dependency_only_guard():
     import pytest
 
