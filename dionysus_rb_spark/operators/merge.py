@@ -115,6 +115,43 @@ def guarded_merge(
     return joined.filter(keep).select(*[out_col(c) for c in data_cols])
 
 
+def local_changes(
+    before: DataFrame,
+    after: DataFrame,
+    key: str = "synced_id",
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """The consumer's "local changes" audit (persistor.rb:76,
+    README.md:1164-1171): per key, the ``{column: [old, new]}`` pairs a
+    merge actually changed — derived set-wise by joining pre- and
+    post-merge state and unpivoting the differing columns.
+
+    Output: (key, column, old_value, new_value) rows; inserts have NULL
+    olds, deletes NULL news (values stringified for the uniform audit
+    shape, like the reference's jsonb changeset)."""
+    cols = columns or [c for c in after.columns if c != key]
+    b, a = before.alias("b"), after.alias("a")
+    joined = b.join(a, F.col(f"b.{key}").eqNullSafe(F.col(f"a.{key}")), "full_outer")
+    k = F.coalesce(F.col(f"a.{key}"), F.col(f"b.{key}")).alias(key)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"b.{c}").cast("string").alias("old_value"),
+                F.col(f"a.{c}").cast("string").alias("new_value"),
+            )
+            for c in cols
+        ]
+    )
+    changed = F.filter(
+        pairs, lambda p: ~p["old_value"].eqNullSafe(p["new_value"])
+    )
+    return (
+        joined.select(k, F.explode(changed).alias("c"))
+        .select(key, "c.column", "c.old_value", "c.new_value")
+    )
+
+
 def reconcile_to_many(
     local_children: DataFrame,
     payload_child_ids: DataFrame,

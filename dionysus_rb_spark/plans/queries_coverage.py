@@ -110,6 +110,51 @@ def s10_tombstone_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("synced_id", "synced_updated_at", "val")
 
 
+@query(
+    "lc_local_changes_audit",
+    refs="S7,J1",
+    oracle="""
+    WITH before AS (
+        SELECT user_id AS synced_id, value AS val FROM events
+        WHERE event_id % 2 = 0
+        QUALIFY row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) = 1
+    ),
+    after AS (
+        SELECT user_id AS synced_id, value AS val FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) = 1
+    ),
+    joined AS (
+        SELECT COALESCE(a.synced_id, b.synced_id) AS synced_id,
+               b.val AS old_val, a.val AS new_val,
+               b.synced_id IS NOT NULL AS in_b, a.synced_id IS NOT NULL AS in_a
+        FROM before b FULL OUTER JOIN after a ON b.synced_id = a.synced_id
+    )
+    SELECT synced_id, 'val' AS "column",
+           CAST(old_val AS VARCHAR) AS old_value,
+           CAST(new_val AS VARCHAR) AS new_value
+    FROM joined
+    WHERE old_val IS DISTINCT FROM new_val
+    """,
+)
+def lc_local_changes_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer's local-changes audit (persistor.rb:76, README.md:
+    1164-1171): pre- vs post-merge snapshots diffed set-wise into
+    (key, column, old, new) audit rows — here the even-event snapshot
+    against the all-events snapshot."""
+    from ..operators.merge import local_changes
+
+    ev = _events(spark, sf_dir)
+    before = dedup.keep_latest(
+        ev.filter(F.col("event_id") % 2 == 0), ["user_id"], "ts", ["event_id"]
+    ).select(F.col("user_id").alias("synced_id"), F.col("value").alias("val"))
+    after = dedup.keep_latest(ev, ["user_id"], "ts", ["event_id"]).select(
+        F.col("user_id").alias("synced_id"), F.col("value").alias("val")
+    )
+    return local_changes(before, after, key="synced_id")
+
+
 # --------------------------------------------------------------------------
 # §2.2 projections
 # --------------------------------------------------------------------------

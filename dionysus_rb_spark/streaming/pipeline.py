@@ -54,6 +54,38 @@ def file_envelope_source(spark: SparkSession, path: str, max_files_per_trigger: 
     return reader.load(path)
 
 
+def run_consumer_streams(
+    spark: SparkSession,
+    registry,
+    base_dir: str,
+    checkpoint_dir: str,
+    sinks_by_topic: dict[str, dict],
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> dict[str, StreamingQuery]:
+    """One streaming query per declared consumer topic (the analogue of
+    the reference's generated per-topic Karafka consumers,
+    lib/dionysus.rb:113-129): each topic reads ``{base_dir}/{topic}``
+    with its own checkpoint, schema, deserializer config, and sinks.
+    Independent queries = independent progress/backpressure per topic,
+    exactly like consumer-group partitions."""
+    queries: dict[str, StreamingQuery] = {}
+    for name, decl in registry.topics.items():
+        queries[name] = run_consumer_stream(
+            spark,
+            f"{base_dir}/{decl.topic}",
+            f"{checkpoint_dir}/{decl.topic}",
+            decl.schema,
+            decl.entity,
+            sinks_by_topic[name],
+            cfg=decl.deserializer_cfg,
+            polymorphic_types=decl.polymorphic_types or None,
+            available_now=available_now,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+    return queries
+
+
 def with_retries(
     batch_fn: Callable[[DataFrame, int], None],
     max_attempts: int = 3,

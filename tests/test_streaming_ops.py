@@ -297,6 +297,123 @@ def test_tombstone_and_corrupt_payload_handling(spark, tmp_path):
     assert dlq.read(spark).collect()[0]["value"].startswith("{not json")
 
 
+def test_multi_entity_persist_sideloads(spark, tmp_path):
+    """An aggregate envelope (parent + sideloaded children) persists the
+    root AND each child entity into its own store (D4 + persist order,
+    persistor.rb:102-151)."""
+    import json as _json
+
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from dionysus_rb_spark.consumer.persistor import persist_batch
+
+    order_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("updated_at", StringType()),
+            StructField("total", DoubleType()),
+            StructField(
+                "items",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("id", LongType()),
+                            StructField("qty", LongType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    env = _json.dumps(
+        {
+            "message": [
+                {
+                    "event": "order_created",
+                    "model_name": "Order",
+                    "data": [
+                        {
+                            "id": 1,
+                            "updated_at": "2024-01-01 10:00:00",
+                            "total": 42.0,
+                            "items": [
+                                {"id": 11, "qty": 2},
+                                {"id": 12, "qty": 3},
+                            ],
+                        }
+                    ],
+                }
+            ]
+        }
+    )
+    raw = spark.createDataFrame([(env,)], "value STRING")
+    order_store = SnapshotStore(str(tmp_path / "orders"))
+    item_store = SnapshotStore(str(tmp_path / "items"))
+    res = persist_batch(
+        spark,
+        raw,
+        order_schema,
+        "order",
+        {"order": EntitySink(order_store), "item": EntitySink(item_store)},
+    )
+    assert res.persisted == {"order": 1, "item": 2}
+    orders = {r["synced_id"]: r["total"] for r in order_store.read(spark).collect()}
+    items = {r["synced_id"]: r["qty"] for r in item_store.read(spark).collect()}
+    assert orders == {1: 42.0}
+    assert items == {11: 2, 12: 3}
+
+
+def test_multi_topic_runner(spark, tmp_path):
+    """run_consumer_streams drives one independent query per declared
+    topic from a ConsumerRegistry."""
+    import json as _json
+
+    from dionysus_rb_spark.registry import ConsumerRegistry, ConsumerTopicDecl
+    from dionysus_rb_spark.streaming.pipeline import run_consumer_streams
+
+    reg = ConsumerRegistry(namespace="v3")
+    for name, entity in [("things", "thing"), ("gadgets", "gadget")]:
+        reg.topic(ConsumerTopicDecl(name=name, entity=entity, schema=THING))
+
+    base = tmp_path / "topics"
+    for name, entity, n in [("v3_things", "thing", 3), ("v3_gadgets", "gadget", 2)]:
+        d = base / name
+        d.mkdir(parents=True)
+        lines = [
+            _json.dumps(
+                {
+                    "message": [
+                        {
+                            "event": f"{entity}_created",
+                            "model_name": entity.capitalize(),
+                            "data": [
+                                {"id": i, "updated_at": "2024-01-01 10:00:00", "name": f"{entity}{i}"}
+                            ],
+                        }
+                    ]
+                }
+            )
+            for i in range(n)
+        ]
+        (d / "b.jsonl").write_text("\n".join(lines))
+
+    stores = {
+        "things": SnapshotStore(str(tmp_path / "things_store")),
+        "gadgets": SnapshotStore(str(tmp_path / "gadgets_store")),
+    }
+    sinks = {
+        "things": {"thing": EntitySink(stores["things"])},
+        "gadgets": {"gadget": EntitySink(stores["gadgets"])},
+    }
+    queries = run_consumer_streams(
+        spark, reg, str(base), str(tmp_path / "cp"), sinks, available_now=True
+    )
+    for q in queries.values():
+        q.awaitTermination(120)
+    assert stores["things"].read(spark).count() == 3
+    assert stores["gadgets"].read(spark).count() == 2
+
+
 def test_outbox_drain_loop(spark):
     """The worker poll loop drains a topic in FIFO batches, stamps
     published_at, and leaves retry-parked + other-topic rows alone."""
