@@ -111,6 +111,65 @@ def s10_tombstone_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s2_drain_two_cycles",
+    refs="S2,T1,O1,G4",
+    oracle="""
+    WITH ob AS (
+        SELECT event_id, event_type AS topic, ts AS created_at,
+               CASE WHEN event_id % 3 = 0
+                    THEN ts + (event_id % 7) * INTERVAL 1 MINUTE END AS published_at,
+               CASE WHEN event_id % 5 = 0
+                    THEN TIMESTAMP '2099-01-01 00:00:00' END AS retry_at
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_id,
+               row_number() OVER (ORDER BY created_at, event_id) AS rn
+        FROM ob
+        WHERE published_at IS NULL AND topic = 'click'
+          AND (retry_at IS NULL OR retry_at <= TIMESTAMP '2024-02-15 00:00:00')
+    )
+    SELECT o.event_id, o.topic,
+           CASE WHEN r.rn <= 200 THEN TIMESTAMP '2024-02-15 00:00:00'
+                ELSE o.published_at END AS published_at
+    FROM ob o LEFT JOIN ranked r ON r.event_id = o.event_id
+    """,
+)
+def s2_drain_two_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two poll cycles of the outbox worker loop (runner.rb:15-35):
+    after draining 2 FIFO batches of 100 from the 'click' topic, exactly
+    the first 200 eligible rows carry the publish stamp; parked and
+    foreign-topic rows are untouched."""
+    from ..operators.outbox import drain_topic
+
+    ob = _outboxish_cov(_events(spark, sf_dir))
+    final, _ = drain_topic(
+        ob,
+        topic="click",
+        batch_size=100,
+        now=F.lit("2024-02-15 00:00:00").cast("timestamp"),
+        pk="event_id",
+        max_cycles=2,
+    )
+    return final.select("event_id", "topic", "published_at")
+
+
+def _outboxish_cov(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.col("event_id"),
+        F.col("event_type").alias("topic"),
+        F.col("ts").alias("created_at"),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.col("ts") + F.make_dt_interval(mins=F.col("event_id") % 7),
+        ).alias("published_at"),
+        F.when(
+            F.col("event_id") % 5 == 0, F.expr("TIMESTAMP '2099-01-01 00:00:00'")
+        ).alias("retry_at"),
+    )
+
+
+@query(
     "lc_local_changes_audit",
     refs="S7,J1",
     oracle="""
