@@ -77,7 +77,7 @@ def persist_batch(
             dl = dl.unionByName(corrupt)
             n = dl.count()
             if n:
-                dead_letter_store.overwrite(dl)
+                dead_letter_store.append(spark, dl)
             result.dead_letter_count = n
 
         # root frame: canonical columns + the event action driving the

@@ -82,6 +82,8 @@ def run_consumer_streams(
             polymorphic_types=decl.polymorphic_types or None,
             available_now=available_now,
             max_files_per_trigger=max_files_per_trigger,
+            batch_transformation=decl.batch_transformation,
+            message_filters=decl.message_filters,
         )
     return queries
 
@@ -149,14 +151,40 @@ def run_consumer_stream(
     dead_letter_store=None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    batch_transformation: Callable[[DataFrame], DataFrame] | None = None,
+    message_filters: tuple[Callable[[DataFrame], "Column"], ...] = (),
 ) -> StreamingQuery:
     """The full consumer pipeline under streaming: file/Kafka envelope
-    source -> persist_batch per micro-batch (D1-D7 + F1/F3/F8 + MERGE)."""
+    source -> per-topic batch transformation + message filters ->
+    persist_batch per micro-batch (D1-D7 + F1/F3/F8 + MERGE).
+
+    ``batch_transformation`` is the reference's per-topic
+    ``params_batch_transformation`` (consumer/registry.rb:78-81) — a
+    DataFrame->DataFrame hook on the raw wire batch (the default there is
+    A1 dedup; our persist path already A1-dedups inside the MERGE, so no
+    default here). ``message_filters`` (F4, config.rb:93-105) are
+    predicate builders; matching rows are diverted to the dead-letter
+    store instead of persisted."""
+    from pyspark.sql import functions as F
+
     from ..consumer.persistor import persist_batch
 
     source = file_envelope_source(spark, input_path, max_files_per_trigger)
 
     def batch_fn(df: DataFrame, batch_id: int) -> None:
+        if message_filters:
+            ignore = F.lit(False)
+            for flt in message_filters:
+                ignore = ignore | flt(df)
+            ignored = df.filter(ignore)
+            if dead_letter_store is not None and ignored.limit(1).count():
+                dead_letter_store.append(
+                    spark,
+                    ignored.select(F.lit(None).cast("string").alias("event"), "value"),
+                )
+            df = df.filter(~ignore)
+        if batch_transformation is not None:
+            df = batch_transformation(df)
         persist_batch(
             spark,
             df,

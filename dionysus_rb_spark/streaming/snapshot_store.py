@@ -51,6 +51,15 @@ class SnapshotStore:
     def overwrite(self, df: DataFrame) -> None:
         self._commit(df)
 
+    def append(self, spark: SparkSession, df: DataFrame) -> None:
+        """Accumulate rows (the dead-letter contract: every batch's
+        rejects survive, across batches and within one batch's multiple
+        reject paths)."""
+        cur = self.read(spark)
+        if cur is not None:
+            df = cur.unionByName(df, allowMissingColumns=True)
+        self.overwrite(df)
+
     def merge(
         self,
         spark: SparkSession,

@@ -414,6 +414,75 @@ def test_multi_topic_runner(spark, tmp_path):
     assert stores["gadgets"].read(spark).count() == 2
 
 
+def test_stream_applies_filters_and_transformation(spark, tmp_path):
+    """Declared message filters divert poison rows before decode; the
+    per-topic batch transformation reshapes the raw batch (here:
+    dropping a marked prefix) — both hooks of the reference's consumer
+    declaration, wired through the stream runner."""
+    import json as _json
+
+    from dionysus_rb_spark.registry import ConsumerRegistry, ConsumerTopicDecl
+    from dionysus_rb_spark.streaming.pipeline import run_consumer_streams
+
+    def env(i):
+        return _json.dumps(
+            {
+                "message": [
+                    {
+                        "event": "thing_created",
+                        "model_name": "Thing",
+                        "data": [
+                            {"id": i, "updated_at": "2024-01-01 10:00:00", "name": f"t{i}"}
+                        ],
+                    }
+                ]
+            }
+        )
+
+    d = tmp_path / "topics" / "v3_things"
+    d.mkdir(parents=True)
+    lines = [env(1), env(2), "POISON " + env(3), "SKIP:" + env(4)]
+    (d / "b.jsonl").write_text("\n".join(lines))
+
+    reg = ConsumerRegistry(namespace="v3")
+    reg.topic(
+        ConsumerTopicDecl(
+            name="things",
+            entity="thing",
+            schema=THING,
+            message_filters=(lambda df: F.col("value").startswith("POISON"),),
+            batch_transformation=lambda df: df.withColumn(
+                "value", F.regexp_replace("value", r"^SKIP:", "")
+            ),
+        )
+    )
+    store = SnapshotStore(str(tmp_path / "things_store"))
+    dlq = SnapshotStore(str(tmp_path / "dlq"))
+
+    # run_consumer_streams doesn't thread a DLQ; call the single-topic
+    # runner directly to exercise filters + transformation + DLQ together
+    from dionysus_rb_spark.streaming.pipeline import run_consumer_stream
+
+    decl = reg.topics["things"]
+    q = run_consumer_stream(
+        spark,
+        str(d),
+        str(tmp_path / "cp"),
+        decl.schema,
+        decl.entity,
+        {"thing": EntitySink(store)},
+        dead_letter_store=dlq,
+        available_now=True,
+        batch_transformation=decl.batch_transformation,
+        message_filters=decl.message_filters,
+    )
+    q.awaitTermination(120)
+
+    ids = {r["synced_id"] for r in store.read(spark).collect()}
+    assert ids == {1, 2, 4}  # 3 filtered to DLQ; 4 un-prefixed and kept
+    assert dlq.read(spark).count() == 1
+
+
 def test_outbox_drain_loop(spark):
     """The worker poll loop drains a topic in FIFO batches, stamps
     published_at, and leaves retry-parked + other-topic rows alone."""
