@@ -28,11 +28,20 @@ def main() -> None:
     # warm the JVM + parquet footers once with the cheapest action
     next(iter(qdefs.values())).fn(spark, sf_dir).limit(1).count() if qdefs else None
 
+    # best of 2: the first run pays codegen/JIT/page-cache warmup, which
+    # varies ~3x run-to-run locally; the min is the stable signal
     timings: dict[str, float] = {}
     for name, qd in qdefs.items():
-        t0 = time.perf_counter()
-        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            # drop any persisted intermediates so run 2 measures the
+            # full pipeline, not run 1's cache
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     out = {
         "metric": "headline_queries_total_runtime",
