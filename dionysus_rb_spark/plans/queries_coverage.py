@@ -475,6 +475,78 @@ def o4_genesis_id_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cs_changeset_from_versions",
+    refs="F2,S7",
+    oracle="""
+    WITH versioned AS (
+        SELECT user_id, event_id, value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CASE WHEN rn = 1
+                THEN '{"value":[null,' || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) || ']}'
+                WHEN prev_value IS DISTINCT FROM value
+                     THEN '{"value":[' || CAST(CAST(floor(prev_value) AS BIGINT) AS VARCHAR) || ','
+                          || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) || ']}'
+                ELSE '{}' END AS changeset
+    FROM versioned
+    """,
+)
+def cs_changeset_from_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The outbox ``changeset`` column (§1: previous_changes
+    ``{column: [old, new]}``, publishable.rb:86-95) built set-wise from
+    consecutive row versions: lag() reconstructs the pre-image, unchanged
+    columns are omitted, first-seen rows record [null, new]."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    v = (
+        _events(spark, sf_dir)
+        .withColumn("prev_value", F.lag("value").over(w))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    # integer rendering: double->string formatting differs across engines
+    num = lambda c: F.floor(F.col(c)).cast("long").cast("string")  # noqa: E731
+    changeset = (
+        F.when(F.col("rn") == 1, F.concat(F.lit('{"value":[null,'), num("value"), F.lit("]}")))
+        .when(
+            ~F.col("prev_value").eqNullSafe(F.col("value")),
+            F.concat(
+                F.lit('{"value":['), num("prev_value"), F.lit(","), num("value"), F.lit("]}")
+            ),
+        )
+        .otherwise(F.lit("{}"))
+    )
+    return v.select("user_id", "event_id", changeset.alias("changeset"))
+
+
+@query(
+    "enc_changeset_roundtrip",
+    refs="S7",
+    oracle="""
+    SELECT event_id, props AS changeset FROM events
+    """,
+)
+def enc_changeset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encrypted-changeset support (outbox/model.rb:40-44's
+    attr_encrypted): Spark's native aes_encrypt/aes_decrypt wrap the
+    changeset column JVM-side; the query certifies decrypt(encrypt(x))
+    == x (the oracle is the identity — any codec asymmetry breaks the
+    hash match). Key management is deployment config; GCM mode carries
+    the IV in the ciphertext."""
+    key = F.lit("0123456789abcdef")  # 16-byte demo key (config in prod)
+    ev = _events(spark, sf_dir)
+    enc = ev.withColumn("enc", F.aes_encrypt(F.col("props"), key))
+    dec = enc.select(
+        "event_id",
+        F.aes_decrypt(F.col("enc"), key).cast("string").alias("changeset"),
+    )
+    return dec
+
+
 # --------------------------------------------------------------------------
 # §2.3 canonical deserialization as batch roundtrips
 # --------------------------------------------------------------------------
