@@ -48,10 +48,16 @@ def persist_batch(
     cfg: DeserializerConfig | None = None,
     polymorphic_types: dict[str, list[str]] | None = None,
     dead_letter_store: SnapshotStore | None = None,
+    reconcile_children: bool = True,
 ) -> PersistResult:
     """One micro-batch, end to end. ``raw`` carries a ``value`` column of
     envelope JSON (Kafka-shaped; NULL value = tombstone). Unknown event
-    names go to the dead-letter store (T9, F4)."""
+    names go to the dead-letter store (T9, F4).
+
+    ``reconcile_children`` applies J4 after each has_many upsert: a
+    parent's aggregate payload is authoritative for its child set, so
+    stored children of the batch's parents that the payload no longer
+    lists are deleted (persistor.rb:128-151's ``where.not(id: ids)``)."""
     cfg = cfg or DeserializerConfig()
     result = PersistResult()
 
@@ -114,17 +120,35 @@ def persist_batch(
             sinks[entity].store.merge(spark, root)
             result.persisted[entity] = result.persisted.get(entity, 0) + root.count()
 
-        # children: always upserts (their delete path is J4 reconciliation)
+        # children: upserts, then J4 reconciliation for has_many (the
+        # parent payload is authoritative for its child id set)
         for ent in deserialize(
             known, snapshot_schema, entity, cfg, polymorphic_types=polymorphic_types
         ):
             if ent.relationship == "root" or ent.entity not in sinks:
                 continue
-            frame = ent.frame.withColumn("event", F.lit("updated")).drop("__parent_id")
-            sinks[ent.entity].store.merge(spark, frame)
+            frame = ent.frame.withColumn("event", F.lit("updated")).withColumnRenamed(
+                "__parent_id", "synced_parent_id"
+            )
+            store = sinks[ent.entity].store
+            store.merge(spark, frame)
             result.persisted[ent.entity] = (
                 result.persisted.get(ent.entity, 0) + frame.count()
             )
+            if reconcile_children and ent.relationship == "has_many":
+                current = store.read(spark)
+                if current is not None and "synced_parent_id" in current.columns:
+                    parents = frame.select("synced_parent_id").distinct()
+                    payload_ids = frame.select("synced_parent_id", cfg.synced_id)
+                    stale = current.join(
+                        F.broadcast(parents), "synced_parent_id", "left_semi"
+                    ).join(
+                        payload_ids, ["synced_parent_id", cfg.synced_id], "left_anti"
+                    )
+                    if stale.limit(1).count():
+                        store.merge(
+                            spark, stale.withColumn("event", F.lit("destroyed"))
+                        )
     finally:
         decoded.unpersist()
     return result

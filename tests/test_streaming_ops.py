@@ -362,6 +362,36 @@ def test_multi_entity_persist_sideloads(spark, tmp_path):
     assert orders == {1: 42.0}
     assert items == {11: 2, 12: 3}
 
+    # J4 reconciliation: a later aggregate listing only item 11 (with a
+    # new qty) deletes the no-longer-present item 12
+    env2 = _json.dumps(
+        {
+            "message": [
+                {
+                    "event": "order_updated",
+                    "model_name": "Order",
+                    "data": [
+                        {
+                            "id": 1,
+                            "updated_at": "2024-01-02 10:00:00",
+                            "total": 40.0,
+                            "items": [{"id": 11, "qty": 5}],
+                        }
+                    ],
+                }
+            ]
+        }
+    )
+    persist_batch(
+        spark,
+        spark.createDataFrame([(env2,)], "value STRING"),
+        order_schema,
+        "order",
+        {"order": EntitySink(order_store), "item": EntitySink(item_store)},
+    )
+    items2 = {r["synced_id"]: r["qty"] for r in item_store.read(spark).collect()}
+    assert items2 == {11: 5}
+
 
 def test_multi_topic_runner(spark, tmp_path):
     """run_consumer_streams drives one independent query per declared
