@@ -37,6 +37,28 @@ def token_stats(text: Column) -> dict[str, Column]:
     }
 
 
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[^\\s]+"
+PHONE_RE = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+
+
+def redact_pii(text: Column) -> Column:
+    """Training-corpus scrubbing: emails, URLs, and phone-shaped numbers
+    replaced with typed placeholders — pure regexp_replace chain, stays
+    in whole-stage codegen. Order matters: URLs first (they may contain
+    @ and digits), then emails, then phones."""
+    out = F.regexp_replace(text, URL_RE, "<URL>")
+    out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return out
+
+
+def extract_urls(text: Column) -> Column:
+    """All URLs in a document (array<string>) — the input to URL-level
+    dedup / domain frequency analysis."""
+    return F.regexp_extract_all(text, F.lit(URL_RE), 0)
+
+
 def subword_count(text: Column, piece_len: int = 4) -> Column:
     """BPE-ish token estimate: words split into fixed-size sub-word
     pieces — ``ceil(len(word)/piece_len)`` summed over words, digits and

@@ -156,6 +156,115 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_redact_pii",
+    refs="beyond:text",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+               text || ' contact u' || doc_id || '@example.com or'
+                    || ' https://site' || doc_id || '.com/p?q=1 tel +1 (555) 010-'
+                    || lpad(CAST(doc_id AS VARCHAR), 4, '0'),
+               '{textops.URL_RE}', '<URL>', 'g'),
+               '{textops.EMAIL_RE}', '<EMAIL>', 'g'),
+               '{textops.PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def t_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: deterministic synthetic emails/URLs/phones are
+    seeded into each document, then redacted to typed placeholders —
+    one codegen scan; the oracle reproduces the same regex chain."""
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"), F.lit("@example.com or"),
+        F.lit(" https://site"), F.col("doc_id").cast("string"),
+        F.lit(".com/p?q=1 tel +1 (555) 010-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", textops.redact_pii(seeded).alias("redacted")
+    )
+
+
+@query(
+    "t_url_extraction",
+    refs="beyond:text,beyond:dedup",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(regexp_extract_all(
+               text || ' see https://a' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.com/x and https://b' || CAST(doc_id AS VARCHAR) || '.org',
+               '{textops.URL_RE}', 0), ',') AS urls
+    FROM documents
+    """,
+)
+def t_url_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction (the input to URL-level dedup / domain frequency):
+    regexp_extract_all keeps the whole pipeline JVM-side; output joined
+    to CSV for driver value-hash stability."""
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" see https://a"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/x and https://b"), F.col("doc_id").cast("string"), F.lit(".org"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(textops.extract_urls(seeded), ",").alias("urls"),
+    )
+
+
+@query(
+    "ev_sessionize",
+    refs="beyond:text,T4",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity closes a session):
+    lag + cumulative-sum window composition, the batch equivalent of a
+    streaming session window — one shuffle on user_id serves all three
+    window/group steps (same partitioning reused)."""
+    from pyspark.sql import Window
+
+    from ..tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(cum))
+    return sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
     "dd_exact_dedup",
     refs="beyond:dedup,A1",
     oracle=f"""
