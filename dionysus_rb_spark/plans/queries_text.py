@@ -156,6 +156,37 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_corpus_stats",
+    refs="beyond:text",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(array_to_string({_TOKS}, ' '))) AS n_unique_docs,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+           round(quantile_cont(n_chars, 0.95), 6) AS p95_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def t_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report per source: doc counts, content-hash
+    uniques, token totals, and length quantiles — the summary every
+    dataset card needs. Exact percentile here for oracle parity; at
+    100 TB swap percentile() for percentile_approx (same plan shape,
+    bounded memory)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(F.array_join(toks, " "))).alias("n_unique_docs"),
+        F.sum(F.size(toks)).cast("long").alias("total_tokens"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("p95_chars"),
+    )
+
+
+@query(
     "t_redact_pii",
     refs="beyond:text",
     oracle=f"""
