@@ -6,6 +6,7 @@ deterministic and oracle-checked (fold-order-identical double math)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import similarity
 from ..tables import ensure_min_parallelism, load_table
@@ -60,6 +61,65 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH one."""
     emb = _emb(spark, sf_dir)
     return similarity.ivf_topk(emb, QUERY_IDS, k=10, n_centroids=8, nprobe=2)
+
+
+@query(
+    "emb_label_centroids",
+    refs="beyond:similarity",
+    oracle="""
+    WITH base AS (
+        SELECT label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    un AS (
+        SELECT label,
+               unnest(range(len(v))) AS idx,
+               unnest(v) AS x
+        FROM base
+    ),
+    dims AS (
+        SELECT label, idx,
+               CAST(round(avg(x), 6) AS DECIMAL(18, 6)) AS m
+        FROM un GROUP BY label, idx
+    )
+    SELECT label,
+           (SELECT count(*) FROM embeddings e WHERE e.label = dims.label) AS n,
+           array_to_string(array_agg(CAST(m AS VARCHAR) ORDER BY idx), ',') AS centroid
+    FROM dims GROUP BY label
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed vector mean per label (the k-means/IVF training inner
+    step): posexplode to (label, dim, value), partial-aggregated avg per
+    dimension — one shuffle on (label, dim), never a driver-side vector
+    sum — then reassembled in dimension order."""
+    emb = _emb(spark, sf_dir)
+    un = emb.select(
+        "label",
+        F.posexplode(similarity.as_double(F.col("embedding"))).alias("idx", "x"),
+    )
+    # decimal rendering: double->string uses scientific notation for
+    # small magnitudes in Spark but not DuckDB; DECIMAL prints fixed-point
+    dims = un.groupBy("label", "idx").agg(
+        F.round(F.avg("x"), 6).cast("decimal(18,6)").alias("m"),
+        F.count("*").alias("n"),
+    )
+    return (
+        dims.groupBy("label")
+        .agg(
+            F.max("n").alias("n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("idx"), F.col("m")))
+                    ),
+                    lambda s: s["m"].cast("string"),
+                ),
+                ",",
+            ).alias("centroid"),
+        )
+        .select("label", F.col("n").cast("long").alias("n"), "centroid")
+    )
 
 
 @query(
