@@ -1,0 +1,97 @@
+"""Producer pipeline: change log -> events -> wire records -> event log.
+
+The composed batch path of SURVEY §3.1 (the reference's AR-callback ->
+outbox -> responder -> Kafka chain), set-wise: F2 soft-delete
+classification over pre/post images, per-action responder serialization
+(P1-P7 via the registry), and an ordered write to the local event-log
+directory (the Kafka stand-in — swap the writer for
+``write.format("kafka")`` on a cluster; ordering then comes from the
+partition key instead of file mtimes).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.events import classify_soft_delete
+from ..registry import ProducerRegistry
+
+
+@dataclass
+class PublishResult:
+    n_events: int
+    by_action: dict[str, int]
+    topic_dir: str
+
+
+def classify_changelog(
+    changelog: DataFrame,
+    id_col: str = "id",
+    seq_col: str = "seq",
+    canceled_col: str | None = "canceled_at",
+) -> DataFrame:
+    """F2 over a versioned change log: lag() rebuilds the pre-image per
+    key (publishable.rb:34-68's previous_changes), first-seen rows are
+    creates, canceled-state transitions become created/destroyed, and
+    suppressed transitions drop. Adds an ``action`` column."""
+    w = Window.partitionBy(id_col).orderBy(seq_col)
+    canceled = (
+        F.col(canceled_col).cast("timestamp")
+        if canceled_col
+        else F.lit(None).cast("timestamp")
+    )
+    out = (
+        changelog.withColumn("__prev_canceled", F.lag(canceled).over(w))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "action",
+            classify_soft_delete(
+                F.col("__prev_canceled"), canceled, F.col("__rn") == 1
+            ),
+        )
+        .drop("__prev_canceled", "__rn")
+    )
+    return out.filter(F.col("action").isNotNull())
+
+
+def publish_changelog(
+    registry: ProducerRegistry,
+    topic: str,
+    resource: str,
+    changelog: DataFrame,
+    out_dir: str,
+    id_col: str = "id",
+    seq_col: str = "seq",
+    canceled_col: str | None = "canceled_at",
+) -> PublishResult:
+    """Classify + serialize + write one resource's change log to its
+    topic directory, one file per event in commit order (mtime-encoded,
+    the file-source equivalent of Kafka per-partition order). Returns
+    publish counts per action."""
+    classified = classify_changelog(changelog, id_col, seq_col, canceled_col)
+    respond = registry.responder(topic, resource)
+
+    decl = registry.topics[topic]
+    topic_dir = os.path.join(out_dir, decl.primary)
+    os.makedirs(topic_dir, exist_ok=True)
+
+    by_action: dict[str, int] = {}
+    total = 0
+    for action in ("created", "updated", "destroyed"):
+        part = classified.filter(F.col("action") == action)
+        rows = respond(action, part, keep_cols=(seq_col,)).select(
+            seq_col, "value"
+        ).collect()
+        for r in rows:
+            p = os.path.join(topic_dir, f"{int(r[seq_col]):08d}.jsonl")
+            with open(p, "w") as f:
+                f.write(r["value"] + "\n")
+            t = 1_700_000_000 + int(r[seq_col])
+            os.utime(p, (t, t))
+        by_action[action] = len(rows)
+        total += len(rows)
+    return PublishResult(n_events=total, by_action=by_action, topic_dir=topic_dir)

@@ -160,7 +160,9 @@ class ProducerRegistry:
         pub = next(p for p in decl.publications if p.resource == resource)
         model = classify(resource)
 
-        def respond(action: str, parent: DataFrame) -> DataFrame:
+        def respond(
+            action: str, parent: DataFrame, keep_cols: tuple[str, ...] = ()
+        ) -> DataFrame:
             if pub.serialize:
                 with_payload = serialize_aggregate(
                     parent,
@@ -180,7 +182,7 @@ class ProducerRegistry:
                 model_name=F.lit(model),
                 data=F.array(F.col("payload")),
                 key=F.concat(F.lit(model + ":"), F.col(pub.id_col).cast("string")),
-                keep_cols=("__pk",),
+                keep_cols=("__pk", *keep_cols),
             ).withColumnRenamed("__pk", "partition_key")
 
         return respond

@@ -9,11 +9,9 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 import pytest
-from pyspark.sql import Window
 from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
 from dionysus_rb_spark.consumer.persistor import EntitySink
-from dionysus_rb_spark.operators.events import classify_soft_delete
 from dionysus_rb_spark.registry import ProducerRegistry, PublicationDecl
 from dionysus_rb_spark.streaming.pipeline import run_consumer_stream
 from dionysus_rb_spark.streaming.snapshot_store import BucketedSnapshotStore
@@ -53,21 +51,8 @@ def test_cdc_full_roundtrip(spark, tmp_path):
         ),
     )
 
-    # --- producer: derive events from pre/post images (F2) ---------------
-    w = Window.partitionBy("id").orderBy("seq")
-    classified = (
-        log.withColumn("prev_canceled", F.lag("canceled_at").over(w))
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "action",
-            classify_soft_delete(
-                F.col("prev_canceled").cast("timestamp"),
-                F.col("canceled_at").cast("timestamp"),
-                F.col("rn") == 1,
-            ),
-        )
-        .filter(F.col("action").isNotNull())
-    )
+    # --- producer: the composed pipeline (F2 classify -> respond -> log) --
+    from dionysus_rb_spark.producer.pipeline import publish_changelog
 
     reg = ProducerRegistry(namespace="v3")
     reg.topic("rentals", partition_key="account_id")
@@ -78,36 +63,12 @@ def test_cdc_full_roundtrip(spark, tmp_path):
             attributes=("updated_at", "canceled_at", "price", "account_id"),
         ),
     )
-    respond = reg.responder("rentals", "rental")
-
+    res = publish_changelog(
+        reg, "rentals", "rental", log, str(tmp_path / "topics")
+    )
+    assert res.n_events == 8  # no suppressed transitions in this log
+    assert res.by_action == {"created": 4, "updated": 2, "destroyed": 2}
     out_dir = tmp_path / "topics" / "v3_rentals"
-    out_dir.mkdir(parents=True)
-    # events must replay in commit order; one file per action batch keeps
-    # per-key ordering (seq asc within and across files)
-    for action in ["created", "updated", "destroyed"]:
-        part = classified.filter(F.col("action") == action)
-        if part.count() == 0:
-            continue
-        # one file per event, named by seq, so the consumer's
-        # maxFilesPerTrigger=1 replays the exact commit order
-        rows = (
-            respond(action, part).join(
-                part.select(F.col("id").alias("__rid"), "seq"),
-                F.expr("key = concat('Rental:', cast(__rid as string))"),
-            )
-            .select("seq", "value")
-            .collect()
-        )
-        for r in rows:
-            p = out_dir / f"{r['seq']:05d}.jsonl"
-            p.write_text(r["value"] + "\n")
-            # FileStreamSource orders by modification time, not name: pin
-            # mtime to the commit seq so replay preserves the log order
-            # (the file-source stand-in for Kafka's per-partition order)
-            import os
-
-            t = 1_700_000_000 + int(r["seq"])
-            os.utime(p, (t, t))
 
     # --- consumer: stream the files in order into the bucketed store -----
     store = BucketedSnapshotStore(str(tmp_path / "rentals_store"), num_buckets=4)
@@ -134,7 +95,8 @@ def test_cdc_full_roundtrip(spark, tmp_path):
     assert got[2] == (200.0, False)
     assert got[3] == (310.0, False)
     # partition keys routed by account_id
-    sample = respond("updated", classified.filter(F.col("id") == 1).limit(1))
+    respond = reg.responder("rentals", "rental")
+    sample = respond("updated", log.filter(F.col("id") == 1).limit(1))
     assert sample.collect()[0]["partition_key"] == "10"
 
 
