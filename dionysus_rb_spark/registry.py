@@ -187,6 +187,33 @@ class ProducerRegistry:
 
         return respond
 
+    def resolve_association_chain(
+        self,
+        start: DataFrame,
+        hops: list[tuple[DataFrame, str, str]],
+        broadcast_hops: bool = True,
+    ) -> DataFrame:
+        """J3's dotted ``association_name`` chains (producer.rb:101-120:
+        ``booking.rental`` walks two associations): each hop is
+        ``(table, left_col, right_col)`` joined left-to-right. Dimension
+        hops broadcast by default; pass ``broadcast_hops=False`` when a
+        hop table is fact-sized and should shuffle-join instead."""
+        cur = start
+        for i, (tbl, lcol, rcol) in enumerate(hops):
+            left_alias, right_alias = f"__l{i}", f"__hop{i}"
+            right = tbl.alias(right_alias)
+            if broadcast_hops:
+                right = F.broadcast(right)
+            cur = (
+                cur.alias(left_alias)
+                .join(
+                    right,
+                    F.col(f"{left_alias}.{lcol}") == F.col(f"{right_alias}.{rcol}"),
+                )
+                .drop(F.col(f"{right_alias}.{rcol}"))
+            )
+        return cur
+
     def dependency_parent_events(
         self, child_resource: str, changed_child_keys: DataFrame, parent_tables: dict[str, DataFrame]
     ) -> list[tuple[str, DataFrame]]:

@@ -127,6 +127,37 @@ def test_observer_matching():
     assert len(reg.observers_for("booking", {"amount"})) == 0
 
 
+def test_association_chain_and_lambda_partition_key(spark):
+    """Dotted observer chains resolve via chained joins; partition_key
+    accepts a lambda of the resource frame (partition_key.rb:34-41)."""
+    import pyspark.sql.functions as F
+
+    reg = ProducerRegistry()
+    reg.topic(
+        "rentals",
+        partition_key=lambda df: F.col("account_id") * 10,
+    )
+    reg.publish("rentals", PublicationDecl(resource="rental"))
+
+    # chain: changed taxes -> bookings (tax.booking_id) -> rentals
+    taxes = spark.createDataFrame([(1, 100), (2, 200)], "tax_id LONG, booking_id LONG")
+    bookings = spark.createDataFrame(
+        [(100, 7), (200, 8)], "booking_id LONG, rental_id LONG"
+    )
+    rentals = spark.createDataFrame(
+        [(7, "Villa", 70), (8, "Flat", 80)], "id LONG, name STRING, account_id LONG"
+    )
+    resolved = reg.resolve_association_chain(
+        taxes.filter(F.col("tax_id") == 2),
+        [(bookings, "booking_id", "booking_id"), (rentals, "rental_id", "id")],
+    )
+    assert [r["name"] for r in resolved.collect()] == ["Flat"]
+
+    respond = reg.responder("rentals", "rental")
+    out = respond("updated", rentals).orderBy("key").collect()
+    assert [r["partition_key"] for r in out] == ["700", "800"]
+
+
 def test_consumer_message_filter_split(spark):
     from pyspark.sql.types import LongType, StructField, StructType
 
