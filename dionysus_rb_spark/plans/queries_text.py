@@ -374,6 +374,52 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_contamination",
+    refs="beyond:dedup,beyond:text",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {shingles_sql(tokenize_sql("text"), 3)} AS s FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 5
+    ),
+    expanded AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 5
+    )
+    SELECT e.doc_id,
+           count(DISTINCT e.shingle) AS n_overlapping
+    FROM expanded e JOIN bench b ON e.shingle = b.shingle
+    GROUP BY e.doc_id
+    """,
+)
+def dd_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any word
+    3-gram with the held-out set (docs 0-4 play the benchmark) are
+    flagged with their overlap count. Shingles explode once per side and
+    meet in ONE shuffle on the shingle string; the benchmark side is
+    dictionary-sized and broadcasts. At 100 TB the benchmark shingle set
+    is still small — this plan shape is exactly production decontam."""
+    from ..functions.hashing import shingles, tokenize
+
+    sh = _docs(spark, sf_dir).select(
+        "doc_id", shingles(tokenize(F.col("text")), 3).alias("s")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < 5)
+        .select(F.explode("s").alias("shingle"))
+        .distinct()
+    )
+    expanded = sh.filter(F.col("doc_id") >= 5).select(
+        "doc_id", F.explode("s").alias("shingle")
+    )
+    return (
+        expanded.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_overlapping"))
+    )
+
+
+@query(
     "dd_simhash",
     refs="beyond:dedup",
     oracle=simhash.simhash_sql(max_hamming=6),
