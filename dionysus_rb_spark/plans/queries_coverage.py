@@ -616,6 +616,53 @@ def d2d7_canonical_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d5_polymorphic_routing",
+    refs="D5,D4",
+    oracle="""
+    SELECT user_id AS parent_id,
+           user_id * 10 AS synced_id,
+           event_id AS src_event
+    FROM events WHERE user_id % 2 = 0
+    """,
+)
+def d5_polymorphic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 polymorphic to-one routing (deserializer.rb:173-179,227-229):
+    a {type,id}-linked sideload routes its child frame by the link's
+    type — here the 'Customer'-typed owners come back out as their own
+    entity frame; 'Supplier' rows take the other route."""
+    ev = _events(spark, sf_dir)
+    wire = ev.select(
+        F.struct(
+            F.col("user_id").alias("id"),
+            F.struct(
+                (F.col("user_id") * 10).alias("id"),
+                F.col("event_id").alias("src_event"),
+            ).alias("owner"),
+            F.struct(
+                F.struct(
+                    F.when(F.col("user_id") % 2 == 0, "Customer")
+                    .otherwise("Supplier")
+                    .alias("type"),
+                    (F.col("user_id") * 10).alias("id"),
+                ).alias("owner")
+            ).alias("links"),
+        ).alias("record")
+    )
+    schema = wire.schema["record"].dataType
+    frames = deserialize(
+        wire, schema, "event", polymorphic_types={"owner": ["Customer", "Supplier"]}
+    )
+    customer_route = next(
+        e.frame for e in frames if e.entity == "customer" and e.relationship == "has_one"
+    )
+    return customer_route.select(
+        F.col("__parent_id").alias("parent_id"),
+        F.col("synced_id"),
+        F.col("src_event"),
+    )
+
+
+@query(
     "d4_aggregate_dismantle",
     refs="D4,P3",
     bench=True,

@@ -208,6 +208,7 @@ class BucketedSnapshotStore(SnapshotStore):
         }
         if touched is None:  # full replace
             self._write_manifest(written)
+            self._gc_unreferenced()
             return
         manifest = self._manifest()
         for b in {str(b) for b in touched}:
@@ -216,6 +217,22 @@ class BucketedSnapshotStore(SnapshotStore):
             else:
                 manifest.pop(b, None)  # bucket fully deleted
         self._write_manifest(manifest)
+        self._gc_unreferenced()
+
+    def _gc_unreferenced(self, keep_newest: int = 2) -> None:
+        """Remove version dirs no manifest entry references (each merge
+        writes a new dir for its touched buckets; superseded dirs leak
+        otherwise). The newest few unreferenced dirs are kept as a grace
+        window for in-flight readers."""
+        referenced = {p.split(os.sep, 1)[0] for p in self._manifest().values()}
+        versions = sorted(
+            d
+            for d in os.listdir(self.path)
+            if d.startswith("v") and os.path.isdir(os.path.join(self.path, d))
+        )
+        stale = [d for d in versions if d not in referenced]
+        for d in stale[:-keep_newest] if keep_newest else stale:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
     def merge(
         self,

@@ -255,6 +255,22 @@ def test_bucketed_store_matches_plain_and_prunes(spark, tmp_path):
             assert manifest_after[b] == path, f"untouched bucket {b} was rewritten"
     assert any(manifest_after[b] != manifest_before.get(b) for b in touched)
 
+    # GC: after several merges, unreferenced version dirs are bounded
+    import os
+
+    from datetime import datetime as _dt
+
+    for i in range(4):
+        bucketed.merge(
+            spark, batch([(5, _dt(2024, 1, 3 + i, 10), 60.0 + i, None, "updated")])
+        )
+    referenced = {p.split(os.sep, 1)[0] for p in bucketed._manifest().values()}
+    on_disk = {
+        d for d in os.listdir(bucketed.path)
+        if d.startswith("v") and os.path.isdir(os.path.join(bucketed.path, d))
+    }
+    assert len(on_disk - referenced) <= 2  # grace window only
+
 
 def test_tombstone_and_corrupt_payload_handling(spark, tmp_path):
     """S10: a NULL value under a 'Model:id' key hard-deletes that key.
