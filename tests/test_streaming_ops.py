@@ -255,6 +255,10 @@ def test_bucketed_store_matches_plain_and_prunes(spark, tmp_path):
             assert manifest_after[b] == path, f"untouched bucket {b} was rewritten"
     assert any(manifest_after[b] != manifest_before.get(b) for b in touched)
 
+    # T1 idempotency on the bucketed path: replaying batch 2 is a no-op
+    bucketed.merge(spark, b2)
+    assert state(plain) == state(bucketed)
+
     # GC: after several merges, unreferenced version dirs are bounded
     import os
 
