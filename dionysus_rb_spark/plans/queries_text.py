@@ -374,6 +374,51 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_corpus_filter",
+    refs="beyond:text,beyond:dedup",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             round(0.4 * (CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                          / greatest(len(text), 1))
+                 + 0.4 * (CAST(len(list_intersect({_DTOKS}, [{_STOPS}])) AS DOUBLE)
+                          / greatest(len({_DTOKS}), 1))
+                 + 0.2 * least(n_chars / 500.0, 1.0), 6) AS quality,
+             {_lang_score_sql('en')} AS en_score,
+             {_lang_score_sql('de')} AS de_score,
+             {_lang_score_sql('fr')} AS fr_score,
+             {_lang_score_sql('es')} AS es_score,
+             md5(array_to_string({_TOKS}, ' ')) AS fp
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, quality, fp FROM scored
+      WHERE quality >= 0.5
+        AND en_score > 0 AND en_score >= de_score
+        AND en_score >= fr_score AND en_score >= es_score
+    )
+    SELECT doc_id, quality FROM kept
+    QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    """,
+)
+def pipe_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation funnel: quality gate -> language gate ->
+    exact dedup, in one plan. All three stages are projections/filters
+    over a single scan; only the final dedup shuffles (on the 32-byte
+    fingerprint) — the shape a 100 TB filter pass must have."""
+    docs = _docs(spark, sf_dir)
+    scores = textops.lang_scores(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        textops.quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+        textops.predicted_lang(scores).alias("lang"),
+        textops.fingerprint(F.col("text")).alias("__fp"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+    return exact_dedup(kept, ["__fp"], "doc_id").select("doc_id", "quality")
+
+
+@query(
     "dd_contamination",
     refs="beyond:dedup,beyond:text",
     oracle=f"""

@@ -114,3 +114,52 @@ def genesis_stream(
     for t in topics:
         batched.write.mode("overwrite").text(f"{out_dir}/{t}")
     return GenesisResult(n_rows=n_rows, n_batches=n_batches, topics=topics)
+
+
+def genesis_from_registry(
+    registry,
+    topic: str,
+    resource: str,
+    df,
+    out_dir: str,
+    from_ts: str | None = None,
+    to_ts: str | None = None,
+    canceled_col: str | None = None,
+    conditions: dict | None = None,
+    batch_size: int = 1000,
+) -> GenesisResult:
+    """Genesis driven by a producer declaration (genesis.rb:11-16's
+    public API): payload and topic naming come from the registry's
+    PublicationDecl — attributes + to-one links, serialized exactly as
+    the live responder would. Dependency-only resources are refused."""
+    from pyspark.sql import functions as F
+
+    decl = registry.topics[topic]
+    pub = next(p for p in decl.publications if p.resource == resource)
+    scanned = genesis_scan(
+        df,
+        updated_col="updated_at",
+        from_ts=from_ts,
+        to_ts=to_ts,
+        canceled_col=canceled_col,
+        conditions=conditions,
+    )
+    payload_fields = [F.col(pub.id_col).alias("id")] + [
+        F.col(a) for a in pub.attributes if a != pub.id_col
+    ]
+    if pub.to_one_links:
+        payload_fields.append(
+            F.struct(
+                *[F.col(c).alias(n) for n, c in pub.to_one_links.items()]
+            ).alias("links")
+        )
+    return genesis_stream(
+        scanned,
+        out_dir=out_dir,
+        topic=decl.primary,
+        resource=resource,
+        payload=F.struct(*payload_fields),
+        id_col=pub.id_col,
+        batch_size=batch_size,
+        genesis_replica=decl.genesis_replica,
+    )

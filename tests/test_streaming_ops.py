@@ -594,6 +594,44 @@ def test_with_retries_backoff_and_give_up(spark):
     assert dead == [(7, "poison")]
 
 
+def test_genesis_from_registry(spark, tmp_path):
+    """Registry-driven genesis serializes the declared payload (attrs +
+    to-one links) under the declared topic names."""
+    import json as _json
+
+    from dionysus_rb_spark.producer.genesis import genesis_from_registry
+    from dionysus_rb_spark.registry import ProducerRegistry, PublicationDecl
+
+    reg = ProducerRegistry(namespace="v3")
+    reg.topic("rentals", genesis_replica=True)
+    reg.publish(
+        "rentals",
+        PublicationDecl(
+            resource="rental",
+            attributes=("updated_at", "name"),
+            to_one_links={"account": "account_id"},
+        ),
+    )
+    df = spark.createDataFrame(
+        [(1, "2024-01-05 00:00:00", "Villa", 10), (2, "2023-01-01 00:00:00", "Old", 20)],
+        "id LONG, updated_at STRING, name STRING, account_id LONG",
+    )
+    res = genesis_from_registry(
+        reg, "rentals", "rental", df, str(tmp_path),
+        from_ts="2024-01-01 00:00:00", to_ts="2024-12-31 00:00:00",
+    )
+    assert res.n_rows == 1  # F5 window filters the 2023 row
+    assert res.topics == ["v3_rentals", "v3_rentals_genesis"]
+    line = next((tmp_path / "v3_rentals_genesis").glob("part-*")).read_text().strip()
+    (msg,) = _json.loads(line)["message"]
+    assert msg["event"] == "rental_updated" and msg["model_name"] == "Rental"
+    (snap,) = msg["data"]
+    assert snap == {
+        "id": 1, "updated_at": "2024-01-05 00:00:00", "name": "Villa",
+        "links": {"account": 10},
+    }
+
+
 def test_genesis_dependency_only_guard():
     import pytest
 
