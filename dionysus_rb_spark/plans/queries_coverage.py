@@ -214,6 +214,58 @@ def lc_local_changes_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_changes(before, after, key="synced_id")
 
 
+@query(
+    "fn_names_keys_roundtrip",
+    refs="F8,T2",
+    oracle="""
+    WITH built AS (
+        SELECT event_id,
+               event_type || '_' ||
+                   CASE event_id % 3 WHEN 0 THEN 'created'
+                        WHEN 1 THEN 'updated' ELSE 'destroyed' END AS event_name,
+               'Event:' || CAST(event_id AS VARCHAR) AS key,
+               'dionysus_' || event_type AS topic
+        FROM events
+    )
+    SELECT event_id, event_name, key, topic,
+           regexp_replace(event_name, '_(created|updated|destroyed)$', '')
+               AS parsed_resource,
+           regexp_extract(event_name, '_(created|updated|destroyed)$', 1)
+               AS parsed_action
+    FROM built
+    """,
+)
+def fn_names_keys_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 scalar functions: event-name build (event_name.rb:11-25),
+    "Model:id" keys (key.rb:11-13), namespaced topics (topic_name.rb:
+    12-14), and the name->(resource, action) inverse parse the consumer
+    relies on (dionysus_event.rb:30-36) — built and inverted in one
+    projection, certified as a roundtrip."""
+    from ..operators import events as ev_ops
+
+    ev = _events(spark, sf_dir)
+    action = (
+        F.when(F.col("event_id") % 3 == 0, "created")
+        .when(F.col("event_id") % 3 == 1, "updated")
+        .otherwise("destroyed")
+    )
+    built = ev.select(
+        "event_id",
+        ev_ops.event_name(F.col("event_type"), action).alias("event_name"),
+        ev_ops.message_key(F.lit("Event"), F.col("event_id")).alias("key"),
+        ev_ops.topic_name(F.col("event_type")).alias("topic"),
+    )
+    resource, parsed_action = ev_ops.parse_event_name(F.col("event_name"))
+    return built.select(
+        "event_id",
+        "event_name",
+        "key",
+        "topic",
+        resource.alias("parsed_resource"),
+        parsed_action.alias("parsed_action"),
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.2 projections
 # --------------------------------------------------------------------------

@@ -53,6 +53,42 @@ def d1_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d1_batched_envelope_roundtrip",
+    refs="P7,D1,G4",
+    oracle="""
+    SELECT user_id, event_id AS synced_id, value AS val,
+           event_type || '_updated' AS event
+    FROM events
+    """,
+)
+def d1_batched_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 batched encode -> D1 decode roundtrip: all of a user's events
+    pack into ONE wire message ({"message":[e1,e2,…]}, the responder's
+    buffering), then explode back out — counts and values must survive
+    the pack/unpack exactly."""
+    from pyspark.sql import functions as F
+
+    from ..sources.envelope import encode_envelope_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    packed = encode_envelope_batch(
+        ev,
+        ["user_id"],
+        event=F.concat(F.col("event_type"), F.lit("_updated")),
+        model_name=F.lit("Event"),
+        snapshot=F.struct(F.col("event_id").alias("id"), F.col("value")),
+        order_col="event_id",
+    )
+    decoded = decode_envelope(packed, _SNAPSHOT, keep_cols=("user_id",))
+    return decoded.select(
+        "user_id",
+        F.col("record.id").alias("synced_id"),
+        F.col("record.value").alias("val"),
+        "event",
+    )
+
+
+@query(
     "p3_aggregate_assembly",
     refs="P1,P2,P3,J2",
     bench=True,

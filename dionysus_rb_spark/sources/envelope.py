@@ -60,6 +60,42 @@ def encode_envelope(
     return df.select(*cols)
 
 
+def encode_envelope_batch(
+    df: DataFrame,
+    group_cols: list[str],
+    event: Column,
+    model_name: Column,
+    snapshot: Column,
+    order_col: str | None = None,
+) -> DataFrame:
+    """P7 with per-message batching: the reference's responder packs a
+    BATCH of events into one Kafka record ({"message": [e1, e2, …]},
+    karafka_responder_generator.rb:42-57). Events grouped by
+    ``group_cols`` (typically the message key / partition) collect into
+    one envelope, ordered by ``order_col`` for deterministic wire bytes.
+    """
+    evt = F.struct(
+        event.alias("event"),
+        model_name.alias("model_name"),
+        F.array(snapshot).alias("data"),
+    )
+    if order_col is not None:
+        pair = F.struct(F.col(order_col).alias("__o"), evt.alias("e"))
+        packed = F.transform(
+            F.array_sort(F.collect_list(pair)), lambda x: x["e"]
+        )
+    else:
+        packed = F.collect_list(evt)
+    return (
+        df.groupBy(*group_cols)
+        .agg(packed.alias("__events"))
+        .select(
+            *group_cols,
+            F.to_json(F.struct(F.col("__events").alias("message"))).alias("value"),
+        )
+    )
+
+
 def decode_envelope(
     df: DataFrame,
     snapshot_schema: StructType,
