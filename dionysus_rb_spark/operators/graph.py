@@ -1,0 +1,64 @@
+"""Connected components over similarity edges — duplicate clustering.
+
+Near-dup pair generation (MinHash/SimHash/cosine) yields EDGES; dedup
+decisions need CLUSTERS (keep one doc per component). This implements
+iterative min-label propagation: every vertex starts labeled with its
+own id and repeatedly adopts the minimum label among itself and its
+neighbors, converging in O(component diameter) rounds.
+
+Scale shape: each round is one join + one groupBy (both on vertex id —
+the same partitioning reused across rounds), with localCheckpoint
+between rounds so lineage stays flat. Components from near-dup graphs
+are shallow (duplicates of a common source), so rounds stay in the
+single digits; ``max_iter`` bounds pathological chains. This is the
+standard large-star/small-star simplification that web-scale dedup
+pipelines run between pair mining and keep-one selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Return (vertex, component) where component = min vertex id in the
+    connected component. Only vertices appearing in ``edges`` are
+    labeled (isolated docs are their own cluster by definition)."""
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("u").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels, sym["v"] == labels["vertex"]
+        ).select(F.col("u").alias("vertex"), "component")
+        new_labels = (
+            labels.select("vertex", "component")
+            .unionAll(nbr)
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -330,6 +330,44 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_dup_clusters",
+    refs="beyond:dedup",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({minhash.minhash_lsh_dedup_sql(k=3, threshold=0.5)}) t
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate CLUSTERS via connected components
+    (min-label propagation): the step between pair mining and the
+    keep-one-per-cluster decision. cluster_id = smallest doc_id in the
+    component (the canonical survivor)."""
+    from ..operators.graph import connected_components
+
+    pairs = minhash.minhash_lsh_dedup(
+        _docs(spark, sf_dir), "text", "doc_id", k=3, threshold=0.5
+    ).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@query(
     "dd_ngram_jaccard",
     refs="beyond:dedup",
     oracle=f"""
