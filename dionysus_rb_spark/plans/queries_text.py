@@ -470,7 +470,7 @@ def pipe_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 5
     )
     SELECT e.doc_id,
-           count(DISTINCT e.shingle) AS n_overlapping
+           count(*) AS n_overlapping
     FROM expanded e JOIN bench b ON e.shingle = b.shingle
     GROUP BY e.doc_id
     """,
@@ -495,10 +495,12 @@ def dd_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     expanded = sh.filter(F.col("doc_id") >= 5).select(
         "doc_id", F.explode("s").alias("shingle")
     )
+    # shingle sets are per-doc distinct already (shingles() dedups), so
+    # a plain count gets map-side partial aggregation — no distinct pass
     return (
         expanded.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
-        .agg(F.countDistinct("shingle").alias("n_overlapping"))
+        .agg(F.count("*").alias("n_overlapping"))
     )
 
 
