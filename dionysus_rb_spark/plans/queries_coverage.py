@@ -214,6 +214,32 @@ def lc_local_changes_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_changes(before, after, key="synced_id")
 
 
+_SHARED_SQL = """
+    SELECT e.event_type AS topic,
+           count(*) AS n_events,
+           min(e.event_id) AS first_id,
+           max(c.c_acctbal) AS max_acctbal
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY e.event_type
+"""
+
+
+@query(
+    "sql_shared_dialect",
+    refs="S6,G4",
+    oracle=_SHARED_SQL,
+)
+def sql_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's raw-SQL surface: the exact same ANSI SQL string runs
+    via spark.sql over registered views AND as the DuckDB oracle — one
+    text, two engines, identical results (Catalyst plans it like the
+    DataFrame equivalents: pushed filters, partial aggs, broadcast)."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARED_SQL)
+
+
 @query(
     "fn_names_keys_roundtrip",
     refs="F8,T2",

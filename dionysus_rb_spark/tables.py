@@ -47,6 +47,14 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so callers can use
+    ``spark.sql`` directly — the engine's SQL surface mirrors the
+    DataFrame one (both compile to the same Catalyst plans)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
 def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition only if the scan yields fewer partitions than cores.
 
