@@ -28,3 +28,14 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# public API surface (lazy submodule access keeps import cost minimal)
+from .registry import (  # noqa: E402,F401
+    ConsumerRegistry,
+    ConsumerTopicDecl,
+    ObserverDecl,
+    ProducerRegistry,
+    PublicationDecl,
+)
+from .session import get_spark  # noqa: E402,F401
+from .tables import load_table, register_views  # noqa: E402,F401
