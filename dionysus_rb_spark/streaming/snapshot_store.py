@@ -141,9 +141,12 @@ class BucketedSnapshotStore(SnapshotStore):
     micro-batch cost tracks batch size, not table size, which is the
     property that keeps the consumer viable at 100 TB state.
 
-    Co-location bonus: the bucket layout doubles as the pre-shuffled
-    merge-key partitioning — the full-outer join inside guarded_merge
-    shuffles only the (small) batch side against each bucket.
+    Note on co-location: plain parquet reads carry no bucketing metadata,
+    so the merge join still exchanges the (touched-bucket subset of the)
+    target. What this layout bounds is IO and rewrite volume; to also
+    skip the target-side exchange on a cluster, register the store as a
+    Hive-bucketed table (``bucketBy(n, key).saveAsTable``) or use a
+    lakehouse MERGE — the transform logic here is unchanged either way.
     """
 
     def __init__(self, path: str, key: str = "synced_id", num_buckets: int = 16):
