@@ -276,6 +276,40 @@ def test_bucketed_store_matches_plain_and_prunes(spark, tmp_path):
     assert len(on_disk - referenced) <= 2  # grace window only
 
 
+def test_hive_bucketed_target_skips_exchange(spark):
+    """Evidence for the at-scale deployment note: a merge target stored
+    as a Hive-bucketed table joins on its bucket key with NO exchange on
+    the target side (only the batch side shuffles)."""
+    import pyspark.sql.functions as F
+
+    target = spark.range(0, 10_000).select(
+        F.col("id").alias("synced_id"), (F.col("id") % 97).alias("val")
+    )
+    spark.sql("DROP TABLE IF EXISTS __bucketed_target")
+    (
+        target.write.bucketBy(8, "synced_id")
+        .sortBy("synced_id")
+        .mode("overwrite")
+        .saveAsTable("__bucketed_target")
+    )
+    try:
+        tgt = spark.table("__bucketed_target")
+        batch = spark.range(0, 100).select(
+            F.col("id").alias("synced_id"), F.lit(1).alias("delta")
+        )
+        plan = (
+            tgt.join(batch, "synced_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # exactly one Exchange: the batch side repartitioning to the
+        # table's bucketing; the bucketed scan feeds the join directly
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS __bucketed_target")
+
+
 def test_tombstone_and_corrupt_payload_handling(spark, tmp_path):
     """S10: a NULL value under a 'Model:id' key hard-deletes that key.
     Corrupt payloads (unparseable JSON) land in the dead-letter store
