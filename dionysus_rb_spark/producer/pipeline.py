@@ -95,3 +95,38 @@ def publish_changelog(
         by_action[action] = len(rows)
         total += len(rows)
     return PublishResult(n_events=total, by_action=by_action, topic_dir=topic_dir)
+
+
+def publish_observer_updates(
+    registry: ProducerRegistry,
+    model: str,
+    changed: DataFrame,
+    changed_cols: set[str],
+    association_tables: dict[str, list[tuple[DataFrame, str, str]]],
+) -> list[tuple[str, DataFrame]]:
+    """J3 derived publishing (outbox/publisher.rb:41-61 + producer.rb:
+    101-120): when ``model`` rows change any watched attribute, the
+    associated records republish as ``{resource}_updated``.
+
+    ``association_tables[assoc_name]`` supplies the join hops for that
+    observer's association chain (each ``(table, left_col, right_col)``).
+    Returns ``[(topic, key-frame with an 'event' column), …]`` — feed
+    each frame to the topic's responder. The observed-change side is the
+    small one per batch; chains broadcast their dimension hops.
+    """
+    out: list[tuple[str, DataFrame]] = []
+    for topic_decl, pub, ob in registry.observers_for(model, changed_cols):
+        hops = association_tables[ob.association_name]
+        resolved = registry.resolve_association_chain(changed, hops)
+        # the associated resource's id = the last hop's join value (the
+        # resolver drops the right-side key; the left column equals it)
+        last_left_col = hops[-1][1]
+        frame = (
+            resolved.select(
+                F.col(f"__l{len(hops) - 1}.{last_left_col}").alias(pub.id_col)
+            )
+            .distinct()
+            .withColumn("event", F.lit(f"{pub.resource}_updated"))
+        )
+        out.append((topic_decl.primary, frame))
+    return out

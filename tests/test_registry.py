@@ -158,6 +158,48 @@ def test_association_chain_and_lambda_partition_key(spark):
     assert [r["partition_key"] for r in out] == ["700", "800"]
 
 
+def test_publish_observer_updates_end_to_end(spark):
+    """J3 executed: a watched-attribute change on taxes republishes the
+    rentals reached through the booking->rental chain."""
+    import pyspark.sql.functions as F
+
+    from dionysus_rb_spark.producer.pipeline import publish_observer_updates
+
+    reg = ProducerRegistry(namespace="v3")
+    reg.topic("rentals")
+    reg.publish(
+        "rentals",
+        PublicationDecl(
+            resource="rental",
+            observes=(
+                ObserverDecl("tax", ("rate",), "booking.rental"),
+            ),
+        ),
+    )
+    taxes_changed = spark.createDataFrame(
+        [(2, 100)], "tax_id LONG, booking_id LONG"
+    )
+    bookings = spark.createDataFrame(
+        [(100, 7), (200, 8)], "booking_id LONG, rental_id LONG"
+    )
+    rentals = spark.createDataFrame(
+        [(7, "Villa"), (8, "Flat")], "id LONG, name STRING"
+    )
+    chains = {
+        "booking.rental": [
+            (bookings, "booking_id", "booking_id"),
+            (rentals, "rental_id", "id"),
+        ]
+    }
+    # watched attr changed -> one topic frame with the reached rental
+    out = publish_observer_updates(reg, "tax", taxes_changed, {"rate"}, chains)
+    (topic, frame), = out
+    assert topic == "v3_rentals"
+    assert [(r["id"], r["event"]) for r in frame.collect()] == [(7, "rental_updated")]
+    # unwatched attr -> nothing to publish
+    assert publish_observer_updates(reg, "tax", taxes_changed, {"memo"}, chains) == []
+
+
 def test_consumer_message_filter_split(spark):
     from pyspark.sql.types import LongType, StructField, StructType
 
