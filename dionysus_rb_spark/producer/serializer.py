@@ -46,20 +46,47 @@ def serialize_aggregate(
     attributes: list[str],
     to_one_links: dict[str, str] | None = None,
     has_many: dict[str, ChildRel] | None = None,
+    prefilter_children: bool = False,
 ) -> DataFrame:
     """Build a ``payload`` struct column per parent row: declared
     attributes + ``links`` (to-one ids, to-many id arrays) + sideloaded
-    child object arrays. Returns the parent frame with ``payload``."""
+    child object arrays. Returns the parent frame with ``payload``.
+
+    ``prefilter_children=True`` semi-joins each child table against the
+    parent's key set *before* the groupBy. Catalyst cannot push a parent
+    filter through the aggregate-then-join shape, so when the parent is
+    selective (a genesis window, an outbox drain batch) the default plan
+    shuffles the ENTIRE child table to build groups that the left join
+    then discards. The semi-join (broadcast when the parent key set is
+    small) prunes children at the scan, so the groupBy shuffle is sized
+    by surviving rows — at 100 TB this is the difference between
+    shuffling all children and only the touched aggregates. Leave False
+    for full-table serialization, where the extra join is pure cost."""
     to_one_links = to_one_links or {}
     has_many = has_many or {}
 
     df = parent
+    parent_keys = (
+        parent.select(F.col(parent_id).alias("__pk")) if prefilter_children else None
+    )
     link_cols: list[tuple[str, Column]] = [
         (name, F.col(col)) for name, col in to_one_links.items()
     ]
     sideload_cols: list[tuple[str, Column]] = []
 
     for name, rel in has_many.items():
+        if parent_keys is not None:
+            rel = ChildRel(
+                child=rel.child.join(
+                    parent_keys, rel.child[rel.fk] == parent_keys["__pk"], "left_semi"
+                ),
+                fk=rel.fk,
+                child_id=rel.child_id,
+                attributes=rel.attributes,
+                sideload=rel.sideload,
+                order_col=rel.order_col,
+                entity=rel.entity,
+            )
         struct_cols = [F.col(c) for c in ([rel.child_id] + rel.attributes)]
         obj = F.struct(*struct_cols)
         id_col, obj_col = F.col(rel.child_id), obj
