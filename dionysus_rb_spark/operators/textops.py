@@ -126,3 +126,70 @@ def min_shingle_hash(text: Column, k: int = 3) -> Column:
     """1-perm minhash: min h32 over word k-shingles — a cheap rolling
     content signature for near-identity bucketing."""
     return F.array_min(F.transform(shingles(tokenize(text), k), h32))
+
+
+def bigrams(tokens: Column) -> Column:
+    """Adjacent word pairs ("a b"), order-preserving with repeats —
+    the unit of the Gopher-style top-ngram repetition signal."""
+    n = F.size(tokens)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", tokens[i], tokens[i + 1]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(text: Column) -> dict[str, Column]:
+    """Gopher-style within-document repetition signals, shuffle-free:
+
+    - ``dup_token_frac``: 1 - distinct/total tokens (a page of the same
+      word repeated scores ~1);
+    - ``top_token_frac``: occurrences of the most frequent token over
+      total tokens (Gopher's "fraction of characters in the most common
+      n-gram" rule at n=1, token-counted).
+
+    Both are per-row array folds (aggregate over the distinct set
+    counting occurrences), so the whole filter is one codegen scan — no
+    explode, no groupBy: at 100 TB this matters, the repetition filter
+    runs over every document."""
+    toks = tokenize(text)
+    n = F.size(toks)
+    distinct = F.array_distinct(toks)
+    top_count = F.aggregate(
+        distinct,
+        F.lit(0).cast("long"),
+        lambda best, t: F.greatest(
+            best, F.size(F.filter(toks, lambda x: x == t)).cast("long")
+        ),
+    )
+    return {
+        "dup_token_frac": F.round(
+            1 - F.size(distinct) / F.greatest(n, F.lit(1)).cast("double"), 6
+        ),
+        "top_token_frac": F.round(
+            top_count / F.greatest(n, F.lit(1)).cast("double"), 6
+        ),
+    }
+
+
+def rebalance_keep(
+    id_col: Column, group_col: Column, rates_pct: dict[str, int], default_pct: int = 100
+) -> Column:
+    """Deterministic hash-based stratified downsampling: keep a row iff
+    ``h32(id) % 100 <`` its group's target percentage. The decision is a
+    pure function of the row id — no sampling state, no RNG, identical
+    on re-runs and across engines (the property that makes corpus
+    rebalancing reproducible at 100 TB and lets retries/backfills agree
+    on the kept set). One codegen scan, no shuffle."""
+    bucket = h32(id_col.cast("string")) % 100
+    rate = None
+    for g, pct in rates_pct.items():
+        rate = (
+            F.when(group_col == g, pct)
+            if rate is None
+            else rate.when(group_col == g, pct)
+        )
+    rate = F.lit(default_pct) if rate is None else rate.otherwise(default_pct)
+    return bucket < rate

@@ -514,3 +514,119 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation blocked on the fingerprint's high half-word."""
     fps = simhash.simhash(_docs(spark, sf_dir), "text", "doc_id")
     return simhash.simhash_pairs(fps, max_hamming=6)
+
+
+@query(
+    "t_repetition_quality",
+    refs="beyond:text",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd,
+             list_aggregate(
+               list_transform(list_distinct(t),
+                 d -> len(list_filter(t, x -> x = d))), 'max') AS top_count
+      FROM toks
+    )
+    SELECT doc_id,
+           round(1 - CAST(nd AS DOUBLE) / greatest(n, 1), 6) AS dup_token_frac,
+           round(CAST(coalesce(top_count, 0) AS DOUBLE) / greatest(n, 1), 6)
+               AS top_token_frac,
+           (1 - CAST(nd AS DOUBLE) / greatest(n, 1)) < 0.75
+               AND CAST(coalesce(top_count, 0) AS DOUBLE) / greatest(n, 1) < 0.2
+               AS keep
+    FROM counted
+    """,
+)
+def t_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: repeated-token fraction and
+    most-frequent-token fraction per document, with the keep verdict
+    (Rae et al. 2021 §A1.1 use the same shape on n-gram chars). Pure
+    per-row array folds — one codegen scan over the corpus, no explode,
+    no shuffle: the cheapest possible plan for an every-document
+    filter."""
+    stats = textops.repetition_stats(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        stats["dup_token_frac"].alias("dup_token_frac"),
+        stats["top_token_frac"].alias("top_token_frac"),
+        (
+            (stats["dup_token_frac"] < 0.75) & (stats["top_token_frac"] < 0.2)
+        ).alias("keep"),
+    )
+
+
+@query(
+    "t_doc_frequency",
+    refs="beyond:text",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT doc_id, unnest({_DTOKS}) AS token FROM documents
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT token,
+           count(*) AS doc_freq,
+           round(ln(CAST(n.n_docs AS DOUBLE) / count(*)), 6) AS idf
+    FROM expanded, n
+    GROUP BY token, n.n_docs
+    ORDER BY doc_freq DESC, token
+    LIMIT 50
+    """,
+)
+def t_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document-frequency / IDF table (top 50 by df): the global
+    statistic behind TF-IDF quality scoring and stopword discovery.
+    Distinct tokens explode once and aggregate in ONE shuffle keyed by
+    token (map-side partial counts bound the shuffle by vocabulary x
+    partitions, not corpus size); the doc count broadcasts as a scalar.
+    Top-k is TakeOrdered on the aggregated vocabulary — at 100 TB the
+    vocab table is millions of rows, not trillions, so this plan holds."""
+    docs = _docs(spark, sf_dir)
+    from ..functions.hashing import tokenize
+
+    n_docs = docs.count()  # scalar; one jobette, broadcast into the expr
+    expanded = docs.select(
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("token")
+    )
+    return (
+        expanded.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .select(
+            "token",
+            "doc_freq",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6).alias("idf"),
+        )
+        .orderBy(F.desc("doc_freq"), "token")
+        .limit(50)
+    )
+
+
+_REBALANCE_RATES = {"en": 30, "zh": 50}
+
+
+@query(
+    "samp_rebalance",
+    refs="beyond:text,beyond:dedup",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {h32_sql("CAST(doc_id AS VARCHAR)")} % 100 <
+          CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 50 ELSE 100 END
+    """,
+)
+def samp_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus rebalancing: downsample over-represented
+    languages (en to 30%, zh to 50%) by hashing the doc id — no RNG, no
+    sampling state, so retries, backfills, and the oracle all agree on
+    the kept set. One codegen scan; the filter pushes to the parquet
+    scan's row groups when the id is a sort key."""
+    keep = textops.rebalance_keep(
+        F.col("doc_id"), F.col("lang"), _REBALANCE_RATES
+    )
+    return (
+        _docs(spark, sf_dir)
+        .filter(keep)
+        .select("doc_id", "lang", "source")
+    )
