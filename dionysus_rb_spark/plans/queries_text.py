@@ -603,6 +603,156 @@ def t_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_tfidf_keywords",
+    refs="beyond:text",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    tfc AS (
+      SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY doc_id, token
+    ),
+    dfc AS (
+      SELECT token, count(*) AS df FROM tfc GROUP BY token
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tfc.doc_id, tfc.token,
+             round(tfc.tf * ln(CAST(n.n_docs AS DOUBLE) / dfc.df), 6) AS tfidf
+      FROM tfc JOIN dfc USING (token), n
+    ),
+    ranked AS (
+      SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rk
+      FROM scored
+    )
+    SELECT doc_id, token, tfidf, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def t_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document: the build-a-corpus-model-
+    then-apply-it shape. Term frequencies aggregate in one shuffle keyed
+    by (doc, token); document frequencies derive from that result with a
+    map-side-combined reaggregation on token (vocabulary-sized); the df
+    table then broadcasts back onto the tf rows, and the per-doc top-3
+    is a window rank partitioned by doc. Ranking uses the ROUNDED score
+    so cross-engine double noise cannot flip the order; ties break on
+    the token string."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import tokenize
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(dfc), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tfidf", "rk")
+    )
+
+
+@query(
+    "t_lm_quality",
+    refs="beyond:text",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 2
+                    THEN list_transform(range(len(t) - 1),
+                         i -> t[i+1] || ' ' || t[i+2])
+                    ELSE [] END) AS bg
+      FROM toks
+    ),
+    bgc AS (SELECT bg, count(*) AS cb FROM bi GROUP BY bg),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ),
+    ugc AS (SELECT w, count(*) AS cu FROM uni GROUP BY w),
+    vocab AS (SELECT count(*) AS v FROM ugc),
+    scored AS (
+      SELECT bi.doc_id,
+             round(ln((bgc.cb + 1.0) / (ugc.cu + vocab.v)), 9) AS logp
+      FROM bi
+      JOIN bgc USING (bg)
+      JOIN ugc ON ugc.w = split_part(bi.bg, ' ', 1), vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(list_reduce(list_sort(array_agg(logp)), (a,b) -> a+b)
+                 / count(*), 6) AS avg_logp
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def t_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring with the corpus as its own model:
+    an add-one-smoothed bigram LM (counts + vocab) is built in two
+    token-keyed shuffles, broadcast back onto each document's bigrams,
+    and each doc scores its average log-probability — low scores mark
+    incoherent/outlier text, the same shape as CCNet's wiki-LM
+    perplexity filter (the trained-KenLM step swaps in for the counts
+    join at production). Cross-partition double summation is made
+    engine-deterministic by collecting each doc's rounded logps,
+    sorting, and folding sequentially — never a floating-point
+    sum whose addend order the shuffle controls."""
+    from ..functions.hashing import tokenize
+
+    from ..operators.textops import bigrams
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    bi = toks.select("doc_id", F.explode(bigrams(F.col("t"))).alias("bg"))
+    bgc = bi.groupBy("bg").agg(F.count("*").alias("cb"))
+    uni = toks.select(F.explode("t").alias("w"))
+    ugc = uni.groupBy("w").agg(F.count("*").alias("cu"))
+    vocab = ugc.count()
+    scored = (
+        bi.join(F.broadcast(bgc), "bg")
+        .join(
+            F.broadcast(ugc),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("w"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("cb") + 1.0) / (F.col("cu") + F.lit(float(vocab)))), 9
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("logp")),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            / F.count("*"),
+            6,
+        ).alias("avg_logp"),
+    )
+
+
 _REBALANCE_RATES = {"en": 30, "zh": 50}
 
 
