@@ -753,6 +753,79 @@ def t_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ctx_pack_sequences",
+    refs="beyond:text",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - n_tokens AS global_offset
+      FROM sized
+    )
+    SELECT doc_id, n_tokens, global_offset,
+           global_offset // 256 AS first_seq,
+           (global_offset + n_tokens - 1) // 256 AS last_seq
+    FROM placed
+    """,
+)
+def ctx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-then-chunk): every document
+    gets its token offset in the concatenated corpus stream, mapping it
+    to the 256-token training sequences it lands in. The naive plan — a
+    global window cumsum — serializes the entire corpus through ONE
+    task; instead the prefix sum is hierarchical: documents shard by
+    contiguous id range, per-shard token totals aggregate into a
+    shard-count-sized table whose own cumsum is trivially cheap, shard
+    base offsets broadcast back, and the within-shard cumsum is a window
+    partitioned BY SHARD — every stage is parallel, and the widest
+    window state is one shard, not the corpus. Integer math throughout,
+    so cross-engine equality is exact."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import tokenize
+
+    shard_size, ctx = 1000, 256
+    sized = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / shard_size).cast("long").alias("shard"),
+    )
+    shard_tot = sized.groupBy("shard").agg(F.sum("n_tokens").alias("tot"))
+    w_shard = (
+        Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard_base = shard_tot.select(
+        "shard",
+        F.coalesce(F.sum("tot").over(w_shard), F.lit(0)).alias("base"),
+    )
+    w_local = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        sized.join(F.broadcast(shard_base), "shard")
+        .withColumn(
+            "global_offset",
+            F.col("base") + F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)),
+        )
+    )
+    return placed.select(
+        "doc_id",
+        "n_tokens",
+        "global_offset",
+        F.floor(F.col("global_offset") / ctx).alias("first_seq"),
+        F.floor((F.col("global_offset") + F.col("n_tokens") - 1) / ctx).alias(
+            "last_seq"
+        ),
+    )
+
+
 _REBALANCE_RATES = {"en": 30, "zh": 50}
 
 
