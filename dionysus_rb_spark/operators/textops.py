@@ -174,6 +174,43 @@ def repetition_stats(text: Column) -> dict[str, Column]:
     }
 
 
+def pack_offsets(
+    df, id_col: str, n_col: str, shard_size: int = 1000
+):
+    """Global prefix-sum of ``n_col`` in ``id_col`` order, computed
+    hierarchically: contiguous id-range shards aggregate their totals
+    (one small shuffle), the shard-count-sized table takes the only
+    single-partition cumsum, base offsets broadcast back, and the
+    within-shard cumsum is a window partitioned by shard. Returns the
+    frame plus ``global_offset`` (sum of all n before this row). The
+    naive ``Window.orderBy(id)`` cumsum serializes the corpus through
+    one task; this shape keeps every corpus-sized stage parallel."""
+    from pyspark.sql import Window
+
+    sized = df.withColumn(
+        "__shard", (F.col(id_col) / shard_size).cast("long")
+    )
+    shard_tot = sized.groupBy("__shard").agg(F.sum(n_col).alias("__tot"))
+    w_shard = Window.orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    shard_base = shard_tot.select(
+        "__shard",
+        F.coalesce(F.sum("__tot").over(w_shard), F.lit(0)).alias("__base"),
+    )
+    w_local = (
+        Window.partitionBy("__shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        sized.join(F.broadcast(shard_base), "__shard")
+        .withColumn(
+            "global_offset",
+            F.col("__base") + F.coalesce(F.sum(n_col).over(w_local), F.lit(0)),
+        )
+        .drop("__shard", "__base")
+    )
+
+
 def rebalance_keep(
     id_col: Column, group_col: Column, rates_pct: dict[str, int], default_pct: int = 100
 ) -> Column:

@@ -671,6 +671,7 @@ def t_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "t_lm_quality",
     refs="beyond:text",
+    bench=True,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS} AS t FROM documents
@@ -756,6 +757,7 @@ def t_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ctx_pack_sequences",
     refs="beyond:text",
+    bench=True,
     oracle=f"""
     WITH sized AS (
       SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
@@ -785,36 +787,14 @@ def ctx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned BY SHARD — every stage is parallel, and the widest
     window state is one shard, not the corpus. Integer math throughout,
     so cross-engine equality is exact."""
-    from pyspark.sql import Window
-
     from ..functions.hashing import tokenize
 
-    shard_size, ctx = 1000, 256
+    ctx = 256
     sized = _docs(spark, sf_dir).select(
         "doc_id",
         F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
-        (F.col("doc_id") / shard_size).cast("long").alias("shard"),
     )
-    shard_tot = sized.groupBy("shard").agg(F.sum("n_tokens").alias("tot"))
-    w_shard = (
-        Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    shard_base = shard_tot.select(
-        "shard",
-        F.coalesce(F.sum("tot").over(w_shard), F.lit(0)).alias("base"),
-    )
-    w_local = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    placed = (
-        sized.join(F.broadcast(shard_base), "shard")
-        .withColumn(
-            "global_offset",
-            F.col("base") + F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)),
-        )
-    )
+    placed = textops.pack_offsets(sized, "doc_id", "n_tokens", shard_size=1000)
     return placed.select(
         "doc_id",
         "n_tokens",
