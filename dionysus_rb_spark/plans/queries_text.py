@@ -645,12 +645,18 @@ def t_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.hashing import tokenize
 
+    from pyspark.storagelevel import StorageLevel
+
     docs = _docs(spark, sf_dir)
     n_docs = docs.count()
+    # tf feeds both the df reaggregation and the scored join: persist it
+    # so the corpus is exploded and shuffled ONCE (at cluster scale this
+    # is a staged table, the same move as minhash's shingle stage)
     tf = (
         docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfc = tf.groupBy("token").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(dfc), "token").select(
@@ -720,9 +726,16 @@ def t_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.textops import bigrams
 
+    from pyspark.storagelevel import StorageLevel
+
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
-    bi = toks.select("doc_id", F.explode(bigrams(F.col("t"))).alias("bg"))
+    # the exploded bigram stream feeds BOTH the model build (bgc) and the
+    # scoring join: persist so the corpus explodes once (staged table at
+    # cluster scale)
+    bi = toks.select(
+        "doc_id", F.explode(bigrams(F.col("t"))).alias("bg")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bgc = bi.groupBy("bg").agg(F.count("*").alias("cb"))
     uni = toks.select(F.explode("t").alias("w"))
     ugc = uni.groupBy("w").agg(F.count("*").alias("cu"))
