@@ -387,11 +387,15 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (word-bigram) Jaccard pairs, blocked on source —
     the exact-verification baseline the LSH pipelines approximate."""
+    from pyspark.storagelevel import StorageLevel
+
     from ..functions.hashing import shingles, tokenize
 
+    # both sides of the self-join need the shingle arrays: persist so the
+    # tokenize+shingle pass runs once, not once per side
     sh = _docs(spark, sf_dir).select(
         "doc_id", "source", shingles(tokenize(F.col("text")), 2).alias("s2")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect("a.s2", "b.s2"))
     union = F.size(F.array_union("a.s2", "b.s2"))
