@@ -117,6 +117,27 @@ def decode_media(
     return df.mapInPandas(fn, DECODED_SCHEMA)
 
 
+def content_embedding(content_col: F.Column, dim: int = 16) -> F.Column:
+    """Deterministic stand-in for a learned media embedding: the md5
+    digest's bytes, centered and scaled to [-1, 1] (dim <= 16). JVM-side
+    built-ins so the whole multimodal->similarity pipeline stays
+    codegen'd AND oracle-checkable; a real vision/audio encoder swaps in
+    as an Arrow-batched mapInPandas stage with the same
+    array<double> output contract (see decode_media for the shape)."""
+    if not 1 <= dim <= 16:
+        raise ValueError("md5 provides 16 bytes; dim must be in [1, 16]")
+    h = F.md5(content_col)
+    return F.array(
+        *[
+            (
+                (F.conv(F.substring(h, 2 * i + 1, 2), 16, 10).cast("double") - 127.5)
+                / 127.5
+            )
+            for i in range(dim)
+        ]
+    )
+
+
 def frame_sample(
     df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
 ) -> DataFrame:

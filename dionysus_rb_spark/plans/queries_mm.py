@@ -82,6 +82,75 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media(media)
 
 
+_EMBED_DIM = 16
+_EMBED_PLANES_SEED = 7
+
+
+def _embed_sql() -> str:
+    """DuckDB mirror of content_embedding over documents.text."""
+    comps = ", ".join(
+        f"(CAST({_hexbyte(2 * i + 1)} AS DOUBLE) - 127.5) / 127.5"
+        for i in range(_EMBED_DIM)
+    )
+    return f"[{comps}]"
+
+
+def _bucket_sql(plane_list: list[list[int]]) -> str:
+    terms = []
+    for p, w in enumerate(plane_list):
+        lits = ", ".join(f"CAST({x} AS DOUBLE)" for x in w)
+        terms.append(
+            f"CASE WHEN list_reduce(list_transform(range(len(v)),"
+            f" i -> v[i+1] * ([{lits}])[i+1]), (x,y) -> x+y) >= 0"
+            f" THEN (CAST(1 AS BIGINT) << {p}) ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _mm_planes():
+    from ..operators.similarity import planes
+
+    return planes(num_planes=8, dim=_EMBED_DIM, seed=_EMBED_PLANES_SEED)
+
+
+@query(
+    "mm_embed_lsh",
+    refs="beyond:multimodal,beyond:similarity",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, {_embed_sql()} AS v FROM documents
+    )
+    SELECT media_id,
+           round(sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)), 6)
+               AS l2_norm,
+           {_bucket_sql(_mm_planes())} AS bucket
+    FROM base
+    """,
+)
+def mm_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal -> similarity integration: opaque blobs get a
+    deterministic content embedding (stand-in for a learned encoder,
+    value-checked bit-for-bit) and flow straight into the hyperplane-LSH
+    bucketer — the same bucket column the ANN near-dup join keys on. One
+    codegen scan end to end; with a real encoder only the embedding
+    stage becomes an Arrow-batched Python stage."""
+    from ..operators.similarity import _fold_sum, lsh_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary(docs, "text", "doc_id")
+    emb = media.select(
+        "media_id",
+        multimodal.content_embedding(F.col("content"), _EMBED_DIM).alias("v"),
+    )
+    return emb.select(
+        "media_id",
+        F.round(
+            F.sqrt(_fold_sum(F.transform("v", lambda x: x * x))), 6
+        ).alias("l2_norm"),
+        lsh_bucket(F.col("v"), _mm_planes()).alias("bucket"),
+    )
+
+
 @query(
     "j3_observer_fanout",
     refs="J3,F11",
