@@ -115,6 +115,7 @@ def _mm_planes():
 
 @query(
     "mm_embed_lsh",
+    bench=True,
     refs="beyond:multimodal,beyond:similarity",
     oracle=f"""
     WITH base AS (

@@ -146,6 +146,7 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "emb_quantize_int8",
+    bench=True,
     refs="beyond:similarity,beyond:multimodal",
     oracle="""
     WITH base AS (

@@ -522,6 +522,7 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t_repetition_quality",
+    bench=True,
     refs="beyond:text",
     oracle=f"""
     WITH toks AS (
@@ -564,6 +565,7 @@ def t_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t_doc_frequency",
+    bench=True,
     refs="beyond:text",
     oracle=f"""
     WITH expanded AS (
@@ -609,6 +611,7 @@ def t_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t_tfidf_keywords",
+    bench=True,
     refs="beyond:text",
     oracle=f"""
     WITH tf AS (
