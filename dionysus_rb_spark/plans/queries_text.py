@@ -368,6 +368,68 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_dedup_final",
+    refs="beyond:dedup",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({minhash.minhash_lsh_dedup_sql(k=3, threshold=0.5)}) t
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    clusters AS (
+        SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           CASE WHEN c.doc_id IS NULL THEN 'unique' ELSE 'cluster_rep' END
+               AS kept_reason
+    FROM documents d
+    LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    """,
+)
+def dd_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's end product: the KEPT corpus. Near-dup pairs
+    (MinHash-LSH) cluster via connected components; each cluster keeps
+    its canonical survivor (min doc_id) and every unclustered doc
+    survives as unique. The non-survivor set is cluster-membership-sized
+    (small — only docs with duplicates), so the final selection is an
+    anti-join of the corpus against a broadcast drop list: the corpus
+    itself is never reshuffled."""
+    from ..operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash.minhash_lsh_dedup(
+        docs, "text", "doc_id", k=3, threshold=0.5
+    ).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    reps = cc.filter(F.col("vertex") == F.col("component")).select(
+        F.col("vertex").alias("rep_id")
+    )
+    drop = cc.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("doc_id")
+    )
+    kept = docs.join(F.broadcast(drop), "doc_id", "left_anti")
+    return kept.join(
+        F.broadcast(reps), kept["doc_id"] == reps["rep_id"], "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("rep_id").isNotNull(), "cluster_rep")
+        .otherwise("unique")
+        .alias("kept_reason"),
+    )
+
+
+@query(
     "dd_ngram_jaccard",
     refs="beyond:dedup",
     oracle=f"""
