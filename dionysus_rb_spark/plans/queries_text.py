@@ -523,6 +523,85 @@ def pipe_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_full_curation",
+    refs="beyond:text,beyond:dedup",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             round(0.4 * (CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                          / greatest(len(text), 1))
+                 + 0.4 * (CAST(len(list_intersect({_DTOKS}, [{_STOPS}])) AS DOUBLE)
+                          / greatest(len({_DTOKS}), 1))
+                 + 0.2 * least(n_chars / 500.0, 1.0), 6) AS quality,
+             round(1 - CAST(len({_DTOKS}) AS DOUBLE) / greatest(len({_TOKS}), 1), 6)
+                 AS dup_frac,
+             round(CAST(coalesce(list_aggregate(
+                 list_transform({_DTOKS}, d -> len(list_filter({_TOKS}, x -> x = d))),
+                 'max'), 0) AS DOUBLE) / greatest(len({_TOKS}), 1), 6) AS top_frac,
+             md5(array_to_string({_TOKS}, ' ')) AS fp,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE quality >= 0.3 AND dup_frac < 0.75 AND top_frac < 0.2
+        AND {h32_sql("CAST(doc_id AS VARCHAR)")} % 100 <
+            CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 50 ELSE 100 END
+    ),
+    deduped AS (
+      SELECT doc_id, n_tokens FROM gated
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    ),
+    placed AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - n_tokens AS global_offset
+      FROM deduped
+    )
+    SELECT doc_id, n_tokens, global_offset,
+           global_offset // 256 AS first_seq
+    FROM placed
+    """,
+)
+def pipe_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data prep pipeline as ONE plan: quality gate
+    -> repetition gate -> deterministic language rebalancing -> exact
+    dedup -> sequence packing of the survivors. Gates are projections
+    over a single scan (no shuffle until the fingerprint dedup); packing
+    reuses the hierarchical prefix-sum, so the widest shuffle in the
+    entire pipeline moves only the KEPT corpus, once, keyed by
+    fingerprint — the end-to-end shape a 100 TB prep job needs."""
+    docs = _docs(spark, sf_dir)
+    rep = textops.repetition_stats(F.col("text"))
+    from ..functions.hashing import tokenize
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        textops.quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+        rep["dup_token_frac"].alias("dup_frac"),
+        rep["top_token_frac"].alias("top_frac"),
+        textops.fingerprint(F.col("text")).alias("__fp"),
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    gated = scored.filter(
+        (F.col("quality") >= 0.3)
+        & (F.col("dup_frac") < 0.75)
+        & (F.col("top_frac") < 0.2)
+        & textops.rebalance_keep(F.col("doc_id"), F.col("lang"), _REBALANCE_RATES)
+    )
+    deduped = exact_dedup(gated, ["__fp"], "doc_id").select("doc_id", "n_tokens")
+    placed = textops.pack_offsets(deduped, "doc_id", "n_tokens", shard_size=1000)
+    return placed.select(
+        "doc_id",
+        "n_tokens",
+        "global_offset",
+        F.floor(F.col("global_offset") / 256).alias("first_seq"),
+    )
+
+
+@query(
     "dd_contamination",
     refs="beyond:dedup,beyond:text",
     oracle=f"""
@@ -601,8 +680,9 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(1 - CAST(nd AS DOUBLE) / greatest(n, 1), 6) AS dup_token_frac,
            round(CAST(coalesce(top_count, 0) AS DOUBLE) / greatest(n, 1), 6)
                AS top_token_frac,
-           (1 - CAST(nd AS DOUBLE) / greatest(n, 1)) < 0.75
-               AND CAST(coalesce(top_count, 0) AS DOUBLE) / greatest(n, 1) < 0.2
+           round(1 - CAST(nd AS DOUBLE) / greatest(n, 1), 6) < 0.75
+               AND round(CAST(coalesce(top_count, 0) AS DOUBLE)
+                         / greatest(n, 1), 6) < 0.2
                AS keep
     FROM counted
     """,
