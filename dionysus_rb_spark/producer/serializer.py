@@ -92,16 +92,19 @@ def serialize_aggregate(
         id_col, obj_col = F.col(rel.child_id), obj
         if rel.order_col:
             # collect under a sort key, then strip it: deterministic arrays
-            # independent of task/partition ordering
+            # independent of task/partition ordering. One collect_list +
+            # one array_sort; both the id array and the object array are
+            # views over the same sorted buffer, so they're mutually
+            # consistent even under order_col ties.
             pair = F.struct(F.col(rel.order_col).alias("__o"), obj_col.alias("o"))
-            idp = F.struct(F.col(rel.order_col).alias("__o"), id_col.alias("i"))
-            grouped = rel.child.groupBy(rel.fk).agg(
-                F.transform(F.array_sort(F.collect_list(idp)), lambda x: x["i"]).alias(
+            sorted_pairs = F.array_sort(F.collect_list(pair))
+            grouped = rel.child.groupBy(rel.fk).agg(sorted_pairs.alias("__p"))
+            grouped = grouped.select(
+                rel.fk,
+                F.transform(F.col("__p"), lambda x: x["o"][rel.child_id]).alias(
                     f"__ids_{name}"
                 ),
-                F.transform(F.array_sort(F.collect_list(pair)), lambda x: x["o"]).alias(
-                    f"__objs_{name}"
-                ),
+                F.transform(F.col("__p"), lambda x: x["o"]).alias(f"__objs_{name}"),
             )
         else:
             grouped = rel.child.groupBy(rel.fk).agg(
