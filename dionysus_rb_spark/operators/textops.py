@@ -230,3 +230,53 @@ def rebalance_keep(
         )
     rate = F.lit(default_pct) if rate is None else rate.otherwise(default_pct)
     return bucket < rate
+
+
+def domain_cap(
+    df: DataFrame,
+    group_col: str,
+    order_col: Column,
+    tiebreak_col: str,
+    cap: int,
+) -> DataFrame:
+    """Per-domain document cap: keep at most ``cap`` rows per
+    ``group_col``, preferring higher ``order_col`` (ties broken
+    deterministically by ``tiebreak_col``). The standard web-corpus
+    guard against a single domain dominating the training mix.
+
+    Plan shape: one rank window per group. Spark rewrites the
+    ``row_number() <= cap`` filter into WindowGroupLimit, which takes
+    the per-group top-``cap`` on the MAP side before the shuffle — at
+    100 TB the exchange moves at most ``cap`` rows per domain, not the
+    domain's whole corpus."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        order_col.desc(), F.col(tiebreak_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
+def train_split(
+    id_col: Column,
+    buckets: int = 1000,
+    test_per_mille: int = 10,
+    val_per_mille: int = 30,
+) -> Column:
+    """Deterministic train/val/test assignment: hash the document id
+    into ``buckets`` and carve fixed per-mille ranges for test and val.
+    A pure function of the id — no RNG state, so every re-run, backfill,
+    and engine assigns each document to the same split (the property
+    that keeps eval sets stable while the corpus is re-curated), and
+    near-dup-aware splitting composes by hashing the CLUSTER id instead
+    of the doc id. One codegen scan, no shuffle."""
+    b = h32(id_col.cast("string")) % buckets
+    return (
+        F.when(b < test_per_mille, "test")
+        .when(b < test_per_mille + val_per_mille, "val")
+        .otherwise("train")
+    )

@@ -878,10 +878,15 @@ def t_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     docs = _docs(spark, sf_dir)
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
-    # the exploded bigram stream feeds BOTH the model build (bgc) and the
-    # scoring join: persist so the corpus explodes once (staged table at
+    # tokenization feeds THREE consumers (bigram stream, unigram counts,
+    # vocab count): persist the token frame so the corpus is scanned and
+    # regex-tokenized once, not once per consumer (staged table at
     # cluster scale)
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # the exploded bigram stream feeds BOTH the model build (bgc) and the
+    # scoring join: persist so the token frame explodes once
     bi = toks.select(
         "doc_id", F.explode(bigrams(F.col("t"))).alias("bg")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -994,4 +999,65 @@ def samp_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)
         .filter(keep)
         .select("doc_id", "lang", "source")
+    )
+
+
+@query(
+    "samp_domain_cap",
+    refs="beyond:text,beyond:dedup",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             round(0.4 * (CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                          / greatest(len(text), 1))
+                 + 0.4 * (CAST(len(list_intersect({_DTOKS}, [{_STOPS}])) AS DOUBLE)
+                          / greatest(len({_DTOKS}), 1))
+                 + 0.2 * least(n_chars / 500.0, 1.0), 6) AS quality
+      FROM documents
+    )
+    SELECT doc_id, source, quality
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY source
+                               ORDER BY quality DESC, doc_id) <= 10
+    """,
+)
+def samp_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: keep the 10 highest-quality documents per source
+    so no domain dominates the mix. The row_number filter compiles to
+    WindowGroupLimit — the per-domain top-10 is taken map-side, so the
+    shuffle moves at most cap rows per domain even when one domain holds
+    a billion."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        textops.quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+    )
+    return textops.domain_cap(
+        scored, "source", F.col("quality"), "doc_id", cap=10
+    )
+
+
+@query(
+    "samp_train_split",
+    refs="beyond:text",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN {h32_sql("CAST(doc_id AS VARCHAR)")} % 1000 < 10 THEN 'test'
+                WHEN {h32_sql("CAST(doc_id AS VARCHAR)")} % 1000 < 40 THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def samp_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (1%/3%/96% by id hash):
+    every re-run and backfill puts each document in the same split, so
+    eval sets stay stable while the corpus is re-curated. Pure codegen
+    scan, no shuffle; hash the dup-cluster id instead of the doc id to
+    make the split near-dup-safe."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        "lang",
+        textops.train_split(F.col("doc_id")).alias("split"),
     )
