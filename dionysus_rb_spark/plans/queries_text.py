@@ -525,6 +525,7 @@ def pipe_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pipe_full_curation",
     refs="beyond:text,beyond:dedup",
+    bench=True,
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, lang,
@@ -1005,6 +1006,7 @@ def samp_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "samp_domain_cap",
     refs="beyond:text,beyond:dedup",
+    bench=True,
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, source,
@@ -1060,4 +1062,64 @@ def samp_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         textops.train_split(F.col("doc_id")).alias("split"),
+    )
+
+
+@query(
+    "samp_cluster_split",
+    refs="beyond:text,beyond:dedup",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({minhash.minhash_lsh_dedup_sql(k=3, threshold=0.5)}) t
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    clusters AS (
+        SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS split_key,
+           CASE WHEN {h32_sql("CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)")}
+                     % 1000 < 10 THEN 'test'
+                WHEN {h32_sql("CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)")}
+                     % 1000 < 40 THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    """,
+)
+def samp_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: hash the duplicate-CLUSTER
+    id, not the doc id, so an entire near-dup cluster lands in one split
+    and eval can never see a near-copy of a training document (the
+    leakage guard web-scale dedup exists to enable). Cluster membership
+    is duplicate-sized — tiny next to the corpus — so it broadcasts onto
+    a single corpus scan; the corpus itself is never reshuffled."""
+    from ..operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash.minhash_lsh_dedup(
+        docs, "text", "doc_id", k=3, threshold=0.5
+    ).select("doc_a", "doc_b")
+    clusters = connected_components(pairs).select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    key = F.coalesce("cluster_id", "doc_id")
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(clusters), "doc_id", "left")
+        .select(
+            "doc_id",
+            key.alias("split_key"),
+            textops.train_split(key).alias("split"),
+        )
     )
