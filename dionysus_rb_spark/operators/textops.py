@@ -175,7 +175,7 @@ def repetition_stats(text: Column) -> dict[str, Column]:
 
 
 def pack_offsets(
-    df, id_col: str, n_col: str, shard_size: int = 1000
+    df, id_col: str, n_col: str, shard_size: int = 1000, stage: bool = True
 ):
     """Global prefix-sum of ``n_col`` in ``id_col`` order, computed
     hierarchically: contiguous id-range shards aggregate their totals
@@ -184,12 +184,20 @@ def pack_offsets(
     within-shard cumsum is a window partitioned by shard. Returns the
     frame plus ``global_offset`` (sum of all n before this row). The
     naive ``Window.orderBy(id)`` cumsum serializes the corpus through
-    one task; this shape keeps every corpus-sized stage parallel."""
+    one task; this shape keeps every corpus-sized stage parallel.
+
+    The input feeds TWO consumers (the shard-totals branch and the
+    output join), so ``stage=True`` persists it — without that, the
+    whole upstream plan (e.g. a curation funnel's dedup shuffle) runs
+    twice. Set False only when the input is a bare scan."""
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     sized = df.withColumn(
         "__shard", (F.col(id_col) / shard_size).cast("long")
     )
+    if stage:
+        sized = sized.persist(StorageLevel.MEMORY_AND_DISK)
     shard_tot = sized.groupBy("__shard").agg(F.sum(n_col).alias("__tot"))
     w_shard = Window.orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
     shard_base = shard_tot.select(

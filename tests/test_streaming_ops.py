@@ -678,3 +678,68 @@ def test_genesis_dependency_only_guard():
             payload=None,
             dependency_only=True,
         )
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Streaming session_window sessionization emits exactly the
+    sessions the same operator computes in batch over the same events —
+    watermark-driven finalization changes WHEN sessions appear, never
+    WHAT they contain."""
+    from dionysus_rb_spark.streaming.sessionize import sessionize
+
+    inp = tmp_path / "sess"
+    inp.mkdir()
+    # user 1: two sessions (09:00-09:10, then a >30min gap, 10:00);
+    # user 2: one 3-event session straddling the two micro-batches
+    batch1 = [
+        {"user_id": 1, "ts": "2024-01-01 09:00:00"},
+        {"user_id": 1, "ts": "2024-01-01 09:10:00"},
+        {"user_id": 2, "ts": "2024-01-01 09:05:00"},
+        {"user_id": 2, "ts": "2024-01-01 09:20:00"},
+    ]
+    batch2 = [
+        {"user_id": 2, "ts": "2024-01-01 09:40:00"},
+        {"user_id": 1, "ts": "2024-01-01 10:00:00"},
+        # watermark pusher: far-future event finalizes everything above
+        # (its own still-open session is the only one not emitted)
+        {"user_id": 99, "ts": "2024-01-02 00:00:00"},
+    ]
+    (inp / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in batch1))
+    (inp / "b2.jsonl").write_text("\n".join(json.dumps(r) for r in batch2))
+
+    schema = "user_id LONG, ts STRING"
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(inp))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        sessionize(src, ["user_id"], "ts", gap="30 minutes", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+
+    batch_df = (
+        spark.read.schema(schema)
+        .json(str(inp))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    want = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in sessionize(batch_df, ["user_id"], "ts", gap="30 minutes").collect()
+        if r["user_id"] != 99  # watermark pusher's session never closes
+    }
+    assert want  # the batch reference actually produced sessions
+    assert got == want
+    # the cross-batch session merged into one row
+    assert any(u == 2 and n == 3 for (u, _, _, n) in got)
