@@ -1,0 +1,156 @@
+"""Deterministic k-means over embedding columns — the corpus-clustering
+step of a curation pipeline (topic balancing, per-cluster sampling,
+cluster-aware splits).
+
+Lloyd's algorithm, Spark-first: assignment is a broadcast of the k
+centroids across one corpus scan (rounded cosine, ties to the lowest
+centroid id); the update step is dimension-parallel — posexplode to
+(cluster, dim, value), one groupBy(cluster, dim) whose per-cell mean is
+a SORTED sequential fold, then re-assembly of the centroid arrays. The
+sorted fold is what makes the whole iterative algorithm reproducible
+bit-for-bit across engines and shuffle orders (a plain avg() varies in
+the last ulp with partition order); a throughput-first deployment swaps
+`F.avg` in and drops the oracle guarantee, changing nothing else.
+
+Scale shape per iteration: one corpus scan + one shuffle of
+(cluster, dim, value) triples. Centroids (k x dim doubles) stay
+broadcast-sized for any realistic k, so the corpus is never shuffled by
+cluster membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import as_double, cosine, cosine_sql
+
+
+def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast(cents) x base, rounded
+    cosine, deterministic tie-break on centroid id."""
+    scored = base.join(F.broadcast(cents)).withColumn(
+        "__cos", F.round(cosine(F.col("__v"), F.col("__cv")), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("__cos"), F.asc("cluster_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "__v", "cluster_id", "__cos")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroids: per-(cluster, dim) mean via sorted sequential fold
+    (engine- and partition-order-independent), then array re-assembly."""
+    cells = assigned.select(
+        "cluster_id", F.posexplode("__v").alias("__d", "__x")
+    )
+    means = cells.groupBy("cluster_id", "__d").agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list("__x")),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            / F.count("*")
+        ).alias("__m")
+    )
+    return means.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__d", "__m"))), lambda s: s["__m"]
+        ).alias("__cv")
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations from deterministic seeds (the
+    vectors with the ``k`` lowest ids — the cross-engine-reproducible
+    analogue of kmeans|| seeding) and return the final assignment:
+    (vec_id, cluster_id, cos). ``cluster_id`` numbers the seed order.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("__v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cents = (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").cast("long").alias("cluster_id"),
+            F.col("__v").alias("__cv"),
+        )
+    )
+    # re-number seeds 0..k-1 in id order so cluster ids are dense
+    w = Window.orderBy("cluster_id")
+    cents = cents.select(
+        (F.row_number().over(w) - 1).cast("long").alias("cluster_id"), "__cv"
+    )
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign(base, cents)
+        cents = _update(assigned)
+    # final assignment against the last updated centroids
+    assigned = _assign(base, cents)
+    return assigned.select("vec_id", "cluster_id", F.col("__cos").alias("cos"))
+
+
+def kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """DuckDB mirror: same seeds, same rounded-cosine assignment, same
+    sorted-fold means, unrolled ``iters`` times."""
+    cos_assign = cosine_sql("b.__v", "c.__cv")
+
+    def assign_cte(cents: str, out: str) -> str:
+        return f"""
+    {out} AS (
+      SELECT vec_id, __v, cluster_id, __cos FROM (
+        SELECT b.vec_id, b.__v, c.cluster_id,
+               round({cos_assign}, 6) AS __cos,
+               row_number() OVER (PARTITION BY b.vec_id
+                   ORDER BY round({cos_assign}, 6) DESC, c.cluster_id ASC) AS __rn
+        FROM base b CROSS JOIN {cents} c) t
+      WHERE __rn = 1
+    )"""
+
+    def update_cte(assigned: str, out: str) -> str:
+        # per-dim sorted left fold == Spark's F.aggregate(array_sort(...))
+        return f"""
+    {out} AS (
+      SELECT cluster_id,
+             list_transform(range(1, 1 + len(vs[1])), d ->
+                 list_reduce(list_sort(list_transform(vs, v -> v[d])),
+                             (a, b) -> a + b) / len(vs)) AS __cv
+      FROM (SELECT cluster_id, list(__v) AS vs FROM {assigned}
+            GROUP BY cluster_id) g
+    )"""
+
+    ctes = [
+        f"""base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS __v
+      FROM embeddings
+    )""",
+        f"""c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                 AS cluster_id,
+             __v AS __cv
+      FROM (SELECT vec_id, __v FROM base ORDER BY vec_id LIMIT {k}) s
+    )""",
+    ]
+    cur = "c0"
+    for i in range(iters):
+        ctes.append(assign_cte(cur, f"a{i}"))
+        ctes.append(update_cte(f"a{i}", f"c{i + 1}"))
+        cur = f"c{i + 1}"
+    ctes.append(assign_cte(cur, "final_assign"))
+    body = ",\n".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT vec_id, cluster_id, __cos AS cos FROM final_assign
+    """

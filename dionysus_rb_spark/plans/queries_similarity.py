@@ -203,3 +203,24 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_saturated"),
         F.round(mse, 9).alias("recon_mse"),
     )
+
+
+from ..operators import clustering  # noqa: E402
+
+
+@query(
+    "emb_kmeans",
+    refs="beyond:similarity",
+    oracle=clustering.kmeans_sql(k=8, iters=2),
+)
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means (k=8, 2 Lloyd iterations, id-ordered
+    seeds): the corpus-clustering step behind topic balancing and
+    cluster-aware sampling. Per iteration: one broadcast of the k
+    centroids across a corpus scan (assignment) and one shuffle of
+    (cluster, dim, value) triples (update) — the corpus is never
+    shuffled by cluster membership. The per-cell mean is a sorted
+    sequential fold, so the whole ITERATIVE algorithm stays
+    bit-reproducible across engines; swap F.avg in for throughput when
+    the oracle guarantee isn't needed."""
+    return clustering.kmeans_assign(_emb(spark, sf_dir), k=8, iters=2)

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h32_sql, shingles_sql, tokenize_sql
-from ..operators import minhash, simhash, textops
+from ..operators import minhash, simhash, sketch, textops
 from ..operators.dedup import exact_dedup
 from ..tables import ensure_min_parallelism, load_table
 from .catalog import query
@@ -1123,3 +1123,30 @@ def samp_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             textops.train_split(key).alias("split"),
         )
     )
+
+
+@query(
+    "t_kmv_distinct",
+    refs="beyond:text",
+    oracle=sketch.kmv_distinct_sql(
+        f"(SELECT lang, unnest({_TOKS}) AS tok FROM documents) s",
+        ["lang"],
+        "tok",
+        k=64,
+    ),
+)
+def t_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token cardinality via a KMV sketch (k=64
+    minimum h32 values), with the exact count alongside so the sketch
+    error is visible. KMV rather than HLL because the sketch is a pure
+    function of the hash multiset — bit-identical in any engine sharing
+    the hash, and mergeable by union+re-take-k (the property that makes
+    it a distributed aggregate). The token stream is exploded once and
+    never shuffled; only distinct (lang, hash) pairs move."""
+    from ..functions.hashing import tokenize
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    return sketch.kmv_distinct(toks, ["lang"], F.col("tok"), k=64)
