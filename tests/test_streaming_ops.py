@@ -743,3 +743,55 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert got == want
     # the cross-batch session merged into one row
     assert any(u == 2 and n == 3 for (u, _, _, n) in got)
+
+
+def test_streaming_near_dup_gate_matches_batch(spark, tmp_path):
+    """The MinHash band gate flags the same incoming docs in a stream
+    (stream-static semi join) as in batch, and near-identical docs ARE
+    flagged while fresh docs are not."""
+    from dionysus_rb_spark.streaming.neardup_stream import near_dup_gate
+
+    index_rows = [
+        {"doc_id": 100, "text": "the quick brown fox jumps over the lazy dog again and again"},
+        {"doc_id": 101, "text": "pack my box with five dozen liquor jugs before noon today"},
+    ]
+    stream_rows = [
+        # near-copy of 100 (one word changed) -> must collide
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy cat again and again"},
+        # exact copy of 101 -> must collide
+        {"doc_id": 2, "text": "pack my box with five dozen liquor jugs before noon today"},
+        # unrelated -> must pass
+        {"doc_id": 3, "text": "completely unrelated sentence about distributed query engines"},
+    ]
+    inp = tmp_path / "nd"
+    inp.mkdir()
+    (inp / "s.jsonl").write_text("\n".join(json.dumps(r) for r in stream_rows))
+    index = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in index_rows], "doc_id LONG, text STRING"
+    )
+
+    schema = "doc_id LONG, text STRING"
+    src = spark.readStream.schema(schema).json(str(inp))
+    q = (
+        near_dup_gate(src, index)
+        .writeStream.format("memory")
+        .queryName("nd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_nd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM nd_out").collect())
+
+    batch = spark.read.schema(schema).json(str(inp))
+    want = sorted(
+        r["doc_id"] for r in near_dup_gate(batch, index).collect()
+    )
+    assert got == want
+    assert 2 in got and 3 not in got  # exact copy caught, fresh doc passes
+    # the equi-join (corpus-sized index) shape agrees after dedup
+    eq = sorted(
+        {r["doc_id"] for r in near_dup_gate(batch, index, broadcast_index=False).collect()}
+    )
+    assert eq == want
