@@ -288,3 +288,90 @@ def train_split(
         .when(b < test_per_mille + val_per_mille, "val")
         .otherwise("train")
     )
+
+
+def token_budget_cap(
+    df,
+    quality_col: str,
+    n_col: str,
+    id_col: str,
+    budget: int,
+    buckets: int = 1000,
+):
+    """Cut the corpus to a global token budget, taking documents in
+    quality order (best first; ties by id): keep every row whose
+    cumulative token count BEFORE it is under ``budget`` — the "fill
+    the training mix to N tokens" operator.
+
+    A naive global cumsum is ``Window.orderBy(quality desc)`` — one
+    task. Here the quality axis itself provides the shards: bucket =
+    ``floor((1-q) * buckets)`` is a pure row-local function that is
+    monotone in the global order, so per-bucket totals (one small
+    shuffle) + a bucket-count-sized cumsum + a within-bucket window
+    reproduce the exact global prefix sum with every corpus-sized stage
+    parallel. Same hierarchy as pack_offsets, with value-range sharding
+    instead of id-range sharding (works for any bounded sort key).
+    Returns the kept rows plus ``prior_tokens``."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    q = F.col(quality_col)
+    sized = df.withColumn(
+        "__qb", F.floor((F.lit(1.0) - q) * buckets).cast("long")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bucket_tot = sized.groupBy("__qb").agg(F.sum(n_col).alias("__tot"))
+    w_b = Window.orderBy("__qb").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_base = bucket_tot.select(
+        "__qb", F.coalesce(F.sum("__tot").over(w_b), F.lit(0)).alias("__base")
+    )
+    w_local = (
+        Window.partitionBy("__qb")
+        .orderBy(q.desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        sized.join(F.broadcast(bucket_base), "__qb")
+        .withColumn(
+            "prior_tokens",
+            (F.col("__base") + F.coalesce(F.sum(n_col).over(w_local), F.lit(0)))
+            .cast("long"),
+        )
+        .drop("__qb", "__base")
+    )
+    return placed.filter(F.col("prior_tokens") < budget)
+
+
+def mix_epochs(
+    df,
+    id_col: str,
+    group_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+):
+    """Deterministic mixture weighting: replicate each document
+    ``weights[group]`` times on average — ``floor(w)`` guaranteed
+    copies, plus one more iff ``h32(id) % 100 < frac(w) * 100`` — and
+    emit (row, epoch). The fractional epoch is a pure function of the
+    id (same property as rebalance_keep), so the realized mixture is
+    reproducible and a re-run of any partition emits identical copies.
+    Weights below 1 subsample (floor = 0); the explode is row-local —
+    no shuffle, output size = sum of realized weights."""
+    w = None
+    for g, wt in weights.items():
+        w = F.when(F.col(group_col) == g, float(wt)) if w is None else w.when(
+            F.col(group_col) == g, float(wt)
+        )
+    w = F.lit(float(default_weight)) if w is None else w.otherwise(
+        float(default_weight)
+    )
+    whole = F.floor(w).cast("long")
+    frac_pct = ((w - F.floor(w)) * 100.0).cast("long")
+    extra = (h32(F.col(id_col).cast("string")) % 100 < frac_pct).cast("long")
+    n_copies = whole + extra
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+        .withColumn("epoch", F.col("epoch").cast("long"))
+    )

@@ -1150,3 +1150,87 @@ def t_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(tokenize(F.col("text"))).alias("tok")
     )
     return sketch.kmv_distinct(toks, ["lang"], F.col("tok"), k=64)
+
+
+_QUALITY_SQL = f"""round(0.4 * (CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                          / greatest(len(text), 1))
+                 + 0.4 * (CAST(len(list_intersect({_DTOKS}, [{_STOPS}])) AS DOUBLE)
+                          / greatest(len({_DTOKS}), 1))
+                 + 0.2 * least(n_chars / 500.0, 1.0), 6)"""
+
+
+@query(
+    "samp_token_budget",
+    refs="beyond:text",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, {_QUALITY_SQL} AS quality,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, quality, n_tokens,
+             sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+                 AS prior_tokens
+      FROM scored
+    )
+    SELECT doc_id, quality, n_tokens, prior_tokens
+    FROM placed WHERE prior_tokens < 20000
+    """,
+)
+def samp_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill the training mix to a 20k-token budget, best documents
+    first: an exact global prefix-sum in (quality desc, doc_id) order
+    with NO single-partition corpus stage — the quality value itself
+    buckets the corpus (floor((1-q)*1000) is monotone in the sort
+    order), per-bucket totals take the only tiny cumsum, and each
+    bucket's window runs in parallel. The "cut the corpus to N tokens"
+    operator every mix plan ends with."""
+    from ..functions.hashing import tokenize
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        textops.quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    kept = textops.token_budget_cap(
+        scored, "quality", "n_tokens", "doc_id", budget=20000
+    )
+    return kept.select("doc_id", "quality", "n_tokens", "prior_tokens")
+
+
+_MIX_WEIGHTS = {"en": 2.5, "zh": 0.5}
+
+
+@query(
+    "samp_mix_epochs",
+    refs="beyond:text",
+    oracle=f"""
+    SELECT doc_id, lang, unnest(range(n_copies)) AS epoch
+    FROM (
+      SELECT doc_id, lang,
+             CAST(floor(w) AS BIGINT)
+             + CASE WHEN {h32_sql("CAST(doc_id AS VARCHAR)")} % 100
+                         < CAST((w - floor(w)) * 100 AS BIGINT)
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM (SELECT doc_id, lang,
+                   CASE lang WHEN 'en' THEN 2.5 WHEN 'zh' THEN 0.5
+                        ELSE 1.0 END AS w
+            FROM documents) t
+    ) s
+    WHERE n_copies > 0
+    """,
+)
+def samp_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture weighting: English documents see ~2.5
+    epochs (2 guaranteed + half the ids hash into a 3rd), Chinese is
+    subsampled to ~0.5, everything else passes once. The fractional
+    copy is a pure hash of the id — re-runs and backfills realize the
+    IDENTICAL mixture. Row-local explode, no shuffle; output size is
+    the realized token multiple."""
+    docs = _docs(spark, sf_dir)
+    return textops.mix_epochs(
+        docs.select("doc_id", "lang"), "doc_id", "lang", _MIX_WEIGHTS
+    ).select("doc_id", "lang", "epoch")
