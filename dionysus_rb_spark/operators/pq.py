@@ -1,0 +1,152 @@
+"""Product quantization (PQ) for embedding columns — the compression
+step between scalar int8 quantization (operators/similarity.py) and a
+full ANN index: each vector becomes M sub-space code ids (here 8 codes
+over a 64-dim vector = 8 bytes), and distance evaluation against a
+query reduces to M table lookups.
+
+Spark-first shape: the codebook is tiny (M*K sub-centroids) and known
+before the encode, so it INLINES into the plan as literal arrays — the
+encoder is a pure projection over one corpus scan: no join, no shuffle,
+whole-stage codegen. That is the property that matters at 100 TB
+(encode is a map job); training the codebook is the iterative part and
+reuses the k-means machinery (operators/clustering.py) per sub-space.
+Here the codebook is seeded deterministically from the K lowest-id
+vectors' sub-vectors (the same seeding rule as emb_kmeans), keeping the
+whole operator reproducible cross-engine.
+
+All distance math is sequential left-folds in index order (identical in
+DuckDB), sub-space sums are folded in fixed m-order, and argmin ties
+break to the lowest code id — bit-reproducible end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import as_double
+
+
+def _l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def seed_codebook(
+    embeddings: DataFrame,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """The K lowest-id vectors, as plain Python doubles (codebook-sized:
+    collect here is hyperparameter-scale, not data-scale)."""
+    rows = (
+        embeddings.select(F.col(id_col).alias("i"), as_double(F.col(vec_col)).alias("v"))
+        .orderBy("i")
+        .limit(n_codes)
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: list[list[float]],
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``n_sub`` code ids (csv string, portable)
+    plus the reconstruction MSE. One codegen scan — the codebook is
+    literal arrays in the plan."""
+    dim = len(codebook[0])
+    sub_len = dim // n_sub
+    v = as_double(F.col(vec_col))
+
+    code_cols: list[Column] = []
+    dist_cols: list[Column] = []
+    for m in range(n_sub):
+        sv = F.slice(v, m * sub_len + 1, sub_len)
+        cands = F.array(
+            *[
+                F.struct(
+                    _l2(
+                        sv,
+                        F.array(
+                            *[
+                                F.lit(codebook[k][m * sub_len + d])
+                                for d in range(sub_len)
+                            ]
+                        ),
+                    ).alias("d"),
+                    F.lit(k).cast("long").alias("k"),
+                )
+                for k in range(len(codebook))
+            ]
+        )
+        best = F.array_min(cands)  # (d asc, k asc) lexicographic = argmin
+        code_cols.append(best["k"])
+        dist_cols.append(best["d"])
+
+    # fixed-order left fold over sub-spaces: ((d0+d1)+d2)+... — matches
+    # the oracle's list_reduce in m order exactly
+    mse = dist_cols[0]
+    for d in dist_cols[1:]:
+        mse = mse + d
+    mse = F.round(mse / F.lit(float(dim)), 9)
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.concat_ws(",", *[c.cast("string") for c in code_cols]).alias("codes_csv"),
+        mse.alias("recon_mse"),
+    )
+
+
+def pq_encode_sql(n_codes: int = 8, n_sub: int = 8, dim: int = 64) -> str:
+    """DuckDB mirror: codebook re-derived in SQL (same K-lowest-id
+    seeds), same index-order L2 folds, same m-order sum, same tie-break."""
+    sub_len = dim // n_sub
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {sub_len + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+        )
+
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS k,
+             v AS cv
+      FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {n_codes}) s
+    ),
+    sub AS (
+      SELECT vec_id, m, list_slice(v, m * {sub_len} + 1, (m + 1) * {sub_len}) AS sv
+      FROM base CROSS JOIN (SELECT unnest(range({n_sub})) AS m) ms
+    ),
+    csub AS (
+      SELECT k, m, list_slice(cv, m * {sub_len} + 1, (m + 1) * {sub_len}) AS csv
+      FROM cents CROSS JOIN (SELECT unnest(range({n_sub})) AS m) ms
+    ),
+    best AS (
+      SELECT vec_id, m, k, d FROM (
+        SELECT s.vec_id, s.m, c.k, {l2('s.sv', 'c.csv')} AS d,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {l2('s.sv', 'c.csv')} ASC, c.k ASC)
+                   AS rn
+        FROM sub s JOIN csub c ON s.m = c.m) t
+      WHERE rn = 1
+    )
+    SELECT vec_id,
+           string_agg(CAST(k AS VARCHAR), ',' ORDER BY m) AS codes_csv,
+           round(list_reduce(list(d ORDER BY m), (x, y) -> x + y) / {dim}, 9)
+               AS recon_mse
+    FROM best
+    GROUP BY vec_id
+    """

@@ -224,3 +224,26 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible across engines; swap F.avg in for throughput when
     the oracle guarantee isn't needed."""
     return clustering.kmeans_assign(_emb(spark, sf_dir), k=8, iters=2)
+
+
+from ..operators import pq  # noqa: E402
+
+
+@query(
+    "emb_pq_encode",
+    refs="beyond:similarity",
+    oracle=pq.pq_encode_sql(n_codes=8, n_sub=8, dim=64),
+)
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: 64-dim vectors -> 8 sub-space codes
+    (8 bytes/vector, 32x smaller) + reconstruction MSE. The codebook
+    (seeded from the 8 lowest-id vectors; train with emb_kmeans per
+    sub-space in production) inlines into the plan as literals, so
+    ENCODING IS A PURE MAP STAGE — one codegen scan, no join, no
+    shuffle: the property that makes petabyte-scale re-encoding a
+    throughput-bound job. Sub-space L2s are index-order folds and the
+    MSE is a fixed m-order fold, so codes and error match the oracle
+    bit-for-bit."""
+    emb = _emb(spark, sf_dir)
+    codebook = pq.seed_codebook(emb, n_codes=8)
+    return pq.pq_encode(emb, codebook, n_sub=8)
