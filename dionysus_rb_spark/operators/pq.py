@@ -21,7 +21,7 @@ break to the lowest code id — bit-reproducible end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .similarity import as_double
@@ -149,4 +149,143 @@ def pq_encode_sql(n_codes: int = 8, n_sub: int = 8, dim: int = 64) -> str:
                AS recon_mse
     FROM best
     GROUP BY vec_id
+    """
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    codebook: list[list[float]],
+    query_ids: list[int],
+    k: int = 10,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query's
+    distances to all M*K sub-centroids precompute into a literal table
+    (M*K doubles per query), so scoring a corpus vector is M array
+    lookups + a fixed-order fold — no vector math in the scan at all.
+    The scan emits (query, cand, dist) and the per-query top-k prunes
+    map-side (WindowGroupLimit). This is the search shape PQ exists
+    for: the corpus is read as codes (32x less IO), and compute per
+    row is O(M) regardless of dimension."""
+    dim = len(codebook[0])
+    sub_len = dim // n_sub
+    qrows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("i"), as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    qvecs = {r["i"]: list(r["v"]) for r in qrows}
+
+    def l2(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    # dtab[q][m][k]: distance from query q's m-th sub-vector to code k
+    dtab = {
+        q: [
+            [
+                l2(
+                    qv[m * sub_len : (m + 1) * sub_len],
+                    codebook[c][m * sub_len : (m + 1) * sub_len],
+                )
+                for c in range(len(codebook))
+            ]
+            for m in range(n_sub)
+        ]
+        for q, qv in qvecs.items()
+    }
+
+    enc = pq_encode(embeddings, codebook, n_sub, id_col, vec_col).select(
+        F.col("vec_id").alias("cand_id"),
+        F.split("codes_csv", ",").cast("array<long>").alias("codes"),
+    )
+    per_query = []
+    for q in sorted(dtab):
+        # fixed m-order sum of table lookups
+        dist = None
+        for m in range(n_sub):
+            term = F.element_at(
+                F.array(*[F.lit(x) for x in dtab[q][m]]),
+                (F.col("codes")[m] + 1).cast("int"),
+            )
+            dist = term if dist is None else dist + term
+        per_query.append(
+            F.struct(F.lit(int(q)).cast("long").alias("query_id"), dist.alias("adist"))
+        )
+    exploded = enc.select(
+        "cand_id", F.explode(F.array(*per_query)).alias("qd")
+    ).select("qd.query_id", "cand_id", F.round("qd.adist", 9).alias("adist"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("cand_id"))
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+def pq_adc_topk_sql(
+    query_ids: list[int], k: int = 10, n_codes: int = 8, n_sub: int = 8, dim: int = 64
+) -> str:
+    """DuckDB mirror: same codebook/codes CTEs as pq_encode_sql, the
+    query distance table computed in SQL, same fixed m-order sum and
+    (dist, cand_id) tie-break."""
+    sub_len = dim // n_sub
+    ids = ", ".join(map(str, query_ids))
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {sub_len + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+        )
+
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cbk,
+             v AS cv
+      FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {n_codes}) s
+    ),
+    sub AS (
+      SELECT vec_id, m, list_slice(v, m * {sub_len} + 1, (m + 1) * {sub_len}) AS sv
+      FROM base CROSS JOIN (SELECT unnest(range({n_sub})) AS m) ms
+    ),
+    csub AS (
+      SELECT cbk, m, list_slice(cv, m * {sub_len} + 1, (m + 1) * {sub_len}) AS csv
+      FROM cents CROSS JOIN (SELECT unnest(range({n_sub})) AS m) ms
+    ),
+    codes AS (
+      SELECT vec_id, m, cbk FROM (
+        SELECT s.vec_id, s.m, c.cbk,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {l2('s.sv', 'c.csv')} ASC, c.cbk ASC)
+                   AS rn
+        FROM sub s JOIN csub c ON s.m = c.m) t
+      WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT vec_id AS query_id, m, sv AS qsv FROM sub WHERE vec_id IN ({ids})
+    ),
+    dtab AS (
+      SELECT q.query_id, q.m, c.cbk, {l2('q.qsv', 'c.csv')} AS dt
+      FROM qsub q JOIN csub c ON q.m = c.m
+    ),
+    scored AS (
+      SELECT d.query_id, co.vec_id AS cand_id,
+             round(list_reduce(list(d.dt ORDER BY d.m), (x, y) -> x + y), 9)
+                 AS adist
+      FROM codes co JOIN dtab d ON d.m = co.m AND d.cbk = co.cbk
+      GROUP BY d.query_id, co.vec_id
+    )
+    SELECT query_id, cand_id, adist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY adist ASC, cand_id ASC) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
     """

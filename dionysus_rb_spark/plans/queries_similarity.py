@@ -247,3 +247,21 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     codebook = pq.seed_codebook(emb, n_codes=8)
     return pq.pq_encode(emb, codebook, n_sub=8)
+
+
+@query(
+    "emb_pq_adc_topk",
+    refs="beyond:similarity",
+    oracle=pq.pq_adc_topk_sql(QUERY_IDS, k=10),
+)
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10: each query precomputes its 8x8
+    sub-centroid distance table (literals in the plan), so scoring a
+    corpus vector is 8 table lookups + a fixed-order sum — no vector
+    math in the scan, and the per-query rank prunes map-side
+    (WindowGroupLimit). Paired with ann_bruteforce_topk this exhibits
+    the full ANN trade: exact rank over raw vectors vs O(M) lookups
+    over 8-byte codes."""
+    emb = _emb(spark, sf_dir)
+    codebook = pq.seed_codebook(emb, n_codes=8)
+    return pq.pq_adc_topk(emb, codebook, QUERY_IDS, k=10)
