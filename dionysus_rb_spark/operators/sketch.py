@@ -92,3 +92,121 @@ def kmv_distinct_sql(
                AS est_distinct
     FROM sk
     """
+
+
+BLOOM_BITS = 4096
+BLOOM_WORDS = BLOOM_BITS // 64
+_KNUTH = 2654435761  # Knuth multiplicative-hash constant (2^32 / phi)
+
+# single-bit masks as int64 literals (bit 63 = sign bit, two's complement);
+# an indexed literal array because shift-by-column isn't portable
+_MASKS = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+_MASKS_SQL = "[" + ", ".join(
+    str(m) if m != -(1 << 63) else "(-9223372036854775807 - 1)" for m in _MASKS
+) + "]"
+
+
+def _mask(bit: Column) -> Column:
+    return F.element_at(F.array(*[F.lit(m) for m in _MASKS]), bit + 1)
+
+
+def _bloom_positions(h: Column) -> list[Column]:
+    """Two derived bit positions per element (double hashing). The
+    second probe mixes the HIGH bits (h is 32-bit, so ``h // BLOOM_BITS``
+    is independent of ``h % BLOOM_BITS``) and stays far from int64
+    overflow (2^20 * _KNUTH < 2^52)."""
+    return [
+        h % BLOOM_BITS,
+        ((h / BLOOM_BITS).cast("long") * _KNUTH) % BLOOM_BITS,
+    ]
+
+
+def bloom_build(df: DataFrame, value_col: Column) -> DataFrame:
+    """Aggregate a portable Bloom filter over ``value_col``: one row,
+    ``words`` = array of 64 longs (4096 bits, 2 probes/element). Unlike
+    an engine's native bloom (whose bit layout is an implementation
+    detail), this one is a pure function of the h32 multiset — buildable
+    and probe-able identically in any engine, and mergeable with plain
+    ``bit_or``. The build is a map-side-combining bit_or aggregation of
+    at most 64 words — the shuffle moves 64 longs per partition no
+    matter the input size."""
+    h = h32(value_col)
+    pos = F.explode(F.array(*_bloom_positions(h))).alias("__p")
+    contrib = df.select(pos).select(
+        (F.col("__p") / 64).cast("long").alias("__w"),
+        _mask((F.col("__p") % 64).cast("int")).alias("__m"),
+    )
+    words = contrib.groupBy("__w").agg(F.expr("bit_or(__m)").alias("__word"))
+    # densify to all 64 words (missing word = 0) and pack to one array row
+    idx = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_WORDS - 1))).alias("__w")
+    dense = (
+        df.sparkSession.range(1)
+        .select(idx)
+        .join(words, "__w", "left")
+        .select("__w", F.coalesce("__word", F.lit(0).cast("long")).alias("__word"))
+    )
+    return dense.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__w", "__word"))),
+            lambda s: s["__word"],
+        ).alias("words")
+    )
+
+
+def bloom_might_contain(words_col: Column, value_col: Column) -> Column:
+    """Probe: both derived bits set => possibly a member (one-sided
+    error). Pure expressions — with the filter joined (or inlined) this
+    is a map-side gate, the broadcast-bloom analogue of a semi-join."""
+    h = h32(value_col)
+    checks = []
+    for p in _bloom_positions(h):
+        word = F.element_at(words_col, (p / 64).cast("int") + 1)
+        checks.append(word.bitwiseAND(_mask((p % 64).cast("int"))) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def _bloom_positions_sql(h: str) -> tuple[str, str]:
+    return (
+        f"({h} % {BLOOM_BITS})",
+        f"((({h} // {BLOOM_BITS}) * {_KNUTH}) % {BLOOM_BITS})",
+    )
+
+
+def bloom_sql(build_from: str, value_sql: str) -> str:
+    """DuckDB CTE text producing the same one-row (words) frame from
+    ``build_from`` (a FROM clause) over ``value_sql``."""
+    from ..functions.hashing import h32_sql
+
+    p1, p2 = _bloom_positions_sql(h32_sql(value_sql))
+    return f"""
+      WITH pos AS (
+        SELECT unnest([{p1}, {p2}]) AS p FROM {build_from}
+      ),
+      bits AS (
+        SELECT CAST(p // 64 AS BIGINT) AS w,
+               bit_or({_MASKS_SQL}[CAST(p % 64 AS INT) + 1]) AS word
+        FROM pos GROUP BY 1
+      ),
+      dense AS (
+        SELECT r.wi, coalesce(max(bits.word), 0) AS word
+        FROM (SELECT unnest(range(0, {BLOOM_WORDS})) AS wi) r
+        LEFT JOIN bits ON bits.w = r.wi
+        GROUP BY r.wi
+      )
+      SELECT list(word ORDER BY wi) AS words FROM dense
+    """
+
+
+def bloom_probe_sql(words_expr: str, value_sql: str) -> str:
+    from ..functions.hashing import h32_sql
+
+    probes = []
+    for p in _bloom_positions_sql(h32_sql(value_sql)):
+        probes.append(
+            f"(({words_expr}[CAST({p} // 64 AS INT) + 1] "
+            f"& {_MASKS_SQL}[CAST({p} % 64 AS INT) + 1]) != 0)"
+        )
+    return " AND ".join(probes)

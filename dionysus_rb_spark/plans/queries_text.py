@@ -1234,3 +1234,54 @@ def samp_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.mix_epochs(
         docs.select("doc_id", "lang"), "doc_id", "lang", _MIX_WEIGHTS
     ).select("doc_id", "lang", "epoch")
+
+
+_FP_SQL = f"md5(array_to_string({_TOKS}, ' '))"
+_BENCH_SET = (
+    f"(SELECT {_FP_SQL} AS f FROM documents"
+    f" WHERE {h32_sql('CAST(doc_id AS VARCHAR)')} % 10 = 0) bench"
+)
+
+
+@query(
+    "dd_bloom_gate",
+    refs="beyond:dedup",
+    oracle=f"""
+    WITH bloom AS ({sketch.bloom_sql(_BENCH_SET, "f")})
+    SELECT d.doc_id,
+           {sketch.bloom_probe_sql("b.words", _FP_SQL)} AS bloom_hit,
+           ({_FP_SQL} IN (SELECT f FROM {_BENCH_SET})) AS exact_hit
+    FROM documents d CROSS JOIN bloom b
+    """,
+)
+def dd_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination as a broadcast-Bloom gate: the held-out set's
+    fingerprints aggregate into a portable 4096-bit Bloom (bit_or of at
+    most 64 longs per partition — the shuffle is 64 longs, not the set),
+    and the corpus probes it map-side: the semi-join against the
+    held-out set becomes a pure scan filter. The exact membership bit
+    is emitted alongside, so the one-sided error (bloom_hit >=
+    exact_hit, never the reverse) is oracle-checked, not assumed. At
+    100 TB the bloom rides the closure as ~512 bytes while a broadcast
+    hash set of fingerprints is gigabytes."""
+    from ..functions.hashing import h32
+
+    docs = _docs(spark, sf_dir)
+    fp = textops.fingerprint(F.col("text"))
+    bench = docs.filter(
+        h32(F.col("doc_id").cast("string")) % 10 == 0
+    ).select(fp.alias("f"))
+    bloom = sketch.bloom_build(bench, F.col("f"))
+    exact = bench.distinct()
+    out = (
+        docs.select("doc_id", fp.alias("__fp"))
+        .join(F.broadcast(bloom))
+        .join(F.broadcast(exact), F.col("__fp") == F.col("f"), "left")
+    )
+    return out.select(
+        "doc_id",
+        sketch.bloom_might_contain(F.col("words"), F.col("__fp")).alias(
+            "bloom_hit"
+        ),
+        F.col("f").isNotNull().alias("exact_hit"),
+    )
