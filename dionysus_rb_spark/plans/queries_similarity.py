@@ -265,3 +265,70 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     codebook = pq.seed_codebook(emb, n_codes=8)
     return pq.pq_adc_topk(emb, codebook, QUERY_IDS, k=10)
+
+
+@query(
+    "ann_recall_eval",
+    refs="beyond:similarity",
+    oracle=f"""
+    WITH exact AS (
+      SELECT query_id, cand_id FROM ({similarity.brute_force_topk_sql(QUERY_IDS, k=10)}) e
+    ),
+    adc_raw AS (
+      SELECT query_id, cand_id, adist FROM ({pq.pq_adc_topk_sql(QUERY_IDS, k=11)}) a
+      WHERE cand_id <> query_id
+    ),
+    adc10 AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist ASC, cand_id ASC) AS rn
+        FROM adc_raw) t
+      WHERE rn <= 10
+    )
+    SELECT e.query_id,
+           CAST(count(a.cand_id) AS BIGINT) AS n_overlap,
+           round(count(a.cand_id) / 10.0, 3) AS recall_at_10
+    FROM exact e
+    LEFT JOIN adc10 a
+      ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+    GROUP BY e.query_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ asymmetric-distance search against the exact
+    brute-force rank — the evaluation loop that decides whether a
+    compressed index is good enough to ship. Both pipelines are
+    deterministic, so even the EVALUATION is oracle-checked: the
+    measured recall is reproducible, not a point sample."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    exact = similarity.brute_force_topk(emb, QUERY_IDS, k=10).select(
+        "query_id", "cand_id"
+    )
+    codebook = pq.seed_codebook(emb, n_codes=8)
+    adc = (
+        pq.pq_adc_topk(emb, codebook, QUERY_IDS, k=11)
+        .filter(F.col("cand_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("cand_id"))
+    adc10 = (
+        adc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .select("query_id", F.col("cand_id").alias("__ac"))
+    )
+    return (
+        exact.join(
+            adc10,
+            (exact["query_id"] == adc10["query_id"])
+            & (exact["cand_id"] == adc10["__ac"]),
+            "left",
+        )
+        .drop(adc10["query_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count("__ac").alias("n_overlap"),
+            F.round(F.count("__ac") / 10.0, 3).alias("recall_at_10"),
+        )
+    )

@@ -795,3 +795,49 @@ def test_streaming_near_dup_gate_matches_batch(spark, tmp_path):
         {r["doc_id"] for r in near_dup_gate(batch, index, broadcast_index=False).collect()}
     )
     assert eq == want
+
+
+def test_streaming_bloom_accumulation_equals_batch(spark, tmp_path):
+    """The portable Bloom is mergeable with plain bitwise OR, so a
+    stream can grow the decontamination index per micro-batch and land
+    exactly where a batch build over all data lands — no approximation
+    drift from incremental construction."""
+    import pyspark.sql.functions as F2
+
+    from dionysus_rb_spark.operators.sketch import BLOOM_WORDS, bloom_build
+
+    inp = tmp_path / "bl"
+    inp.mkdir()
+    rows1 = [{"doc_id": i, "text": f"document number {i} about topic {i % 7}"} for i in range(20)]
+    rows2 = [{"doc_id": i, "text": f"document number {i} about topic {i % 7}"} for i in range(20, 45)]
+    (inp / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in rows1))
+    (inp / "b2.jsonl").write_text("\n".join(json.dumps(r) for r in rows2))
+
+    state = {"words": [0] * BLOOM_WORDS, "batches": 0}
+
+    def merge_batch(df, batch_id):
+        row = bloom_build(df, F2.col("text")).collect()
+        if row:  # empty micro-batch -> nothing to merge
+            state["words"] = [
+                a | b for a, b in zip(state["words"], row[0]["words"])
+            ]
+            state["batches"] += 1
+
+    src = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(inp))
+    )
+    q = (
+        src.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "cp_bl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert state["batches"] == 2  # incremental construction actually happened
+
+    batch_df = spark.read.schema("doc_id LONG, text STRING").json(str(inp))
+    want = bloom_build(batch_df, F2.col("text")).collect()[0]["words"]
+    assert state["words"] == list(want)
+    assert any(w != 0 for w in want)  # the filter is non-trivial
