@@ -289,3 +289,149 @@ def pq_adc_topk_sql(
     FROM scored
     QUALIFY rank <= {k}
     """
+
+
+def train_codebook(
+    embeddings: DataFrame,
+    n_codes: int = 8,
+    n_sub: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """One (or more) distributed Lloyd iterations per sub-space, L2
+    metric: assignment broadcasts the 8 sub-centroids over the
+    sub-vector frame; the update is the dim-parallel sorted-fold mean
+    (deterministic, like clustering._update); a cluster that loses all
+    members keeps its seed sub-centroid, so the codebook stays
+    rectangular. The trained sub-centroids (M*K*sub_len doubles) are
+    collected — codebook-sized, not data-sized — and re-assembled into
+    full-dim rows for :func:`pq_encode`."""
+    from pyspark.storagelevel import StorageLevel
+
+    dim = None
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("__v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dim = len(base.first()["__v"])
+    sub_len = dim // n_sub
+    codebook = [[0.0] * dim for _ in range(n_codes)]
+
+    for m in range(n_sub):
+        sub = base.select("vec_id", F.slice("__v", m * sub_len + 1, sub_len).alias("__sv"))
+        w = Window.orderBy("vec_id")
+        seeds = (
+            sub.orderBy("vec_id")
+            .limit(n_codes)
+            .select(
+                (F.row_number().over(w) - 1).cast("long").alias("__k"),
+                F.col("__sv").alias("__cv"),
+            )
+        )
+        cents = seeds
+        for _ in range(iters):
+            scored = sub.join(F.broadcast(cents)).withColumn(
+                "__d", _l2(F.col("__sv"), F.col("__cv"))
+            )
+            wv = Window.partitionBy("vec_id").orderBy(F.asc("__d"), F.asc("__k"))
+            assigned = (
+                scored.withColumn("__rn", F.row_number().over(wv))
+                .filter(F.col("__rn") == 1)
+                .select("vec_id", "__sv", "__k")
+            )
+            cells = assigned.select("__k", F.posexplode("__sv").alias("__dim", "__x"))
+            means = cells.groupBy("__k", "__dim").agg(
+                (
+                    F.aggregate(
+                        F.array_sort(F.collect_list("__x")),
+                        F.lit(0.0),
+                        lambda a, b: a + b,
+                    )
+                    / F.count("*")
+                ).alias("__m")
+            )
+            upd = means.groupBy("__k").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__dim", "__m"))),
+                    lambda s: s["__m"],
+                ).alias("__ucv")
+            )
+            cents = (
+                seeds.join(upd, "__k", "left")
+                .select("__k", F.coalesce("__ucv", "__cv").alias("__cv"))
+            )
+        for r in cents.collect():
+            k = int(r["__k"])
+            codebook[k][m * sub_len : (m + 1) * sub_len] = list(r["__cv"])
+    return codebook
+
+
+def pq_trained_sql(n_codes: int = 8, n_sub: int = 8, dim: int = 64) -> str:
+    """DuckDB mirror of train_codebook(iters=1) + pq_encode: per
+    sub-space, one assign/update round from the id-ordered seeds (empty
+    clusters coalesce back to their seed), then final assignment; codes
+    and the fixed m-order MSE fold come from joining the 8 per-sub-space
+    best rows."""
+    sub_len = dim // n_sub
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {sub_len + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+        )
+
+    ctes = [
+        """base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )"""
+    ]
+    for m in range(n_sub):
+        lo, hi = m * sub_len + 1, (m + 1) * sub_len
+        ctes.append(f"""sub{m} AS (
+      SELECT vec_id, list_slice(v, {lo}, {hi}) AS sv FROM base
+    )""")
+        ctes.append(f"""seed{m} AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS k,
+             sv AS cv
+      FROM (SELECT vec_id, sv FROM sub{m} ORDER BY vec_id LIMIT {n_codes}) s
+    )""")
+        ctes.append(f"""asg{m} AS (
+      SELECT vec_id, sv, k FROM (
+        SELECT s.vec_id, s.sv, c.k,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {l2('s.sv', 'c.cv')} ASC, c.k ASC) AS rn
+        FROM sub{m} s CROSS JOIN seed{m} c) t
+      WHERE rn = 1
+    )""")
+        ctes.append(f"""upd{m} AS (
+      SELECT k, list_transform(range(1, {sub_len + 1}), d ->
+                 list_reduce(list_sort(list_transform(vs, x -> x[d])),
+                             (a, b) -> a + b) / len(vs)) AS ucv
+      FROM (SELECT k, list(sv) AS vs FROM asg{m} GROUP BY k) g
+    )""")
+        ctes.append(f"""cent{m} AS (
+      SELECT s.k, coalesce(u.ucv, s.cv) AS cv
+      FROM seed{m} s LEFT JOIN upd{m} u ON u.k = s.k
+    )""")
+        ctes.append(f"""best{m} AS (
+      SELECT vec_id, k, d FROM (
+        SELECT s.vec_id, c.k, {l2('s.sv', 'c.cv')} AS d,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {l2('s.sv', 'c.cv')} ASC, c.k ASC) AS rn
+        FROM sub{m} s CROSS JOIN cent{m} c) t
+      WHERE rn = 1
+    )""")
+    joins = " ".join(
+        f"JOIN best{m} b{m} ON b{m}.vec_id = b0.vec_id" for m in range(1, n_sub)
+    )
+    codes = ", ".join(f"CAST(b{m}.k AS VARCHAR)" for m in range(n_sub))
+    mse = " + ".join(f"b{m}.d" for m in range(n_sub))
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT b0.vec_id,
+           concat_ws(',', {codes}) AS codes_csv,
+           round(({mse}) / {dim}, 9) AS recon_mse
+    FROM best0 b0 {joins}
+    """

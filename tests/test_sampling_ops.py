@@ -96,3 +96,24 @@ def test_mix_epochs_realizes_hash_copy_counts(spark, n_rows, w_en, w_default):
                 for r in out.filter(F.col("doc_id") == i).collect()
             )
             assert epochs == list(range(expected))
+
+
+def test_pq_training_reduces_reconstruction_error(spark):
+    """One Lloyd iteration per sub-space must not worsen — and in
+    practice strictly improves — mean reconstruction error vs the seed
+    codebook."""
+    import pyspark.sql.functions as F
+
+    from dionysus_rb_spark.operators import pq
+    from dionysus_rb_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seed = pq.seed_codebook(emb, n_codes=8)
+    trained = pq.train_codebook(emb, n_codes=8, n_sub=8, iters=1)
+    mse_seed = (
+        pq.pq_encode(emb, seed).agg(F.avg("recon_mse")).first()[0]
+    )
+    mse_trained = (
+        pq.pq_encode(emb, trained).agg(F.avg("recon_mse")).first()[0]
+    )
+    assert mse_trained < mse_seed
