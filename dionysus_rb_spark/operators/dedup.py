@@ -32,11 +32,13 @@ def keep_latest(
     ``(event, id)`` and ``max_by(updated_at)``; a missing timestamp sorts
     as "now" i.e. newest — we encode that by sorting NULLs first in the
     descending order so a null-timestamped row wins over any concrete one.
-    ``tiebreak_cols`` break exact ties deterministically (the Ruby
-    ``max_by`` keeps the last-seen; batch order maps to offset/event_id).
+    ``tiebreak_cols`` break exact ties deterministically: Ruby's
+    ``max_by`` replaces the running max only on a strictly greater value,
+    so on ties the FIRST batch element (lowest offset) wins — hence the
+    tiebreak sorts ascending.
     """
     order = [F.col(order_col).desc_nulls_first()] + [
-        F.col(c).desc() for c in tiebreak_cols
+        F.col(c).asc() for c in tiebreak_cols
     ]
     w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
     return (

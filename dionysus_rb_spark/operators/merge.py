@@ -4,10 +4,16 @@ Implements as one DataFrame transform what the reference does row-at-a-
 time in lib/dionysus/consumer/persistor.rb:46-95:
 
   J1  upsert key join         find_or_initialize_by(synced_id)   persistor.rb:59-60
-  F1  stale-update guard      skip unless event.updated_at >= stored.synced_updated_at,
-                              accept when either side missing    synchronizable_model.rb:16-26
-  F3  soft-delete / restore   destroyed => set canceled_at (or hard delete);
-                              created/updated => canceled_at from payload (restore = NULL)
+  F1  stale-update guard      skip (any event, destroys too) unless
+                              coalesce(event.updated_at, event.created_at)
+                              >= stored.synced_updated_at, accept when
+                              either side missing   persistor.rb:61-63,
+                                                    synchronizable_model.rb:16-26
+  F3  soft-delete / restore   destroyed + canceled stamp => persist payload
+                              attrs incl. canceled_at (assign precedes the
+                              destroy branch); destroyed w/o stamp => hard
+                              delete; created/updated => canceled_at from
+                              payload (restore = NULL)
                                                                  synchronizable_model.rb:40-56
   S10 tombstone               NULL payload under a key => delete  tombstone_publisher.rb:4-21
   F8  event dispatch          created/updated/destroyed; unknown dropped
@@ -45,20 +51,34 @@ def guarded_merge(
     target_updated: str = "synced_updated_at",
     canceled_col: str | None = "synced_canceled_at",
     order_tiebreak: str | None = None,
+    source_created: str | None = None,
 ) -> DataFrame:
     """Return the post-merge state of ``target``.
 
     ``source`` rows carry the payload columns (same names as target's data
     columns) plus ``event_col`` ∈ {created, updated, destroyed}; a
     tombstone is ``event = destroyed`` with all payload columns NULL —
-    both delete hard. Unknown event names are dropped (F8; the reference
-    logs them to the error handler — streaming callers attach a
+    tombstones delete hard. Unknown event names are dropped (F8; the
+    reference logs them to the error handler — streaming callers attach a
     dead-letter sink instead, see streaming/pipeline.py).
 
     Guard truth table (synchronizable_model.rb:24-26): persist iff
-    ``src.updated_at >= tgt.updated_at`` OR either is NULL. Destroys are
-    NOT guarded (the reference applies the guard inside the
-    created/updated branch only; destroy always proceeds).
+    ``event_updated_at >= tgt.updated_at`` OR either is NULL, where
+    ``event_updated_at = coalesce(src.updated_at, src.created_at)``
+    (persistor.rb:61 — pass ``source_created`` to enable the fallback).
+    The guard runs BEFORE the event branch (persistor.rb:63 ``next
+    unless record.persist_with_dionysus?``), so a stale destroy is
+    rejected exactly like a stale update — replaying any batch is a
+    no-op regardless of event mix.
+
+    Destroy semantics (persistor.rb:64-75 + synchronizable_model.rb:
+    40-56): attributes are assigned from the payload BEFORE the destroy
+    branch, so a guard-accepted soft destroy (payload carries
+    ``canceled_col``) persists the payload's attribute values, canceled
+    stamp included; a soft destroy of an unseen key inserts the canceled
+    row (find_or_initialize + save). A hard destroy (no canceled stamp)
+    deletes matched rows and no-ops on unseen keys (``record.save unless
+    record.destroyed?``).
     """
     data_cols = [c for c in target.columns]
     src = source.filter(F.col(event_col).isin(*KNOWN_EVENTS))
@@ -77,29 +97,33 @@ def guarded_merge(
     src_only = F.col(f"t.{key}").isNull() & F.col(f"s.{event_col}").isNotNull()
     is_destroy = F.col(f"s.{event_col}") == EVENT_DESTROYED
 
+    src_ts = F.col(f"s.{source_updated}")
+    if source_created is not None:
+        # event_updated_at = synced_updated_at || synced_created_at
+        # (persistor.rb:61)
+        src_ts = F.coalesce(src_ts, F.col(f"s.{source_created}"))
     guard_ok = (
-        F.col(f"s.{source_updated}").isNull()
+        src_ts.isNull()
         | F.col(f"t.{target_updated}").isNull()
-        | (F.col(f"s.{source_updated}") >= F.col(f"t.{target_updated}"))
+        | (src_ts >= F.col(f"t.{target_updated}"))
     )
 
     if canceled_col is not None:
-        # soft delete: destroy with a canceled_at in the payload cancels;
-        # destroy without one hard-deletes; create/update writes the
-        # payload's canceled_at through (NULL => restore).
-        soft_destroy = is_destroy & F.col(f"s.{canceled_col}").isNotNull()
+        # soft delete: destroy with a canceled_at in the payload cancels
+        # (persisting the payload's attrs — assign happens before the
+        # destroy branch); destroy without one hard-deletes;
+        # create/update writes the payload's canceled_at through
+        # (NULL => restore).
         hard_delete = is_destroy & F.col(f"s.{canceled_col}").isNull()
     else:
-        soft_destroy = F.lit(False)
         hard_delete = is_destroy
 
     def out_col(c: str):
-        # destroyed-with-cancel keeps the target's attrs, stamping only
-        # the canceled timestamp from the payload (synchronizable_model.rb:44-50)
-        soft_val = F.col(f"s.{c}") if c == canceled_col else F.col(f"t.{c}")
         return (
-            F.when(matched & soft_destroy, soft_val)
-            .when(matched & ~is_destroy & guard_ok, F.col(f"s.{c}"))
+            # guard-accepted events — soft destroys included — persist
+            # the payload's attributes (assign_attributes_from_dionysus
+            # runs before the destroy branch, persistor.rb:64)
+            F.when(matched & guard_ok & ~hard_delete, F.col(f"s.{c}"))
             .when(matched, F.col(f"t.{c}"))  # guard rejected => keep target
             .when(src_only, F.col(f"s.{c}"))
             .otherwise(F.col(f"t.{c}"))
@@ -107,10 +131,13 @@ def guarded_merge(
         )
 
     keep = (
-        # target-only rows survive; matched rows survive unless hard delete
+        # target-only rows survive; matched rows survive unless a
+        # guard-accepted hard delete removes them; source-only rows
+        # insert (soft destroys included: find_or_initialize + cancel +
+        # save) except hard destroys of unseen keys (no-op)
         (F.col(f"s.{event_col}").isNull() & F.col(f"t.{key}").isNotNull())
-        | (matched & ~hard_delete)
-        | (src_only & ~is_destroy)  # destroy of a row we never had: no-op
+        | (matched & ~(hard_delete & guard_ok))
+        | (src_only & ~hard_delete)
     )
     return joined.filter(keep).select(*[out_col(c) for c in data_cols])
 

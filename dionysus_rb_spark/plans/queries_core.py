@@ -71,7 +71,7 @@ _OUTBOXISH_SQL = """
     FROM events
     QUALIFY row_number() OVER (
         PARTITION BY user_id, event_type
-        ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY ts DESC, event_id ASC) = 1
     """,
 )
 def a1_keep_latest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,44 +201,41 @@ _MERGE_MAPPED_SQL = """
                CAST(NULL AS TIMESTAMP) AS synced_canceled_at
         FROM m WHERE event_id % 2 = 0
         QUALIFY row_number() OVER (PARTITION BY synced_id
-            ORDER BY synced_updated_at DESC, event_id DESC) = 1
+            ORDER BY synced_updated_at DESC, event_id ASC) = 1
     ),
     src AS (
         SELECT * FROM m
         WHERE event_id % 2 = 1 AND event IN ('created','updated','destroyed')
         QUALIFY row_number() OVER (PARTITION BY synced_id
-            ORDER BY synced_updated_at DESC, event_id DESC) = 1
+            ORDER BY synced_updated_at DESC, event_id ASC) = 1
     )
     SELECT COALESCE(t.synced_id, s.synced_id) AS synced_id,
-           CASE WHEN t.synced_id IS NOT NULL AND s.synced_id IS NOT NULL THEN
-                    CASE WHEN s.event = 'destroyed' THEN t.synced_updated_at
-                         WHEN s.synced_updated_at >= t.synced_updated_at
-                              THEN s.synced_updated_at
-                         ELSE t.synced_updated_at END
-                WHEN t.synced_id IS NULL THEN s.synced_updated_at
+           CASE WHEN t.synced_id IS NULL THEN s.synced_updated_at
+                WHEN s.synced_id IS NULL THEN t.synced_updated_at
+                WHEN s.synced_updated_at >= t.synced_updated_at
+                     THEN s.synced_updated_at
                 ELSE t.synced_updated_at END AS synced_updated_at,
-           CASE WHEN t.synced_id IS NOT NULL AND s.synced_id IS NOT NULL THEN
-                    CASE WHEN s.event = 'destroyed' THEN t.val
-                         WHEN s.synced_updated_at >= t.synced_updated_at THEN s.val
-                         ELSE t.val END
-                WHEN t.synced_id IS NULL THEN s.val
+           CASE WHEN t.synced_id IS NULL THEN s.val
+                WHEN s.synced_id IS NULL THEN t.val
+                WHEN s.synced_updated_at >= t.synced_updated_at THEN s.val
                 ELSE t.val END AS val,
-           CASE WHEN t.synced_id IS NOT NULL AND s.synced_id IS NOT NULL THEN
-                    CASE WHEN s.event = 'destroyed' THEN s.synced_canceled_at
-                         WHEN s.synced_updated_at >= t.synced_updated_at
-                              THEN s.synced_canceled_at
-                         ELSE t.synced_canceled_at END
-                WHEN t.synced_id IS NULL THEN s.synced_canceled_at
+           CASE WHEN t.synced_id IS NULL THEN s.synced_canceled_at
+                WHEN s.synced_id IS NULL THEN t.synced_canceled_at
+                WHEN s.synced_updated_at >= t.synced_updated_at
+                     THEN s.synced_canceled_at
                 ELSE t.synced_canceled_at END AS synced_canceled_at
     FROM tgt t FULL OUTER JOIN src s ON t.synced_id = s.synced_id
-    WHERE NOT (t.synced_id IS NULL AND s.event = 'destroyed')
     """,
 )
 def f1_guarded_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The consumer persist path end-to-end in batch: even event_ids form
     the existing target snapshot, odd ones the incoming batch; 'error'
-    events are soft destroys (canceled stamp), 'view' maps to an unknown
-    event name (dropped, F8), the rest are guarded updates (F1)."""
+    events are soft destroys (guard-checked like any event, then the
+    payload attrs + canceled stamp persist — soft destroys of unseen keys
+    insert), 'view' maps to an unknown event name (dropped, F8), the rest
+    are guarded updates (F1). No hard deletes in this batch (every
+    destroy carries a canceled stamp), so the oracle's matched branch is
+    uniform: guard pass => payload values, guard fail => target values."""
     m = _events(spark, sf_dir).select(
         "event_id",
         F.col("user_id").alias("synced_id"),
@@ -418,7 +415,7 @@ def j4_to_many_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH latest AS (
         SELECT user_id, ts AS event_ts, value AS event_value FROM events
         QUALIFY row_number() OVER (
-            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+            PARTITION BY user_id ORDER BY ts DESC, event_id ASC) = 1
     )
     SELECT c.c_custkey AS synced_id, c.c_name, c.c_acctbal,
            l.event_ts, l.event_value

@@ -75,7 +75,7 @@ def s5_genesis_topic_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id AS synced_id, ts AS synced_updated_at, value AS val
         FROM events
         QUALIFY row_number() OVER (PARTITION BY user_id
-            ORDER BY ts DESC, event_id DESC) = 1
+            ORDER BY ts DESC, event_id ASC) = 1
     )
     SELECT synced_id, synced_updated_at, val FROM tgt WHERE synced_id % 7 <> 0
     """,
@@ -177,12 +177,12 @@ def _outboxish_cov(df: DataFrame) -> DataFrame:
         SELECT user_id AS synced_id, value AS val FROM events
         WHERE event_id % 2 = 0
         QUALIFY row_number() OVER (PARTITION BY user_id
-            ORDER BY ts DESC, event_id DESC) = 1
+            ORDER BY ts DESC, event_id ASC) = 1
     ),
     after AS (
         SELECT user_id AS synced_id, value AS val FROM events
         QUALIFY row_number() OVER (PARTITION BY user_id
-            ORDER BY ts DESC, event_id DESC) = 1
+            ORDER BY ts DESC, event_id ASC) = 1
     ),
     joined AS (
         SELECT COALESCE(a.synced_id, b.synced_id) AS synced_id,
@@ -793,4 +793,106 @@ def d4_aggregate_dismantle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__parent_id").alias("l_orderkey"),
         F.col("synced_id").alias("l_linenumber"),
         F.col("quantity").alias("l_quantity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.1 S1 lifecycle capture + §2.2 P4 serializer dispatch (explicit
+# certification — both were pytest-only in round 1)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "s1_lifecycle_capture",
+    refs="S1,F2",
+    oracle="""
+    WITH log AS (
+        SELECT event_id AS seq, user_id AS id, ts,
+               CASE WHEN value > 150 THEN ts END AS canceled_at
+        FROM events
+    ),
+    st AS (
+        SELECT seq, id, canceled_at,
+               lag(canceled_at) OVER (PARTITION BY id ORDER BY seq)
+                   AS prev_canceled,
+               row_number() OVER (PARTITION BY id ORDER BY seq) AS rn
+        FROM log
+    ),
+    classified AS (
+        SELECT seq, id,
+               CASE WHEN rn = 1 AND canceled_at IS NULL THEN 'created'
+                    WHEN rn = 1 THEN NULL
+                    WHEN prev_canceled IS NOT NULL AND canceled_at IS NULL
+                         THEN 'created'
+                    WHEN prev_canceled IS NULL AND canceled_at IS NOT NULL
+                         THEN 'destroyed'
+                    WHEN prev_canceled IS NOT NULL AND canceled_at IS NOT NULL
+                         THEN NULL
+                    ELSE 'updated' END AS action
+        FROM st
+    )
+    SELECT seq, id, action FROM classified WHERE action IS NOT NULL
+    """,
+)
+def s1_lifecycle_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 AR-lifecycle capture, batch-expressed (dionysus.rb:113-129 +
+    publishable.rb:34-68): the versioned change log (events as commit
+    log: user_id = record id, event_id = commit seq, value>150 plays the
+    canceled stamp) classifies each version into the created / updated /
+    destroyed CDC action via the producer pipeline's entry point —
+    exactly the stream the AR callbacks would emit, derived set-wise.
+    Suppressed transitions (still-canceled updates) drop, matching the
+    reference's publish guard."""
+    from ..producer.pipeline import classify_changelog
+
+    log = _events(spark, sf_dir).select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id").alias("id"),
+        "ts",
+        F.when(F.col("value") > 150, F.col("ts")).alias("canceled_at"),
+    )
+    out = classify_changelog(log, id_col="id", seq_col="seq")
+    return out.select("seq", "id", "action")
+
+
+@query(
+    "p4_serializer_dispatch",
+    refs="P4,P7",
+    oracle="""
+    SELECT 'customer_updated' AS event,
+           'Customer' AS model_name,
+           'Customer:' || CAST(c_custkey AS VARCHAR) AS key,
+           CAST(c_nationkey AS VARCHAR) AS partition_key,
+           c_custkey AS synced_id
+    FROM customer
+    """,
+)
+def p4_serializer_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 serializer dispatch (karafka_responder_generator.rb:16-68 +
+    registry.rb:95-161): a registry with one declared publication
+    compiles the respond(action, frame) pipeline — event naming
+    ``{resource}_{action}``, model classification, ``Model:id`` keys,
+    declared-attribute partition keys, enveloped value. The emitted wire
+    record is parsed back out of the JSON so the oracle checks the
+    DISPATCHED fields, not a fixture."""
+    from ..registry import ProducerRegistry, PublicationDecl
+
+    reg = ProducerRegistry(namespace="v3")
+    reg.topic("customers", partition_key="c_nationkey")
+    reg.publish(
+        "customers",
+        PublicationDecl(
+            resource="customer", id_col="c_custkey", attributes=("c_name", "c_acctbal")
+        ),
+    )
+    respond = reg.responder("customers", "customer")
+    wire = respond("updated", load_table(spark, sf_dir, "customer"))
+    return wire.select(
+        F.get_json_object("value", "$.message[0].event").alias("event"),
+        F.get_json_object("value", "$.message[0].model_name").alias("model_name"),
+        "key",
+        "partition_key",
+        F.get_json_object("value", "$.message[0].data[0].id")
+        .cast("long")
+        .alias("synced_id"),
     )

@@ -89,9 +89,11 @@ def test_cdc_full_roundtrip(spark, tmp_path):
         r["synced_id"]: (r["price"], r["synced_canceled_at"] is not None)
         for r in store.read(spark).collect()
     }
-    # end state: 1 canceled (soft destroy keeps its last attrs: price 110
-    # from seq 3 — synchronizable_model.rb:44-50), 2 restored @200, 3 live @310
-    assert got[1] == (110.0, True)
+    # end state: 1 canceled with the destroy payload's attrs persisted
+    # (price 100 from seq 8 — assign_attributes precedes the destroy
+    # branch, persistor.rb:64), 2 restored @200, 3 live @310; the
+    # snapshot equals the source table's visible end state exactly
+    assert got[1] == (100.0, True)
     assert got[2] == (200.0, False)
     assert got[3] == (310.0, False)
     # partition keys routed by account_id

@@ -44,46 +44,44 @@ def reference_merge(target_rows, event_rows):
     """Row-at-a-time model of persistor.rb semantics."""
     state = {k: (upd, val, can) for k, upd, val, can in target_rows}
 
-    # A1: per key keep max updated_at (missing => now, i.e. always wins;
-    # tie-break by offset — remove_duplicates_strategy.rb:20-41)
-    winners = {}
-    for k, upd, val, can, event, off in event_rows:
-        if event not in ("created", "updated", "destroyed"):
+    # A1: per key keep max updated_at (missing => Time.current, i.e.
+    # always wins; max_by replaces only on strictly-greater, so ties keep
+    # the FIRST batch element = lowest offset —
+    # remove_duplicates_strategy.rb:20-41)
+    def a1_rank(row):
+        k, upd, val, can, event, off = row
+        return (
+            0 if upd is None else 1,  # missing ts sorts newest
+            -upd.timestamp() if upd is not None else 0.0,
+            off,  # first-wins on ties
+        )
+
+    groups = {}
+    for row in event_rows:
+        if row[4] not in ("created", "updated", "destroyed"):
             continue  # F8: unknown dropped
-        cur = winners.get(k)
-        rank = (1, None, off) if upd is None else (0, upd, off)
+        groups.setdefault(row[0], []).append(row)
+    winners = {k: min(g, key=a1_rank) for k, g in groups.items()}
 
-        def better(a, b):
-            # missing-ts beats any real ts; among equals, higher offset
-            if (a[0], b[0]) == (1, 0):
-                return True
-            if (a[0], b[0]) == (0, 1):
-                return False
-            if a[0] == 1:  # both missing
-                return a[2] >= b[2]
-            return (a[1], a[2]) >= (b[1], b[2])
-
-        if cur is None or better(rank, cur[0]):
-            winners[k] = (rank, (k, upd, val, can, event, off))
-
-    for k, (_, (k2, upd, val, can, event, off)) in winners.items():
+    for k, (k2, upd, val, can, event, off) in winners.items():
+        old = state.get(k)
+        # F1 guard precedes the event branch (persistor.rb:63): accept
+        # iff either ts missing or src >= tgt — destroys included.
+        if old is not None:
+            old_upd = old[0]
+            if not (upd is None or old_upd is None or upd >= old_upd):
+                continue  # stale event of any type: keep target
         if event == "destroyed":
-            if k in state:
-                if can is not None:  # soft destroy: stamp, keep attrs
-                    old_upd, old_val, _ = state[k]
-                    state[k] = (old_upd, old_val, can)
-                else:  # hard delete
-                    del state[k]
-            # destroy of unknown key: no-op
-        else:  # created/updated share the guarded-upsert path
-            if k in state:
-                old_upd, old_val, old_can = state[k]
-                # F1 guard: accept iff either ts missing or src >= tgt
-                if upd is None or old_upd is None or upd >= old_upd:
-                    state[k] = (upd, val, can)
-                # else keep target
-            else:
+            if can is not None:
+                # soft destroy: attrs assigned from payload before the
+                # destroy branch, then canceled stamp + save — inserts
+                # on unseen keys (find_or_initialize + save)
                 state[k] = (upd, val, can)
+            elif old is not None:  # hard delete
+                del state[k]
+            # hard destroy of unknown key: no-op (save skipped)
+        else:  # created/updated share the guarded-upsert path
+            state[k] = (upd, val, can)
     return state
 
 

@@ -39,9 +39,11 @@ FILE2 = [
     _env("thing_updated", id=1, updated_at="2024-01-02 10:00:00", name="A2"),
     # stale update: older than both the stored row and the in-batch winner
     _env("thing_updated", id=1, updated_at="2023-12-01 10:00:00", name="OLD"),
-    # soft destroy: canceled_at present => cancel, keep attributes
+    # soft destroy: canceled_at present => cancel; the payload's attrs
+    # persist (assign_attributes precedes the destroy branch,
+    # persistor.rb:64) — destroy envelopes serialize the full record
     _env(
-        "thing_destroyed", id=2, updated_at="2024-01-02 11:00:00",
+        "thing_destroyed", id=2, updated_at="2024-01-02 11:00:00", name="B-final",
         canceled_at="2024-01-02 11:00:00",
     ),
     _env("thing_updated", id=3, updated_at="2024-01-02 12:00:00", name="C"),
@@ -87,7 +89,7 @@ def test_consumer_stream_end_to_end(spark, stream_env):
     assert set(state) == {1, 2, 3}
     assert state[1]["name"] == "A2"  # newest applied, stale rejected
     assert state[2]["synced_canceled_at"] is not None  # soft destroy
-    assert state[2]["name"] == "B"  # attributes survive a soft destroy
+    assert state[2]["name"] == "B-final"  # payload attrs persist on soft destroy
     assert state[3]["name"] == "C"  # update of unseen key inserts
     # dead letter captured the unknown event
     dlq = stream_env["dlq"].read(spark)
