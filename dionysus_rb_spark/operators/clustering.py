@@ -2,41 +2,60 @@
 step of a curation pipeline (topic balancing, per-cluster sampling,
 cluster-aware splits).
 
-Lloyd's algorithm, Spark-first: assignment is a broadcast of the k
-centroids across one corpus scan (rounded cosine, ties to the lowest
-centroid id); the update step is dimension-parallel — posexplode to
-(cluster, dim, value), one groupBy(cluster, dim) whose per-cell mean is
-a SORTED sequential fold, then re-assembly of the centroid arrays. The
-sorted fold is what makes the whole iterative algorithm reproducible
+Lloyd's algorithm, Spark-first: the k centroids are collected to the
+driver each iteration (k x dim doubles — hyperparameter-scale, the same
+move MLlib's KMeans and pq_encode's codebook make) and inlined into the
+plan as literals, so assignment is a MAP-ONLY argmax over one corpus
+scan: no join, no per-vector window, no shuffle of K x N rows. The
+update step is dimension-parallel — posexplode to (cluster, dim,
+value), one groupBy(cluster, dim) whose per-cell mean is a SORTED
+sequential fold, then re-assembly of the centroid arrays. The sorted
+fold is what makes the whole iterative algorithm reproducible
 bit-for-bit across engines and shuffle orders (a plain avg() varies in
 the last ulp with partition order); a throughput-first deployment swaps
 `F.avg` in and drops the oracle guarantee, changing nothing else.
 
-Scale shape per iteration: one corpus scan + one shuffle of
-(cluster, dim, value) triples. Centroids (k x dim doubles) stay
-broadcast-sized for any realistic k, so the corpus is never shuffled by
-cluster membership.
+Scale shape per iteration: one corpus scan (codegen'd literal argmax) +
+one shuffle of (cluster, dim, value) triples for the means. The corpus
+is never shuffled by cluster membership, and the only per-iteration
+driver traffic is the k x dim centroid collect.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import as_double, cosine, cosine_sql
 
+Centroids = list[tuple[int, list[float]]]
 
-def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast(cents) x base, rounded
-    cosine, deterministic tie-break on centroid id."""
-    scored = base.join(F.broadcast(cents)).withColumn(
-        "__cos", F.round(cosine(F.col("__v"), F.col("__cv")), 6)
+
+def _assign(base: DataFrame, cents: Centroids) -> DataFrame:
+    """Nearest-centroid assignment against LITERAL centroids: map-only
+    argmax of rounded cosine, ties to the lowest centroid id.
+
+    ``array_min`` over (−cos, id, cos) structs is lexicographic, so it
+    is exactly ``ORDER BY cos DESC, id ASC LIMIT 1``; the third field
+    carries the winner's cosine out bit-identically (−(−x) == x for
+    every double, signed zeros included)."""
+    cands = F.array(
+        *[
+            F.struct(
+                (-F.round(
+                    cosine(F.col("__v"), F.array(*[F.lit(x) for x in cv])), 6
+                )).alias("nc"),
+                F.lit(int(cid)).cast("long").alias("cluster_id"),
+            )
+            for cid, cv in cents
+        ]
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("__cos"), F.asc("cluster_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "__v", "cluster_id", "__cos")
+    best = F.array_min(cands)
+    return base.select(
+        "vec_id",
+        "__v",
+        best["cluster_id"].alias("cluster_id"),
+        (-best["nc"]).alias("__cos"),
     )
 
 
@@ -73,30 +92,27 @@ def kmeans_assign(
     """Run ``iters`` Lloyd iterations from deterministic seeds (the
     vectors with the ``k`` lowest ids — the cross-engine-reproducible
     analogue of kmeans|| seeding) and return the final assignment:
-    (vec_id, cluster_id, cos). ``cluster_id`` numbers the seed order.
+    (vec_id, cluster_id, cos). ``cluster_id`` numbers the seed order
+    densely 0..k-1 (driver-side enumerate — no renumbering window).
     """
     from pyspark.storagelevel import StorageLevel
 
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("__v")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    cents = (
-        base.orderBy("vec_id")
-        .limit(k)
-        .select(
-            F.col("vec_id").cast("long").alias("cluster_id"),
-            F.col("__v").alias("__cv"),
-        )
+    seed_rows = sorted(
+        base.orderBy("vec_id").limit(k).collect(), key=lambda r: r["vec_id"]
     )
-    # re-number seeds 0..k-1 in id order so cluster ids are dense
-    w = Window.orderBy("cluster_id")
-    cents = cents.select(
-        (F.row_number().over(w) - 1).cast("long").alias("cluster_id"), "__cv"
-    )
-    assigned = None
+    cents: Centroids = [(i, list(r["__v"])) for i, r in enumerate(seed_rows)]
     for _ in range(iters):
         assigned = _assign(base, cents)
-        cents = _update(assigned)
+        # collect the k x dim update (hyperparameter-scale) so the next
+        # assignment stays a literal map; a cluster that loses every
+        # member drops out, exactly as the DataFrame groupBy did
+        cents = sorted(
+            (int(r["cluster_id"]), list(r["__cv"]))
+            for r in _update(assigned).collect()
+        )
     # final assignment against the last updated centroids
     assigned = _assign(base, cents)
     return assigned.select("vec_id", "cluster_id", F.col("__cos").alias("cos"))

@@ -298,47 +298,52 @@ def train_codebook(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> list[list[float]]:
     """One (or more) distributed Lloyd iterations per sub-space, L2
-    metric: assignment broadcasts the 8 sub-centroids over the
-    sub-vector frame; the update is the dim-parallel sorted-fold mean
-    (deterministic, like clustering._update); a cluster that loses all
-    members keeps its seed sub-centroid, so the codebook stays
-    rectangular. The trained sub-centroids (M*K*sub_len doubles) are
-    collected — codebook-sized, not data-sized — and re-assembled into
-    full-dim rows for :func:`pq_encode`."""
+    metric. The sub-centroids are plain Python lists (codebook-sized),
+    so assignment is the same MAP-ONLY literal argmin as
+    :func:`pq_encode` — no join, no per-vector window, no K x N
+    shuffle; the only distributed step per iteration is the
+    dim-parallel sorted-fold mean (deterministic, like
+    clustering._update), whose k*sub_len result is collected back. A
+    cluster that loses all members keeps its seed sub-centroid, so the
+    codebook stays rectangular. Pass ``dim`` to skip the driver-side
+    probe job."""
     from pyspark.storagelevel import StorageLevel
 
-    dim = None
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("__v")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    dim = len(base.first()["__v"])
+    if dim is None:
+        dim = len(base.first()["__v"])
     sub_len = dim // n_sub
+    seed_rows = sorted(
+        base.orderBy("vec_id").limit(n_codes).collect(), key=lambda r: r["vec_id"]
+    )
+    seeds_full = [list(r["__v"]) for r in seed_rows]
     codebook = [[0.0] * dim for _ in range(n_codes)]
 
     for m in range(n_sub):
-        sub = base.select("vec_id", F.slice("__v", m * sub_len + 1, sub_len).alias("__sv"))
-        w = Window.orderBy("vec_id")
-        seeds = (
-            sub.orderBy("vec_id")
-            .limit(n_codes)
-            .select(
-                (F.row_number().over(w) - 1).cast("long").alias("__k"),
-                F.col("__sv").alias("__cv"),
-            )
-        )
-        cents = seeds
+        lo = m * sub_len
+        sub = base.select(F.slice("__v", lo + 1, sub_len).alias("__sv"))
+        seed_cents = [seeds_full[k][lo : lo + sub_len] for k in range(n_codes)]
+        cents = seed_cents
         for _ in range(iters):
-            scored = sub.join(F.broadcast(cents)).withColumn(
-                "__d", _l2(F.col("__sv"), F.col("__cv"))
+            # map-only literal argmin (pq_encode's shape): lexicographic
+            # array_min over (dist, k) == ORDER BY d ASC, k ASC LIMIT 1
+            cands = F.array(
+                *[
+                    F.struct(
+                        _l2(
+                            F.col("__sv"), F.array(*[F.lit(x) for x in cv])
+                        ).alias("d"),
+                        F.lit(k).cast("long").alias("k"),
+                    )
+                    for k, cv in enumerate(cents)
+                ]
             )
-            wv = Window.partitionBy("vec_id").orderBy(F.asc("__d"), F.asc("__k"))
-            assigned = (
-                scored.withColumn("__rn", F.row_number().over(wv))
-                .filter(F.col("__rn") == 1)
-                .select("vec_id", "__sv", "__k")
-            )
+            assigned = sub.select("__sv", F.array_min(cands)["k"].alias("__k"))
             cells = assigned.select("__k", F.posexplode("__sv").alias("__dim", "__x"))
             means = cells.groupBy("__k", "__dim").agg(
                 (
@@ -350,19 +355,18 @@ def train_codebook(
                     / F.count("*")
                 ).alias("__m")
             )
-            upd = means.groupBy("__k").agg(
+            upd_df = means.groupBy("__k").agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("__dim", "__m"))),
                     lambda s: s["__m"],
                 ).alias("__ucv")
             )
-            cents = (
-                seeds.join(upd, "__k", "left")
-                .select("__k", F.coalesce("__ucv", "__cv").alias("__cv"))
-            )
-        for r in cents.collect():
-            k = int(r["__k"])
-            codebook[k][m * sub_len : (m + 1) * sub_len] = list(r["__cv"])
+            # k * sub_len doubles: hyperparameter-scale collect; empty
+            # clusters fall back to their SEED sub-centroid
+            upd = {int(r["__k"]): list(r["__ucv"]) for r in upd_df.collect()}
+            cents = [upd.get(k, seed_cents[k]) for k in range(n_codes)]
+        for k in range(n_codes):
+            codebook[k][lo : lo + sub_len] = cents[k]
     return codebook
 
 

@@ -120,28 +120,63 @@ def lsh_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Scale path: bucket by hyperplane signs, exact-verify within
-    buckets only. Deterministic planes => oracle-checkable."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    buckets only. Deterministic planes => oracle-checkable.
+
+    Same skew-proof shape as minhash's lsh_candidate_pairs: ONE shuffle
+    groups each bucket's ids into a sorted list, ordered pairs expand
+    bucket-locally, and ``max_bucket`` drops degenerate buckets before
+    expansion — a hot bucket can never go quadratic (a raw self-join on
+    ``bucket`` would). Candidate pairs then re-join the (persisted)
+    vector frame for the exact cosine verify, so the corpus is scanned
+    once however hot any bucket is.
+
+    Pass ``dim`` to skip the driver-side probe job; size ``num_planes``
+    ~ log2(corpus / target_bucket_size) so mean bucket occupancy stays
+    bounded as the corpus grows (8 planes = 256 buckets is a testdata
+    setting, not a web-scale one).
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     pl = planes(num_planes, dim, seed)
-    base = embeddings.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("bucket", lsh_bucket(F.col("__v"), pl))
-    a, b = base.alias("a"), base.alias("b")
+    from pyspark.storagelevel import StorageLevel
+
+    base = (
+        embeddings.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+        .withColumn("bucket", lsh_bucket(F.col("__v"), pl))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds pair gen + 2 verify joins
+    )
+    buckets = base.groupBy("bucket").agg(
+        F.array_sort(F.collect_set(F.col(id_col))).alias("ids")
+    )
+    buckets = buckets.filter(F.size("ids") >= 2)
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    ids = F.col("ids")
+    pairs_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    # one bucket per vector (single-band LSH) => pairs are already unique
+    pairs = buckets.select(F.explode(pairs_arr).alias("p")).select(
+        "p.id_a", "p.id_b"
+    )
+    va = base.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .withColumn("cos", F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
         .filter(F.col("cos") >= threshold)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            "cos",
-        )
+        .select("id_a", "id_b", "cos")
     )
 
 
@@ -149,20 +184,29 @@ def lsh_near_dup_pairs(
 
 
 def ivf_assign(
-    base: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
+    base: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid cell (argmax cosine,
-    ties to the lowest centroid id). One corpus scan x broadcast
-    centroids — the IVF "coarse quantizer" step."""
-    scored = base.join(F.broadcast(centroids)).withColumn(
-        "__cos", cosine(F.col("__v"), F.col("__cv"))
+    ties to the lowest centroid id). The coarse quantizer is
+    codebook-sized, so it inlines as literals and the assignment is
+    MAP-ONLY — one codegen corpus scan, no join, no per-vector window
+    (lexicographic array_min over (−cos, id) == ORDER BY cos DESC,
+    id ASC LIMIT 1)."""
+    cands = F.array(
+        *[
+            F.struct(
+                (-cosine(F.col("__v"), F.array(*[F.lit(x) for x in cv]))).alias(
+                    "nc"
+                ),
+                F.lit(int(cid)).cast("long").alias("cent_id"),
+            )
+            for cid, cv in centroids
+        ]
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("cent_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "__v", "cent_id")
-    )
+    best = F.array_min(cands)
+    return base.select(id_col, "__v", best["cent_id"].alias("cent_id"))
 
 
 def ivf_topk(
@@ -181,28 +225,39 @@ def ivf_topk(
     deterministic stand-in for the k-means training step (which is
     centroid *selection*, not search; swapping in trained centroids
     changes recall, not the plan). Search cost drops from O(n) per query
-    to O(n * nprobe / n_centroids); the assignment pass is one broadcast
-    join, shuffle-free."""
+    to O(n * nprobe / n_centroids); the coarse quantizer is collected
+    once (codebook-sized) so both the assignment pass and the query
+    probe are literal map-only scans — no join, no per-vector window."""
     base = embeddings.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("__v")
     )
-    centroids = base.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col("__v").alias("__cv")
+    cents = sorted(
+        (int(r[id_col]), list(r["__v"]))
+        for r in base.filter(F.col(id_col) < n_centroids).collect()
     )
-    assigned = ivf_assign(base, centroids, id_col)
+    assigned = ivf_assign(base, cents, id_col)
 
     queries = assigned.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("__v").alias("__qv")
     )
-    qscored = queries.join(F.broadcast(centroids)).withColumn(
-        "__cos", cosine(F.col("__qv"), F.col("__cv"))
+    # per-query nprobe nearest cells: sort the literal (−cos, cent_id)
+    # struct array and take the prefix — ORDER BY cos DESC, id ASC
+    qcands = F.array(
+        *[
+            F.struct(
+                (-cosine(F.col("__qv"), F.array(*[F.lit(x) for x in cv]))).alias(
+                    "nc"
+                ),
+                F.lit(int(cid)).cast("long").alias("cent_id"),
+            )
+            for cid, cv in cents
+        ]
     )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("cent_id"))
-    probe = (
-        qscored.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "__qv", "cent_id")
-    )
+    probe = queries.select(
+        "query_id",
+        "__qv",
+        F.explode(F.slice(F.array_sort(qcands), 1, nprobe)).alias("__pc"),
+    ).select("query_id", "__qv", F.col("__pc.cent_id").alias("cent_id"))
 
     cands = (
         probe.alias("p")
@@ -299,7 +354,7 @@ def ivf_topk_sql(
 
 
 def lsh_near_dup_sql(
-    plane_list: list[list[int]], threshold: float = 0.9
+    plane_list: list[list[int]], threshold: float = 0.9, max_bucket: int = 1000
 ) -> str:
     bucket_terms = []
     for p, w in enumerate(plane_list):
@@ -316,9 +371,14 @@ def lsh_near_dup_sql(
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
-    bucketed AS (SELECT vec_id, v, {bucket} AS bucket FROM base)
+    bucketed AS (SELECT vec_id, v, {bucket} AS bucket FROM base),
+    ok AS (
+      SELECT bucket FROM bucketed
+      GROUP BY bucket HAVING count(*) BETWEEN 2 AND {max_bucket}
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos
     FROM bucketed a JOIN bucketed b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    JOIN ok ON ok.bucket = a.bucket
     WHERE round({cos}, 6) >= {threshold}
     """

@@ -37,15 +37,17 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_lsh_neardup",
     refs="beyond:similarity",
     bench=True,
-    oracle=similarity.lsh_near_dup_sql(LSH_PLANES, threshold=0.2),
+    oracle=similarity.lsh_near_dup_sql(LSH_PLANES, threshold=0.2, max_bucket=1000),
 )
 def ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH near-dup: 8 deterministic sign planes bucket the
-    corpus (2^8 buckets); exact cosine verify within buckets only —
-    the O(n·bucket) scale path vs the O(n^2) exact join."""
+    corpus (2^8 buckets — a testdata setting; scale num_planes with the
+    corpus); capped bucket-local pair expansion + exact cosine verify
+    within buckets only — the O(n·bucket) scale path vs the O(n^2)
+    exact join, skew-proof via the max_bucket drop."""
     emb = _emb(spark, sf_dir)
     return similarity.lsh_near_dup_pairs(
-        emb, threshold=0.2, num_planes=8, seed=42
+        emb, threshold=0.2, num_planes=8, seed=42, dim=64, max_bucket=1000
     )
 
 
@@ -251,6 +253,7 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "emb_pq_adc_topk",
+    bench=True,
     refs="beyond:similarity",
     oracle=pq.pq_adc_topk_sql(QUERY_IDS, k=10),
 )
@@ -348,5 +351,5 @@ def emb_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked end to end; recon_mse strictly improves on the seed
     codebook (asserted in tests)."""
     emb = _emb(spark, sf_dir)
-    codebook = pq.train_codebook(emb, n_codes=8, n_sub=8, iters=1)
+    codebook = pq.train_codebook(emb, n_codes=8, n_sub=8, iters=1, dim=64)
     return pq.pq_encode(emb, codebook, n_sub=8)

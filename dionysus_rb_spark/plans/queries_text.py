@@ -369,6 +369,7 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dd_dedup_final",
+    bench=True,
     refs="beyond:dedup",
     oracle=f"""
     WITH RECURSIVE pairs AS (
@@ -401,10 +402,11 @@ def dd_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's end product: the KEPT corpus. Near-dup pairs
     (MinHash-LSH) cluster via connected components; each cluster keeps
     its canonical survivor (min doc_id) and every unclustered doc
-    survives as unique. The non-survivor set is cluster-membership-sized
-    (small — only docs with duplicates), so the final selection is an
-    anti-join of the corpus against a broadcast drop list: the corpus
-    itself is never reshuffled."""
+    survives as unique. The drop list is cluster-membership-sized — but
+    on an adversarial corpus (SCALING.md's 95%-near-dup run) it is
+    corpus-sized, so NO broadcast hint is forced: AQE broadcasts when
+    the runtime size is actually small and falls back to a shuffled
+    hash join otherwise, so neither side can OOM the executors."""
     from ..operators.graph import connected_components
 
     docs = _docs(spark, sf_dir)
@@ -418,9 +420,9 @@ def dd_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop = cc.filter(F.col("vertex") != F.col("component")).select(
         F.col("vertex").alias("doc_id")
     )
-    kept = docs.join(F.broadcast(drop), "doc_id", "left_anti")
+    kept = docs.join(drop, "doc_id", "left_anti")
     return kept.join(
-        F.broadcast(reps), kept["doc_id"] == reps["rep_id"], "left"
+        reps, kept["doc_id"] == reps["rep_id"], "left"
     ).select(
         "doc_id",
         F.when(F.col("rep_id").isNotNull(), "cluster_rep")
@@ -787,8 +789,11 @@ def t_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     then-apply-it shape. Term frequencies aggregate in one shuffle keyed
     by (doc, token); document frequencies derive from that result with a
     map-side-combined reaggregation on token (vocabulary-sized); the df
-    table then broadcasts back onto the tf rows, and the per-doc top-3
-    is a window rank partitioned by doc. Ranking uses the ROUNDED score
+    table joins back onto the tf rows — no forced broadcast: a natural-
+    language vocabulary fits, but at web scale (URLs, code, numerals) the
+    token space is unbounded, so AQE decides from the runtime size — and
+    the per-doc top-3 is a window rank partitioned by doc. Ranking uses
+    the ROUNDED score
     so cross-engine double noise cannot flip the order; ties break on
     the token string."""
     from pyspark.sql import Window
@@ -809,7 +814,7 @@ def t_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfc = tf.groupBy("token").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(dfc), "token").select(
+    scored = tf.join(dfc, "token").select(
         "doc_id",
         "token",
         F.round(
@@ -1067,6 +1072,7 @@ def samp_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "samp_cluster_split",
+    bench=True,
     refs="beyond:text,beyond:dedup",
     oracle=f"""
     WITH RECURSIVE pairs AS (

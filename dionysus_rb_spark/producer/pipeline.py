@@ -69,9 +69,17 @@ def publish_changelog(
     canceled_col: str | None = "canceled_at",
 ) -> PublishResult:
     """Classify + serialize + write one resource's change log to its
-    topic directory, one file per event in commit order (mtime-encoded,
-    the file-source equivalent of Kafka per-partition order). Returns
-    publish counts per action."""
+    topic directory, one file per event in commit order (the filename
+    encodes the sequence and the mtime re-encodes it for mtime-ordered
+    file sources — the file-sink twin of Kafka per-partition order).
+    Returns publish counts per action.
+
+    The write is EXECUTOR-SIDE (``foreachPartition``): serialized events
+    are never collected to the driver, so the publish path scales with
+    the cluster, not the driver — the production sink is the Kafka
+    ``writeStream`` in streaming/pipeline.py; this file twin keeps the
+    same distributed shape (per-partition writers, seq-derived names)
+    against a shared filesystem."""
     classified = classify_changelog(changelog, id_col, seq_col, canceled_col)
     respond = registry.responder(topic, resource)
 
@@ -79,21 +87,43 @@ def publish_changelog(
     topic_dir = os.path.join(out_dir, decl.primary)
     os.makedirs(topic_dir, exist_ok=True)
 
-    by_action: dict[str, int] = {}
-    total = 0
-    for action in ("created", "updated", "destroyed"):
-        part = classified.filter(F.col("action") == action)
-        rows = respond(action, part, keep_cols=(seq_col,)).select(
-            seq_col, "value"
-        ).collect()
-        for r in rows:
-            p = os.path.join(topic_dir, f"{int(r[seq_col]):08d}.jsonl")
-            with open(p, "w") as f:
-                f.write(r["value"] + "\n")
-            t = 1_700_000_000 + int(r[seq_col])
-            os.utime(p, (t, t))
-        by_action[action] = len(rows)
-        total += len(rows)
+    frames = [
+        respond(
+            action, classified.filter(F.col("action") == action), keep_cols=(seq_col,)
+        ).select(
+            F.lit(action).alias("__action"),
+            F.col(seq_col).cast("long").alias("__seq"),
+            "value",
+        )
+        for action in ("created", "updated", "destroyed")
+    ]
+    events = frames[0].unionAll(frames[1]).unionAll(frames[2])
+    from pyspark.storagelevel import StorageLevel
+
+    events = events.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        counts = {
+            r["__action"]: r["n"]
+            for r in events.groupBy("__action").agg(F.count("*").alias("n")).collect()
+        }
+        by_action = {
+            a: int(counts.get(a, 0)) for a in ("created", "updated", "destroyed")
+        }
+
+        def _write_partition(rows):
+            import os as _os
+
+            for r in rows:
+                p = _os.path.join(topic_dir, f"{int(r['__seq']):08d}.jsonl")
+                with open(p, "w") as f:
+                    f.write(r["value"] + "\n")
+                t = 1_700_000_000 + int(r["__seq"])
+                _os.utime(p, (t, t))
+
+        events.select("__seq", "value").foreachPartition(_write_partition)
+    finally:
+        events.unpersist()
+    total = sum(by_action.values())
     return PublishResult(n_events=total, by_action=by_action, topic_dir=topic_dir)
 
 
