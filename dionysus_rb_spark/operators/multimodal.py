@@ -155,3 +155,44 @@ def frame_sample(
         "frame_idx",
         (F.col("frame_idx") * every_n_bytes).cast("long").alias("byte_offset"),
     )
+
+
+def chunk_media(
+    df: DataFrame,
+    chunk_bytes: int = 128,
+    overlap_bytes: int = 32,
+    content_col: str = "content",
+) -> DataFrame:
+    """Overlapping fixed-size chunking of opaque blobs — the audio/video
+    analogue of text passage-splitting (whisper-style 30s windows with
+    overlap, video GOP windows): one row per chunk with its byte extent
+    and content digest, ready for a per-chunk Arrow decode stage.
+
+    Pure codegen scan: offsets come from a row-local sequence explode,
+    the chunk bytes are sliced JVM-side, and nothing shuffles — chunk
+    rows inherit the scan's partitioning, so a following mapInPandas
+    decoder sees whole batches of same-blob chunks without a sort.
+    """
+    n = F.octet_length(F.col(content_col))
+    stride = chunk_bytes - overlap_bytes
+    assert stride > 0, "overlap must be smaller than the chunk"
+    n_chunks = F.when(n <= chunk_bytes, F.lit(1)).otherwise(
+        F.ceil((n - chunk_bytes) / F.lit(stride)).cast("long") + 1
+    )
+    out = df.withColumn(
+        "chunk_idx",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)),
+    )
+    offset = F.col("chunk_idx") * stride
+    clen = F.least(F.lit(chunk_bytes).cast("long"), n - offset)
+    chunk = F.expr(
+        f"substring({content_col}, chunk_idx * {stride} + 1, "
+        f"least({chunk_bytes}, octet_length({content_col}) - chunk_idx * {stride}))"
+    )
+    return out.select(
+        "media_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        offset.cast("long").alias("byte_offset"),
+        clen.cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_digest"),
+    )

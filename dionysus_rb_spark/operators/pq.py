@@ -439,3 +439,248 @@ def pq_trained_sql(n_codes: int = 8, n_sub: int = 8, dim: int = 64) -> str:
            round(({mse}) / {dim}, 9) AS recon_mse
     FROM best0 b0 {joins}
     """
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    codebook: list[list[float]],
+    query_ids: list[int],
+    k: int = 10,
+    n_sub: int = 8,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (the FAISS IVFADC shape): coarse cells prune the corpus,
+    PQ-ADC scores what survives — the production billion-vector index
+    as one Spark plan.
+
+    Everything hyperparameter-sized happens on the driver: the coarse
+    quantizer (first ``n_centroids`` vectors, cosine metric) and the
+    query vectors are collected, each query's ``nprobe`` cells are
+    chosen in Python (|Q| x K dot products), and both the coarse
+    argmax and the PQ codes inline as literals. The corpus side is ONE
+    map-only scan: assign cell + encode codes + look up per-query ADC
+    distances, gated by an ``isin(probed cells)`` filter that Catalyst
+    pushes at the scan — on a corpus laid out partitioned-by-cell this
+    becomes partition pruning, i.e. the scan itself shrinks by
+    ~nprobe/n_centroids. Per-query top-k prunes map-side
+    (WindowGroupLimit)."""
+    from .similarity import ivf_assign
+
+    dim = len(codebook[0])
+    sub_len = dim // n_sub
+    base = embeddings.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    )
+    coarse = sorted(
+        (int(r[id_col]), list(r["__v"]))
+        for r in base.filter(F.col(id_col) < n_centroids).collect()
+    )
+    qvecs = {
+        int(r[id_col]): list(r["__v"])
+        for r in base.filter(F.col(id_col).isin(query_ids)).collect()
+    }
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        # sequential left folds in index order — bit-identical to the
+        # oracle's list_reduce and the Spark-side F.aggregate
+        dot = 0.0
+        for i in range(len(a)):
+            dot += a[i] * b[i]
+        na = 0.0
+        nb = 0.0
+        for x in a:
+            na += x * x
+        for x in b:
+            nb += x * x
+        return dot / ((na ** 0.5) * (nb ** 0.5))
+
+    probes = {
+        q: [
+            cid
+            for cid, _ in sorted(
+                ((cid, _cos(qv, cv)) for cid, cv in coarse),
+                key=lambda t: (-t[1], t[0]),
+            )[:nprobe]
+        ]
+        for q, qv in qvecs.items()
+    }
+    allowed = sorted({c for cells in probes.values() for c in cells})
+
+    assigned = ivf_assign(base, coarse, id_col).filter(
+        F.col("cent_id").isin(allowed)
+    )
+    code_cols: list[Column] = []
+    for m in range(n_sub):
+        sv = F.slice(F.col("__v"), m * sub_len + 1, sub_len)
+        cands = F.array(
+            *[
+                F.struct(
+                    _l2(
+                        sv,
+                        F.array(
+                            *[
+                                F.lit(codebook[c][m * sub_len + d])
+                                for d in range(sub_len)
+                            ]
+                        ),
+                    ).alias("d"),
+                    F.lit(c).cast("long").alias("k"),
+                )
+                for c in range(len(codebook))
+            ]
+        )
+        code_cols.append(F.array_min(cands)["k"])
+    enc = assigned.select(
+        F.col(id_col).alias("cand_id"),
+        "cent_id",
+        F.array(*code_cols).alias("codes"),
+    )
+
+    def l2(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    dtab = {
+        q: [
+            [
+                l2(
+                    qv[m * sub_len : (m + 1) * sub_len],
+                    codebook[c][m * sub_len : (m + 1) * sub_len],
+                )
+                for c in range(len(codebook))
+            ]
+            for m in range(n_sub)
+        ]
+        for q, qv in qvecs.items()
+    }
+    per_query = []
+    for q in sorted(dtab):
+        dist = None
+        for m in range(n_sub):
+            term = F.element_at(
+                F.array(*[F.lit(x) for x in dtab[q][m]]),
+                (F.col("codes")[m] + 1).cast("int"),
+            )
+            dist = term if dist is None else dist + term
+        per_query.append(
+            F.struct(
+                F.lit(int(q)).cast("long").alias("query_id"),
+                F.when(
+                    F.col("cent_id").isin(probes[q]), dist
+                ).alias("adist"),  # NULL outside this query's probed cells
+            )
+        )
+    exploded = (
+        enc.select("cand_id", F.explode(F.array(*per_query)).alias("qd"))
+        .select("qd.query_id", "cand_id", F.round("qd.adist", 9).alias("adist"))
+        .filter(F.col("adist").isNotNull() & (F.col("cand_id") != F.col("query_id")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("cand_id"))
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+def ivfpq_topk_sql(
+    query_ids: list[int],
+    k: int = 10,
+    n_codes: int = 8,
+    n_sub: int = 8,
+    dim: int = 64,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`ivfpq_topk` with the seeded codebook:
+    same coarse assignment/probe ordering (cos DESC, cent_id ASC), same
+    codes and distance tables, same fixed m-order fold and tie-breaks."""
+    from .similarity import cosine_sql
+
+    sub_len = dim // n_sub
+    ids = ", ".join(map(str, query_ids))
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {sub_len + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+        )
+
+    assign_cos = cosine_sql("b.v", "c.ccv")
+    probe_cos = cosine_sql("q.qv", "c.ccv")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    coarse AS (
+      SELECT vec_id AS cent_id, v AS ccv FROM base WHERE vec_id < {n_centroids}
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT b.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY b.vec_id
+                   ORDER BY {assign_cos} DESC, c.cent_id ASC) AS rn
+        FROM base b CROSS JOIN coarse c) t
+      WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id IN ({ids})),
+    qprobe AS (
+      SELECT query_id, cent_id FROM (
+        SELECT q.query_id, c.cent_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {probe_cos} DESC, c.cent_id ASC) AS rn
+        FROM q CROSS JOIN coarse c) t
+      WHERE rn <= {nprobe}
+    ),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cbk,
+             v AS cv
+      FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {n_codes}) s
+    ),
+    sub AS (
+      SELECT vec_id, m, list_slice(v, m * {sub_len} + 1, (m + 1) * {sub_len}) AS sv
+      FROM base CROSS JOIN (SELECT unnest(range({n_sub})) AS m) ms
+    ),
+    csub AS (
+      SELECT cbk, m, list_slice(cv, m * {sub_len} + 1, (m + 1) * {sub_len}) AS csv
+      FROM cents CROSS JOIN (SELECT unnest(range({n_sub})) AS m) ms
+    ),
+    codes AS (
+      SELECT vec_id, m, cbk FROM (
+        SELECT s.vec_id, s.m, c.cbk,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {l2('s.sv', 'c.csv')} ASC, c.cbk ASC)
+                   AS rn
+        FROM sub s JOIN csub c ON s.m = c.m) t
+      WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT vec_id AS query_id, m, sv AS qsv FROM sub WHERE vec_id IN ({ids})
+    ),
+    dtab AS (
+      SELECT qs.query_id, qs.m, c.cbk, {l2('qs.qsv', 'c.csv')} AS dt
+      FROM qsub qs JOIN csub c ON qs.m = c.m
+    ),
+    scored AS (
+      SELECT d.query_id, co.vec_id AS cand_id,
+             round(list_reduce(list(d.dt ORDER BY d.m), (x, y) -> x + y), 9)
+                 AS adist
+      FROM codes co
+      JOIN assigned a ON a.vec_id = co.vec_id
+      JOIN qprobe p ON p.cent_id = a.cent_id
+      JOIN dtab d ON d.query_id = p.query_id AND d.m = co.m AND d.cbk = co.cbk
+      WHERE co.vec_id <> d.query_id
+      GROUP BY d.query_id, co.vec_id
+    )
+    SELECT query_id, cand_id, adist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY adist ASC, cand_id ASC) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """

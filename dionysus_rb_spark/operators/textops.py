@@ -199,6 +199,11 @@ def pack_offsets(
     if stage:
         sized = sized.persist(StorageLevel.MEMORY_AND_DISK)
     shard_tot = sized.groupBy("__shard").agg(F.sum(n_col).alias("__tot"))
+    # NOTE: this unpartitioned window triggers Spark's "No Partition
+    # Defined for Window operation" warning — intentionally: it runs
+    # over the SHARD-TOTALS frame (corpus_size / shard_size rows, e.g.
+    # 100k at 10B docs), never the corpus. Single-partition is the
+    # correct plan for a bounded aggregate this small.
     w_shard = Window.orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
     shard_base = shard_tot.select(
         "__shard",
@@ -320,6 +325,9 @@ def token_budget_cap(
         "__qb", F.floor((F.lit(1.0) - q) * buckets).cast("long")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     bucket_tot = sized.groupBy("__qb").agg(F.sum(n_col).alias("__tot"))
+    # unpartitioned window over the BUCKET-TOTALS frame (<= `buckets`
+    # rows) — the "No Partition Defined" warning is benign here; see
+    # the matching note in pack_offsets
     w_b = Window.orderBy("__qb").rowsBetween(Window.unboundedPreceding, -1)
     bucket_base = bucket_tot.select(
         "__qb", F.coalesce(F.sum("__tot").over(w_b), F.lit(0)).alias("__base")
@@ -374,4 +382,72 @@ def mix_epochs(
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__n")
         .withColumn("epoch", F.col("epoch").cast("long"))
+    )
+
+
+def passage_dedup(
+    df,
+    text_col: str,
+    id_col: str,
+    passage_tokens: int = 12,
+):
+    """Passage-level (sub-document) dedup — the boilerplate-removal pass
+    of a training pipeline: repeated headers/footers/navigation chunks
+    are duplicated ACROSS documents even when no two documents are
+    near-duplicates, so whole-doc dedup never catches them.
+
+    Each document splits into non-overlapping ``passage_tokens``-token
+    windows; a passage survives only in the document with the smallest
+    id that contains it (ownership via ``min(doc_id) over (partition by
+    passage_hash)`` — ONE shuffle keyed by the 32-bit passage hash,
+    never the passage text), then each document reassembles from its
+    surviving passages in position order (second shuffle, keyed by doc).
+    At 100 TB both shuffles move (hash, doc_id, pos) triples plus only
+    the KEPT passage strings; the window's min aggregates map-side.
+
+    Returns (id, n_passages, n_kept, kept_text).
+    """
+    from pyspark.sql import Window
+
+    toks = tokenize(F.col(text_col))
+    n_pass = F.ceil(F.size(toks) / F.lit(passage_tokens)).cast("long")
+    # guard: sequence(1, 0) DESCENDS in Spark — a token-less doc must
+    # yield zero passages, not two bogus ones
+    windows = F.when(
+        n_pass >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_pass),
+            lambda i: F.array_join(
+                F.slice(toks, (i - 1) * passage_tokens + 1, passage_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    passages = df.select(
+        F.col(id_col), F.posexplode(windows).alias("pos", "passage")
+    )
+    ph = h32(F.col("passage"))
+    w = Window.partitionBy(ph)
+    marked = passages.withColumn(
+        "__keep", F.col(id_col) == F.min(id_col).over(w)
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_passages"),
+            F.sum(F.col("__keep").cast("long")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(F.col("pos"), F.col("passage")),
+                            )
+                        )
+                    ),
+                    lambda s: s["passage"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
     )

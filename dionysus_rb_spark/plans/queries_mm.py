@@ -200,3 +200,39 @@ def j3_observer_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", F.lit("order_updated").alias("event"))
         .distinct()
     )
+
+
+@query(
+    "mm_chunk_media",
+    refs="beyond:multimodal",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(encode(text)) AS n,
+             CASE WHEN octet_length(encode(text)) <= 128 THEN 1
+                  ELSE CAST(ceil((octet_length(encode(text)) - 128) / 96.0)
+                       AS BIGINT) + 1 END AS n_chunks
+      FROM documents
+    ),
+    chunks AS (
+      SELECT media_id, text, n, unnest(range(n_chunks)) AS chunk_idx
+      FROM sized
+    )
+    SELECT media_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * 96 AS BIGINT) AS byte_offset,
+           CAST(least(128, n - chunk_idx * 96) AS BIGINT) AS chunk_len,
+           md5(substr(text, CAST(chunk_idx * 96 + 1 AS BIGINT),
+                      CAST(least(128, n - chunk_idx * 96) AS BIGINT)))
+               AS chunk_digest
+    FROM chunks
+    """,
+)
+def mm_chunk_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping blob chunking (128-byte windows, 32-byte overlap —
+    the whisper/GOP windowing shape): per-chunk byte extents + digests
+    from one codegen scan, no shuffle; the testdata blob is the utf-8
+    text so the oracle digests the identical bytes via substr."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary(docs, "text", "doc_id")
+    return multimodal.chunk_media(media, chunk_bytes=128, overlap_bytes=32)

@@ -353,3 +353,101 @@ def emb_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     codebook = pq.train_codebook(emb, n_codes=8, n_sub=8, iters=1, dim=64)
     return pq.pq_encode(emb, codebook, n_sub=8)
+
+
+@query(
+    "ann_ivfpq_topk",
+    refs="beyond:similarity",
+    oracle=pq.ivfpq_topk_sql(
+        QUERY_IDS, k=10, n_codes=8, n_sub=8, dim=64, n_centroids=8, nprobe=2
+    ),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IVFADC shape): coarse cells prune the corpus to
+    each query's 2-of-8 probed cells, PQ-ADC scores the survivors with
+    per-query literal distance tables — the billion-vector production
+    index as ONE map-only corpus scan (assignment + encode + lookup all
+    literal) plus a WindowGroupLimit top-k. On a cell-partitioned layout
+    the probe filter becomes partition pruning."""
+    emb = _emb(spark, sf_dir)
+    codebook = pq.seed_codebook(emb, n_codes=8)
+    return pq.ivfpq_topk(
+        emb, codebook, QUERY_IDS, k=10, n_sub=8, n_centroids=8, nprobe=2
+    )
+
+
+from ..operators import clustering  # noqa: E402
+
+
+@query(
+    "emb_semantic_dedup",
+    refs="beyond:dedup,beyond:similarity",
+    oracle=f"""
+    WITH asg AS (
+      SELECT vec_id, cluster_id, cos FROM ({clustering.kmeans_sql(k=8, iters=1)}) t
+    )
+    SELECT vec_id, cluster_id,
+           CAST(floor(cos * 50 + 0.5) AS BIGINT) AS bucket,
+           vec_id = min(vec_id) OVER (
+               PARTITION BY cluster_id, CAST(floor(cos * 50 + 0.5) AS BIGINT))
+               AS is_kept
+    FROM asg
+    """,
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (cluster, then drop near-identical
+    embeddings within each cluster — the curation pass that removes
+    *meaning*-level duplicates paraphrase dedup misses). The ε-ball
+    around each kept point is approximated by quantizing the
+    cosine-to-centroid into width-0.02 buckets and keeping one vector
+    (min id) per (cluster, bucket): the whole pass is the k-means
+    assignment scan plus ONE (cluster, bucket)-keyed window — no
+    within-cluster pair materialization, so a 10B-vector cluster costs
+    the same per row as a 10k one. floor(x+0.5) not round() for
+    engine-identical bucketing."""
+    from pyspark.sql import Window
+
+    asg = clustering.kmeans_assign(_emb(spark, sf_dir), k=8, iters=1)
+    bucket = F.floor(F.col("cos") * 50 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("cluster_id", "bucket")
+    return (
+        asg.withColumn("bucket", bucket)
+        .withColumn("is_kept", F.col("vec_id") == F.min("vec_id").over(w))
+        .select("vec_id", "cluster_id", "bucket", "is_kept")
+    )
+
+
+@query(
+    "emb_outlier_filter",
+    refs="beyond:similarity",
+    oracle=f"""
+    WITH asg AS (
+      SELECT vec_id, cluster_id, cos FROM ({clustering.kmeans_sql(k=8, iters=1)}) t
+    ),
+    stats AS (
+      SELECT cluster_id, round(quantile_cont(cos, 0.1), 6) AS p10
+      FROM asg GROUP BY cluster_id
+    )
+    SELECT a.vec_id, a.cluster_id, a.cos, s.p10,
+           a.cos < s.p10 AS is_outlier
+    FROM asg a JOIN stats s ON s.cluster_id = a.cluster_id
+    """,
+)
+def emb_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier filtering (the CLIP-score-style quality
+    pass): vectors in the bottom decile of cosine-to-their-centroid are
+    flagged — mislabeled/garbage samples sit far from every cluster
+    center. One k-means assignment scan + a k-row per-cluster quantile
+    that joins back (AQE broadcasts the k-row side); exact percentile
+    for oracle parity — at web scale swap percentile_approx, same plan
+    shape."""
+    from pyspark.sql import functions as F
+
+    asg = clustering.kmeans_assign(_emb(spark, sf_dir), k=8, iters=1)
+    stats = asg.groupBy("cluster_id").agg(
+        F.round(F.expr("percentile(cos, 0.1)"), 6).alias("p10")
+    )
+    return asg.join(stats, "cluster_id").select(
+        "vec_id", "cluster_id", "cos", "p10",
+        (F.col("cos") < F.col("p10")).alias("is_outlier"),
+    )

@@ -1291,3 +1291,46 @@ def dd_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("f").isNotNull().alias("exact_hit"),
     )
+
+
+@query(
+    "dd_passage_dedup",
+    refs="beyond:dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    pas AS (
+      SELECT doc_id,
+             unnest(list_transform(range(CAST(ceil(len(t) / 12.0) AS BIGINT)),
+                    i -> {{'pos': i,
+                           'passage': array_to_string(
+                               list_slice(t, i * 12 + 1, (i + 1) * 12), ' ')}}))
+                 AS p
+      FROM toks
+    ),
+    flat AS (SELECT doc_id, p.pos AS pos, p.passage AS passage FROM pas),
+    own AS (
+      SELECT doc_id, pos, passage,
+             doc_id = min(doc_id) OVER (PARTITION BY {h32_sql('passage')})
+                 AS keep
+      FROM flat
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+               AS n_kept,
+           coalesce(string_agg(CASE WHEN keep THEN passage END, ' '
+                               ORDER BY pos), '') AS kept_text
+    FROM own GROUP BY doc_id
+    """,
+)
+def dd_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (passage) dedup — boilerplate removal: 12-token
+    windows deduplicate ACROSS the corpus (a repeated header survives
+    only in the lowest-id doc containing it), each doc reassembling from
+    its surviving passages. Catches cross-doc repetition that whole-doc
+    and near-dup passes both miss. One hash-keyed shuffle owns passages,
+    one doc-keyed shuffle reassembles; passage text never shuffles for
+    ownership — only its h32."""
+    return textops.passage_dedup(
+        _docs(spark, sf_dir), "text", "doc_id", passage_tokens=12
+    )
