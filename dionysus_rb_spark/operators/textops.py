@@ -451,3 +451,50 @@ def passage_dedup(
             ).alias("kept_text"),
         )
     )
+
+
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def char_entropy(text: Column) -> Column:
+    """Character-distribution Shannon entropy (bits) over a fixed
+    alphabet — the cheap stand-in for the gzip-compressibility quality
+    signal: machine-generated/repetitive text scores low, natural prose
+    ~4.1 bits. Counting is replace()-based (length delta per alphabet
+    char), so the whole thing is one codegen expression — no char-array
+    explode, no shuffle; term order is the fixed alphabet order on both
+    engines, keeping the double fold bit-identical."""
+    s = F.lower(text)
+    counts = [
+        F.length(s) - F.length(F.replace(s, F.lit(c))) for c in ENTROPY_ALPHABET
+    ]
+    n = counts[0]
+    for c in counts[1:]:
+        n = n + c
+    n = F.greatest(n, F.lit(1)).cast("double")
+    ent = None
+    for c in counts:
+        p = c / n
+        # natural log on both engines (ln parity is proven by
+        # t_lm_quality); bits = nats / ln(2) with the same literal
+        term = F.when(c > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+        ent = term if ent is None else ent + term
+    return F.round(ent / F.lit(0.6931471805599453), 6)
+
+
+def char_entropy_sql(text_expr: str) -> str:
+    """DuckDB mirror of :func:`char_entropy` — same alphabet order,
+    same replace()-count, same log2 fold."""
+    counts = [
+        f"(len(lower({text_expr})) - len(replace(lower({text_expr}), '{c}', '')))"
+        for c in ENTROPY_ALPHABET
+    ]
+    n = " + ".join(counts)
+    terms = [
+        f"CASE WHEN {c} > 0 THEN -(CAST({c} AS DOUBLE) / __n) * ln(CAST({c} AS DOUBLE) / __n) ELSE 0.0 END"
+        for c in counts
+    ]
+    return (
+        f"round((SELECT {' + '.join(terms)} FROM (SELECT CAST(greatest({n}, 1) AS DOUBLE) AS __n))"
+        f" / 0.6931471805599453, 6)"
+    )

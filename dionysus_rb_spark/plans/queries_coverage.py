@@ -896,3 +896,42 @@ def p4_serializer_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("synced_id"),
     )
+
+
+@query(
+    "g5_salted_skew_agg",
+    refs="G4,beyond:scale",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+           md5(array_to_string(list_sort(list(event_id)), ',')) AS ids_digest
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def g5_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation under key skew (operators/skew.py):
+    collect_list and exact count-distinct per event_type (5 heavy keys
+    over the whole table — the worst groupBy shape) run as (key, salt)
+    partials first, so no single task funnels a heavy key's every row.
+    The oracle is the PLAIN aggregation — salting must be semantically
+    invisible (sorted collect, disjoint-salt distinct sum). The
+    collected list is md5-digested so the compare moves 5 hashes, not
+    5 id arrays."""
+    from ..operators.skew import salted_collect_list, salted_count_distinct
+
+    ev = _events(spark, sf_dir)
+    collected = salted_collect_list(
+        ev, ["event_type"], F.col("event_id"), num_salts=16
+    ).select(
+        "event_type",
+        F.md5(
+            F.array_join(F.transform("collected", lambda x: x.cast("string")), ",")
+        ).alias("ids_digest"),
+    )
+    distinct = salted_count_distinct(
+        ev, ["event_type"], F.col("user_id"), num_salts=16
+    )
+    return distinct.join(collected, "event_type").select(
+        "event_type", F.col("n_distinct").alias("n_distinct_users"), "ids_digest"
+    )

@@ -1334,3 +1334,22 @@ def dd_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.passage_dedup(
         _docs(spark, sf_dir), "text", "doc_id", passage_tokens=12
     )
+
+
+@query(
+    "t_char_entropy",
+    refs="beyond:text",
+    oracle=f"""
+    SELECT doc_id, {textops.char_entropy_sql('text')} AS entropy_bits
+    FROM documents
+    """,
+)
+def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy (bits) — the compressibility
+    quality proxy: repetitive machine text scores low, natural prose
+    ~4.1. One codegen scan, replace()-based counting over a fixed
+    alphabet (no char explode), natural-log fold in alphabet order on
+    both engines."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", textops.char_entropy(F.col("text")).alias("entropy_bits")
+    )
