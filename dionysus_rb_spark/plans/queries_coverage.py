@@ -935,3 +935,79 @@ def g5_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct.join(collected, "event_type").select(
         "event_type", F.col("n_distinct").alias("n_distinct_users"), "ids_digest"
     )
+
+
+@query(
+    "j8_asof_join",
+    refs="beyond:joins,J6",
+    oracle="""
+    WITH pur AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts
+            ORDER BY event_id DESC) = 1
+    ),
+    clk AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS asof_ts, p.value AS asof_value
+    FROM clk c ASOF LEFT JOIN pur p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union-window, operators/asof.py): every click event
+    paired with the user's latest purchase at or before the click —
+    one shuffle+sort on user_id, linear in clicks + purchases, versus
+    the exploding range join. The oracle is DuckDB's NATIVE ASOF LEFT
+    JOIN, so the operator's semantics (ties, same-instant states,
+    no-earlier-state NULLs) are pinned to the industry definition."""
+    from ..operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        probe_time="ts",
+        state_time="ts",
+        state_cols=["value"],
+        state_tiebreak="event_id",
+    )
+
+
+@query(
+    "cdc_scd2_history",
+    refs="S7,T7,beyond:cdc",
+    oracle="""
+    SELECT user_id,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           event_id, value AS val,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               AS is_current
+    FROM events
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history from the CDC stream: every version becomes a
+    validity interval [valid_from, valid_to) via lead() over the per-key
+    commit order — the dimension-table product warehouses build from
+    exactly this changelog (the snapshot store keeps only the
+    is_current slice; this keeps them all). One shuffle on the key;
+    deterministic (ts, event_id) ordering."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        "event_id",
+        F.col("value").alias("val"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

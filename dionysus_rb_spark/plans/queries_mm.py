@@ -236,3 +236,59 @@ def mm_chunk_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_binary(docs, "text", "doc_id")
     return multimodal.chunk_media(media, chunk_bytes=128, overlap_bytes=32)
+
+
+@query(
+    "mm_shared_segments",
+    refs="beyond:multimodal,beyond:dedup",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(encode(text)) AS n,
+             CASE WHEN octet_length(encode(text)) <= 128 THEN 1
+                  ELSE CAST(ceil((octet_length(encode(text)) - 128) / 96.0)
+                       AS BIGINT) + 1 END AS n_chunks
+      FROM documents
+    ),
+    chunks AS (
+      SELECT media_id, text, n, unnest(range(n_chunks)) AS chunk_idx
+      FROM sized
+    ),
+    digests AS (
+      SELECT media_id,
+             CAST(chunk_idx * 96 AS BIGINT) AS byte_offset,
+             md5(substr(text, CAST(chunk_idx * 96 + 1 AS BIGINT),
+                        CAST(least(128, n - chunk_idx * 96) AS BIGINT)))
+                 AS chunk_digest
+      FROM chunks
+    )
+    SELECT chunk_digest,
+           CAST(count(DISTINCT media_id) AS BIGINT) AS n_media,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           min(media_id) AS first_media_id,
+           min(byte_offset) AS min_offset
+    FROM digests
+    GROUP BY chunk_digest
+    HAVING count(DISTINCT media_id) >= 2
+    """,
+)
+def mm_shared_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-media repeated-segment detection (the shared-intro/outro/
+    boilerplate report for video-audio corpora): chunk every blob, group
+    by chunk digest, keep segments appearing in >= 2 distinct media.
+    ONE shuffle keyed by the 16-byte digest — chunk bytes never move;
+    at 100 TB this is the multimodal twin of passage-level text dedup
+    (dd_passage_dedup) and feeds the same keep-one-owner policy."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary(docs, "text", "doc_id")
+    chunks = multimodal.chunk_media(media, chunk_bytes=128, overlap_bytes=32)
+    return (
+        chunks.groupBy("chunk_digest")
+        .agg(
+            F.countDistinct("media_id").cast("long").alias("n_media"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("media_id").alias("first_media_id"),
+            F.min("byte_offset").alias("min_offset"),
+        )
+        .filter(F.col("n_media") >= 2)
+    )
