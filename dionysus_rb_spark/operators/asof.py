@@ -81,3 +81,56 @@ def asof_join(
     out_cols.append(F.col("__last")["t"].alias(f"{prefix}{state_time}"))
     out_cols.extend(F.col("__last")[c].alias(f"{prefix}{c}") for c in state_cols)
     return joined.filter(F.col("__side") == 1).select(*out_cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_time: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 7200,
+) -> DataFrame:
+    """Interval (range) containment join — every (point, interval) pair
+    with ``start <= t < end`` under the same key — with the time
+    dimension IN the hash key: points map to their coarse bucket,
+    intervals EXPLODE across the buckets they cover, the equi-join runs
+    on (key, bucket), and the exact predicate filters.
+
+    Joining on the key alone leaves the range as a post-filter, so a
+    heavy key materializes |points_k| x |intervals_k| candidate pairs
+    before filtering — the classic range-join blowup (and with no
+    equi-key at all, Spark degrades to a nested-loop join). Adding the
+    bucket to the key cuts candidates to pairs that share a time
+    window: with ``bucket_seconds`` ~ the typical interval length each
+    interval covers O(1) buckets, so the join is linear in
+    points + intervals however hot the key. Each (point, interval)
+    pair meets in exactly one bucket (the point's), so no dedup is
+    needed."""
+    b = F.lit(bucket_seconds).cast("long")
+    p = points.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(F.col(point_time)) / b).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / b).cast("long"),
+                F.floor(F.unix_timestamp(F.col(end_col)) / b).cast("long"),
+            )
+        ),
+    )
+    pa, ia = p.alias("p"), iv.alias("i")
+    return (
+        ia.join(
+            pa,
+            (F.col(f"i.{key}") == F.col(f"p.{key}"))
+            & (F.col("i.__bucket") == F.col("p.__bucket"))
+            & (F.col(f"p.{point_time}") >= F.col(f"i.{start_col}"))
+            & (F.col(f"p.{point_time}") < F.col(f"i.{end_col}")),
+        )
+        .drop(F.col("i.__bucket"))
+        .drop(F.col("p.__bucket"))
+        .drop(F.col(f"p.{key}"))
+    )

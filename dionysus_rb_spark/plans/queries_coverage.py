@@ -1011,3 +1011,65 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("val"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@query(
+    "ev_interval_join",
+    refs="beyond:joins,T4",
+    oracle="""
+    WITH win AS (
+        SELECT event_id AS win_id, user_id, ts AS w_start,
+               ts + INTERVAL 2 HOUR AS w_end
+        FROM events WHERE event_type = 'signup'
+    ),
+    pts AS (SELECT user_id, ts, value FROM events),
+    pairs AS (
+        SELECT w.win_id, p.ts, p.value
+        FROM win w JOIN pts p
+          ON p.user_id = w.user_id AND p.ts >= w.w_start AND p.ts < w.w_end
+    ),
+    agg AS (
+        SELECT win_id, CAST(count(*) AS BIGINT) AS n_events,
+               min(ts) AS first_ts, round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value
+        FROM pairs GROUP BY win_id
+    )
+    SELECT w.win_id, coalesce(a.n_events, 0) AS n_events,
+           a.first_ts, a.min_value, a.max_value
+    FROM win w LEFT JOIN agg a ON a.win_id = w.win_id
+    """,
+)
+def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) containment join via time-bucketing
+    (operators/asof.py:interval_join): events landing inside each
+    signup's 2-hour window. A key-only join leaves the range predicate
+    as a post-filter, materializing every (event, window) pair of a
+    heavy user before filtering; bucketing puts time INTO the hash key
+    — (user, 2h-bucket) — so candidates are only pairs sharing a time
+    window and the join stays linear under key skew. Aggregates are
+    order-insensitive (count/min/max) so the compare is exact."""
+    from ..operators.asof import interval_join
+
+    ev = _events(spark, sf_dir)
+    windows = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("win_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    points = ev.select("user_id", "ts", "value")
+    pairs = interval_join(
+        points, windows, key="user_id", point_time="ts",
+        start_col="w_start", end_col="w_end", bucket_seconds=7200,
+    )
+    agg = pairs.groupBy("win_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+    return windows.join(agg, "win_id", "left").select(
+        "win_id",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        "first_ts", "min_value", "max_value",
+    )
