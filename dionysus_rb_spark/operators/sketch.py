@@ -210,3 +210,54 @@ def bloom_probe_sql(words_expr: str, value_sql: str) -> str:
             f"& {_MASKS_SQL}[CAST({p} % 64 AS INT) + 1]) != 0)"
         )
     return " AND ".join(probes)
+
+
+def count_min_build(
+    elements: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch over an element stream: each element increments
+    ``depth`` cells (one per hash row, cell = h32("r:" + value) % width),
+    so the whole corpus folds into a ``depth x width`` counter table —
+    the fixed-size frequency summary for unbounded key spaces (exact
+    per-token groupBy state grows with the vocabulary; this never does).
+
+    Scale shape: the only shuffle is groupBy(r, cell) with map-side
+    combine — at most depth*width rows cross the exchange REGARDLESS of
+    corpus size; the element stream itself never shuffles. Like the
+    Bloom gate and KMV, the sketch is a pure function of the portable
+    h32, so the TABLE (not just estimates) is engine-identical and two
+    sketches merge by cell-wise addition."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("r"),
+                (h32(F.concat(F.lit(f"{r}:"), F.col(value_col))) % width).alias(
+                    "cell"
+                ),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        elements.select(F.explode(rows).alias("rc"))
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.cell").alias("cell"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def count_min_probe_cells(
+    probes: list[str], depth: int = 4, width: int = 1024
+) -> list[tuple[str, int, int]]:
+    """Driver-side (token, r, cell) triples for a probe set — the same
+    h32 the executors compute, so lookups join exactly."""
+    import hashlib
+
+    out = []
+    for t in probes:
+        for r in range(depth):
+            h = int(hashlib.md5(f"{r}:{t}".encode()).hexdigest()[:8], 16)
+            out.append((t, r, h % width))
+    return out

@@ -1073,3 +1073,71 @@ def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
         "first_ts", "min_value", "max_value",
     )
+
+
+@query(
+    "ev_funnel",
+    refs="beyond:analytics,T4",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t_signup FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s1.t_signup
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.t_click
+        GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+           CASE WHEN s3.user_id IS NOT NULL THEN 'purchase'
+                WHEN s2.user_id IS NOT NULL THEN 'click'
+                ELSE 'signup' END AS reached
+    FROM s1
+    LEFT JOIN s2 ON s2.user_id = s1.user_id
+    LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (signup -> first subsequent click ->
+    first subsequent purchase): each stage is a conditional min over the
+    SAME user-keyed stream, so the three aggregates and two left joins
+    all reuse one user_id partitioning — Catalyst plans a single
+    exchange chain, no re-shuffle per stage. The per-user funnel frame
+    (t_signup, t_click, t_purchase, reached) is the input every
+    conversion report aggregates."""
+    ev = _events(spark, sf_dir)
+    s1 = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t_signup")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id", "t_signup", "t_click", "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), "purchase")
+            .when(F.col("t_click").isNotNull(), "click")
+            .otherwise("signup")
+            .alias("reached"),
+        )
+    )

@@ -1353,3 +1353,74 @@ def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", textops.char_entropy(F.col("text")).alias("entropy_bits")
     )
+
+
+_CMS_PROBES = list(textops.EN_STOPWORDS) + ["zzzqx"]
+
+
+@query(
+    "t_cms_heavy_hitters",
+    refs="beyond:text,beyond:sketch",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS t FROM documents
+    ),
+    rs AS (SELECT unnest(range(4)) AS r),
+    cms AS (
+      SELECT r, {h32_sql("CAST(r AS VARCHAR) || ':' || t")} % 1024 AS cell,
+             count(*) AS c
+      FROM toks CROSS JOIN rs
+      GROUP BY r, cell
+    ),
+    probes AS (
+      SELECT unnest([{", ".join(f"'{p}'" for p in _CMS_PROBES)}]) AS token
+    ),
+    pcells AS (
+      SELECT token, r,
+             {h32_sql("CAST(r AS VARCHAR) || ':' || token")} % 1024 AS cell
+      FROM probes CROSS JOIN rs
+    ),
+    est AS (
+      SELECT p.token, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est_count
+      FROM pcells p LEFT JOIN cms c ON c.r = p.r AND c.cell = p.cell
+      GROUP BY p.token
+    ),
+    exact AS (
+      SELECT t AS token, CAST(count(*) AS BIGINT) AS exact_count
+      FROM toks GROUP BY t
+    )
+    SELECT e.token, e.est_count, coalesce(x.exact_count, 0) AS exact_count
+    FROM est e LEFT JOIN exact x ON x.token = e.token
+    """,
+)
+def t_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (operators/sketch.py): the
+    corpus token stream folds into a 4x1024 counter table — at most
+    4096 rows ever cross the exchange, however large the vocabulary —
+    and probe tokens read min-over-rows estimates. The exact counts sit
+    beside the estimates so the one-sided (over-)estimate is
+    observable; 'zzzqx' probes a token that never occurs."""
+    from ..functions.hashing import tokenize
+    from ..operators.sketch import count_min_build, count_min_probe_cells
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokenize(F.col("text"))).alias("t")
+    )
+    cms = count_min_build(toks, "t", depth=4, width=1024)
+    pcells = spark.createDataFrame(
+        count_min_probe_cells(_CMS_PROBES, depth=4, width=1024),
+        "token STRING, r LONG, cell LONG",
+    )
+    est = (
+        pcells.join(cms, ["r", "cell"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est_count"))
+    )
+    exact = toks.filter(F.col("t").isin(_CMS_PROBES)).groupBy(
+        F.col("t").alias("token")
+    ).agg(F.count("*").cast("long").alias("exact_count"))
+    return est.join(exact, "token", "left").select(
+        "token",
+        "est_count",
+        F.coalesce(F.col("exact_count"), F.lit(0)).alias("exact_count"),
+    )
