@@ -939,6 +939,7 @@ def g5_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "j8_asof_join",
+    bench=True,
     refs="beyond:joins,J6",
     oracle="""
     WITH pur AS (
@@ -1015,6 +1016,7 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ev_interval_join",
+    bench=True,
     refs="beyond:joins,T4",
     oracle="""
     WITH win AS (

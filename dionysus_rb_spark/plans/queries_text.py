@@ -1295,6 +1295,7 @@ def dd_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dd_passage_dedup",
+    bench=True,
     refs="beyond:dedup",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
