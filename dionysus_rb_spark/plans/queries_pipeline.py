@@ -155,3 +155,137 @@ def d8_synced_data_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
+
+
+_STREAM_Q_SEQ = [0]  # deterministic per-session memory-sink name counter
+
+
+@query(
+    "stream_t1_replay_dedup",
+    refs="T1,T5,S6",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
+def stream_t1_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 at-least-once replay suppression, ORACLE-CHECKED end to end
+    through a real Structured Streaming run: the file source reads TWO
+    copies of the events table (every record replayed once, the
+    at-least-once delivery worst case), the stream dedups on event_id
+    within the watermark (dropDuplicatesWithinWatermark — JVM state,
+    no Python), and the memory-sink result must equal the plain
+    distinct table. The output is a SET (order-insensitive compare), so
+    the streaming run is deterministic however the micro-batches
+    split. State is bounded by the watermark horizon, not history."""
+    import shutil
+    import tempfile
+
+    from ..streaming.dedup_stream import exact_dedup_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="replay_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/copy1.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/copy2.parquet")
+
+    # stream with the RAW parquet schema (ts may be nanos-as-long),
+    # then normalize exactly like tables.load_table does
+    raw_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(raw_batch.schema).parquet(src_dir)
+    if dict(raw_batch.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    deduped = exact_dedup_stream(
+        stream, ["event_id"], "ts", watermark="10 minutes"
+    )
+    _STREAM_Q_SEQ[0] += 1
+    name = f"replay_dedup_{_STREAM_Q_SEQ[0]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@query(
+    "stream_t4_sessionize",
+    refs="T4,T5,S6",
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM lagged
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ),
+    agg AS (
+        SELECT user_id, sid,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(ts) AS session_start,
+               max(ts) AS session_end
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           session_start AS window_start,
+           session_end + INTERVAL 30 MINUTE AS window_end,
+           n_events, session_start, session_end
+    FROM agg, (SELECT max(ts) AS mx FROM events) m
+    WHERE session_end + INTERVAL 30 MINUTE <= m.mx - INTERVAL 1 HOUR
+    """,
+)
+def stream_t4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/T5 streaming sessionization, ORACLE-CHECKED through a real
+    session_window + watermark run: gap sessions (30 min) computed by
+    JVM session state, append-mode emission gated by the 1-hour
+    event-time watermark. The emitted set is exactly the sessions whose
+    window_end (last event + gap) is at or below the final watermark
+    (max event time - 1h) — the oracle reproduces both the gap merge
+    rule (an event at exactly prev+gap starts a NEW session:
+    session_window's half-open [t, t+gap)) and the watermark cut, so
+    the lateness semantics themselves are value-checked."""
+    import shutil
+    import tempfile
+
+    from ..streaming.sessionize import sessionize
+
+    raw_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="sess_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/p.parquet")
+    stream = spark.readStream.schema(raw_batch.schema).parquet(src_dir)
+    if dict(raw_batch.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    sess = sessionize(
+        stream, ["user_id"], "ts", gap="30 minutes", watermark="1 hour"
+    )
+    _STREAM_Q_SEQ[0] += 1
+    name = f"stream_sessions_{_STREAM_Q_SEQ[0]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).select(
+        "user_id", "window_start", "window_end",
+        "n_events", "session_start", "session_end",
+    )
