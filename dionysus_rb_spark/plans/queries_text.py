@@ -1143,12 +1143,15 @@ def samp_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinct-token cardinality via a KMV sketch (k=64
-    minimum h32 values), with the exact count alongside so the sketch
-    error is visible. KMV rather than HLL because the sketch is a pure
-    function of the hash multiset — bit-identical in any engine sharing
-    the hash, and mergeable by union+re-take-k (the property that makes
-    it a distributed aggregate). The token stream is exploded once and
-    never shuffled; only distinct (lang, hash) pairs move."""
+    minimum h32 values), sketch-only: the rank<=k filter rides
+    Catalyst's WindowGroupLimit so the group exchange carries at most k
+    hashes per language no matter the vocabulary (exact counting is an
+    opt-in debug flag, not the shipped path). KMV rather than HLL
+    because the sketch is a pure function of the hash multiset —
+    bit-identical in any engine sharing the hash, and mergeable by
+    union+re-take-k (the property that makes it a distributed
+    aggregate). The token stream is exploded once and never shuffled;
+    only distinct (lang, hash) pairs move."""
     from ..functions.hashing import tokenize
 
     docs = _docs(spark, sf_dir)
@@ -1249,26 +1252,36 @@ _BENCH_SET = (
 )
 
 
+# Width SIZED to the build set, not the module default: the sf0.01 bench
+# split is ~500 fingerprints, and at 2 probes/element a 16384-bit filter
+# gives FPR ~= (1 - e^(-2*500/16384))^2 ~= 0.35% (a 4096-bit filter at
+# the same load is ~5% and saturates entirely by ~10k elements — the
+# SCALING.md saturation demo measures exactly that cliff).
+_BLOOM_GATE_BITS = 16384
+
+
 @query(
     "dd_bloom_gate",
     refs="beyond:dedup",
     oracle=f"""
-    WITH bloom AS ({sketch.bloom_sql(_BENCH_SET, "f")})
+    WITH bloom AS ({sketch.bloom_sql(_BENCH_SET, "f", bits=_BLOOM_GATE_BITS)})
     SELECT d.doc_id,
-           {sketch.bloom_probe_sql("b.words", _FP_SQL)} AS bloom_hit,
+           {sketch.bloom_probe_sql("b.words", _FP_SQL, bits=_BLOOM_GATE_BITS)}
+               AS bloom_hit,
            ({_FP_SQL} IN (SELECT f FROM {_BENCH_SET})) AS exact_hit
     FROM documents d CROSS JOIN bloom b
     """,
 )
 def dd_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination as a broadcast-Bloom gate: the held-out set's
-    fingerprints aggregate into a portable 4096-bit Bloom (bit_or of at
-    most 64 longs per partition — the shuffle is 64 longs, not the set),
-    and the corpus probes it map-side: the semi-join against the
+    fingerprints aggregate into a portable Bloom filter sized to the
+    set (~20 bits/element => <1% FPR at 2 probes; bit_or of at most
+    bits/64 longs per partition — the shuffle is the filter, not the
+    set), and the corpus probes it map-side: the semi-join against the
     held-out set becomes a pure scan filter. The exact membership bit
     is emitted alongside, so the one-sided error (bloom_hit >=
     exact_hit, never the reverse) is oracle-checked, not assumed. At
-    100 TB the bloom rides the closure as ~512 bytes while a broadcast
+    100 TB the bloom rides the closure as kilobytes while a broadcast
     hash set of fingerprints is gigabytes."""
     from ..functions.hashing import h32
 
@@ -1277,7 +1290,7 @@ def dd_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(
         h32(F.col("doc_id").cast("string")) % 10 == 0
     ).select(fp.alias("f"))
-    bloom = sketch.bloom_build(bench, F.col("f"))
+    bloom = sketch.bloom_build(bench, F.col("f"), bits=_BLOOM_GATE_BITS)
     exact = bench.distinct()
     out = (
         docs.select("doc_id", fp.alias("__fp"))
@@ -1286,9 +1299,9 @@ def dd_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "doc_id",
-        sketch.bloom_might_contain(F.col("words"), F.col("__fp")).alias(
-            "bloom_hit"
-        ),
+        sketch.bloom_might_contain(
+            F.col("words"), F.col("__fp"), bits=_BLOOM_GATE_BITS
+        ).alias("bloom_hit"),
         F.col("f").isNotNull().alias("exact_hit"),
     )
 
