@@ -298,7 +298,8 @@ def train_codebook(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
+    *,
+    dim: int,
 ) -> list[list[float]]:
     """One (or more) distributed Lloyd iterations per sub-space, L2
     metric. The sub-centroids are plain Python lists (codebook-sized),
@@ -308,15 +309,13 @@ def train_codebook(
     dim-parallel sorted-fold mean (deterministic, like
     clustering._update), whose k*sub_len result is collected back. A
     cluster that loses all members keeps its seed sub-centroid, so the
-    codebook stays rectangular. Pass ``dim`` to skip the driver-side
-    probe job."""
+    codebook stays rectangular. ``dim`` is required — no driver-side
+    probe job; the schema owner knows the embedding width."""
     from pyspark.storagelevel import StorageLevel
 
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("__v")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    if dim is None:
-        dim = len(base.first()["__v"])
     sub_len = dim // n_sub
     seed_rows = sorted(
         base.orderBy("vec_id").limit(n_codes).collect(), key=lambda r: r["vec_id"]

@@ -120,7 +120,8 @@ def lsh_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
+    *,
+    dim: int,
     max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Scale path: bucket by hyperplane signs, exact-verify within
@@ -134,13 +135,12 @@ def lsh_near_dup_pairs(
     vector frame for the exact cosine verify, so the corpus is scanned
     once however hot any bucket is.
 
-    Pass ``dim`` to skip the driver-side probe job; size ``num_planes``
-    ~ log2(corpus / target_bucket_size) so mean bucket occupancy stays
+    ``dim`` is required (no driver-side probe job — the schema owner
+    knows the embedding width); size ``num_planes`` ~
+    log2(corpus / target_bucket_size) so mean bucket occupancy stays
     bounded as the corpus grows (8 planes = 256 buckets is a testdata
     setting, not a web-scale one).
     """
-    if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
     pl = planes(num_planes, dim, seed)
     from pyspark.storagelevel import StorageLevel
 

@@ -61,4 +61,24 @@ def get_spark(app_name: str = "dionysus-rb-spark", cpus: int | None = None) -> S
     spark = builder.getOrCreate()
     apply_runtime_confs(spark)
     spark.sparkContext.setLogLevel("WARN")
+    _quiet_known_benign_warnings(spark)
     return spark
+
+
+def _quiet_known_benign_warnings(spark: SparkSession) -> None:
+    """Scope WindowExec's "No Partition Defined" warning to ERROR.
+
+    The engine's only unpartitioned windows are provably tiny by
+    construction — shard-count-sized cumsums (textops.pack_offsets /
+    token_budget_cap bucket totals) and codebook/seed renumbering frames
+    (pq, clustering) — so the warning is noise that buries real ones in
+    every bench tail. Narrowly scoped to that one logger; everything
+    else stays at WARN."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 logging backend; warning stays visible

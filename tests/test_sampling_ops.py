@@ -109,7 +109,7 @@ def test_pq_training_reduces_reconstruction_error(spark):
 
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     seed = pq.seed_codebook(emb, n_codes=8)
-    trained = pq.train_codebook(emb, n_codes=8, n_sub=8, iters=1)
+    trained = pq.train_codebook(emb, n_codes=8, n_sub=8, iters=1, dim=64)
     mse_seed = (
         pq.pq_encode(emb, seed).agg(F.avg("recon_mse")).first()[0]
     )
