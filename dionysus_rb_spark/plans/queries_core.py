@@ -190,11 +190,10 @@ _MERGE_MAPPED_SQL = """
 """
 
 
-@query(
-    "f1_guarded_merge_snapshot",
-    refs="J1,F1,F3,F8,A1,S7",
-    bench=True,
-    oracle=f"""
+# Shared by f1_guarded_merge_snapshot (batch) and stream_t5_snapshot_merge
+# (the same persist path under real Structured Streaming): both must land
+# on the identical final snapshot.
+F1_ORACLE_SQL = f"""
     WITH m AS ({_MERGE_MAPPED_SQL}),
     tgt AS (
         SELECT synced_id, synced_updated_at, val,
@@ -225,7 +224,14 @@ _MERGE_MAPPED_SQL = """
                      THEN s.synced_canceled_at
                 ELSE t.synced_canceled_at END AS synced_canceled_at
     FROM tgt t FULL OUTER JOIN src s ON t.synced_id = s.synced_id
-    """,
+    """
+
+
+@query(
+    "f1_guarded_merge_snapshot",
+    refs="J1,F1,F3,F8,A1,S7",
+    bench=True,
+    oracle=F1_ORACLE_SQL,
 )
 def f1_guarded_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The consumer persist path end-to-end in batch: even event_ids form

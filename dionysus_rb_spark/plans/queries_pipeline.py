@@ -289,3 +289,109 @@ def stream_t4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "window_start", "window_end",
         "n_events", "session_start", "session_end",
     )
+
+
+from .queries_core import F1_ORACLE_SQL  # noqa: E402
+
+
+@query(
+    "stream_t5_snapshot_merge",
+    refs="T1,T5,S7,F1,F3,A1",
+    # the batch f1 oracle VERBATIM: streaming must land on the same snapshot
+    oracle=F1_ORACLE_SQL,
+)
+def stream_t5_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core consume loop (persistor.rb:46-95) end-to-end
+    under REAL Structured Streaming, oracle-checked against the batch f1
+    result: even event_ids bootstrap the target snapshot; the odd-id
+    event stream is read from files TWICE (at-least-once replay, one
+    file per micro-batch via maxFilesPerTrigger=1), F8-filtered, A1
+    keep-latest-deduped by per-key stream state
+    (applyInPandasWithState), and each micro-batch guarded-MERGEs into
+    a versioned snapshot store via foreachBatch. The final snapshot
+    must equal the single-batch f1 merge exactly — which holds for ANY
+    micro-batch split because the F1 guard (>=) is monotone: per key
+    the max-timestamp surviving event wins in every application order,
+    and replays are neutralized by idempotent re-merge (T1)."""
+    import shutil
+    import tempfile
+
+    from ..operators import dedup
+    from ..streaming.dedup_stream import keep_latest_stream
+    from ..streaming.snapshot_store import SnapshotStore
+    from .queries_core import _events
+
+    m = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("synced_id"),
+        F.col("ts").alias("synced_updated_at"),
+        F.col("value").alias("val"),
+        F.when(F.col("event_type") == "error", "destroyed")
+        .when(F.col("event_type") == "view", "view_happened")
+        .otherwise("updated")
+        .alias("event"),
+        F.when(F.col("event_type") == "error", F.col("ts")).alias(
+            "synced_canceled_at"
+        ),
+    )
+    target = dedup.keep_latest(
+        m.filter(F.col("event_id") % 2 == 0),
+        ["synced_id"],
+        "synced_updated_at",
+        ["event_id"],
+    ).select(
+        "synced_id",
+        "synced_updated_at",
+        "val",
+        F.lit(None).cast("timestamp").alias("synced_canceled_at"),
+    )
+    store = SnapshotStore(tempfile.mkdtemp(prefix="t5_store_"), key="synced_id")
+    store.overwrite(target)
+
+    raw_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="t5_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/copy1.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/copy2.parquet")
+    stream = (
+        spark.readStream.schema(raw_batch.schema)
+        .option("maxFilesPerTrigger", 1)  # force >1 micro-batch
+        .parquet(src_dir)
+    )
+    if dict(raw_batch.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    mapped = stream.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        F.col("user_id").alias("synced_id"),
+        F.col("ts").alias("synced_updated_at"),
+        F.col("value").alias("val"),
+        F.when(F.col("event_type") == "error", "destroyed")
+        .when(F.col("event_type") == "view", "view_happened")
+        .otherwise("updated")
+        .alias("event"),
+        F.when(F.col("event_type") == "error", F.col("ts")).alias(
+            "synced_canceled_at"
+        ),
+    )
+    # F8 before the stateful dedup (the oracle's src CTE filters first)
+    known = mapped.filter(F.col("event").isin("created", "updated", "destroyed"))
+    deduped = keep_latest_stream(known, ["synced_id"], "synced_updated_at")
+
+    def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        store.merge(
+            batch_df.sparkSession, batch_df, order_tiebreak="event_id"
+        )
+
+    q = (
+        deduped.writeStream.foreachBatch(_merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t5_cp_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    snap = store.read(spark)
+    return snap.select(
+        "synced_id", "synced_updated_at", "val", "synced_canceled_at"
+    )

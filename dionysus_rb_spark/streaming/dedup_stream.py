@@ -64,9 +64,18 @@ def keep_latest_stream(
         best = state.get if state.exists else None
         best_ts = best[ts_idx] if best is not None else None
         changed = False
+
+        def scalar(v):
+            # state serialization rejects pandas NaT/NaN sentinels;
+            # nulls must be stored as None (round-trips as null)
+            try:
+                return None if pd.isna(v) else v
+            except (TypeError, ValueError):
+                return v  # array-likes: not null
+
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
-                vals = tuple(row)
+                vals = tuple(scalar(v) for v in row)
                 ts = vals[ts_idx]
                 if best is None or beats(ts, best_ts):
                     best, best_ts, changed = vals, ts, True
