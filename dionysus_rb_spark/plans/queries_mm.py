@@ -148,7 +148,7 @@ def mm_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(_fold_sum(F.transform("v", lambda x: x * x))), 6
         ).alias("l2_norm"),
-        lsh_bucket(F.col("v"), _mm_planes()).alias("bucket"),
+        lsh_bucket("v", _mm_planes()).alias("bucket"),
     )
 
 
