@@ -19,6 +19,11 @@ RUNTIME_CONFS = {
     # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
     # reader rejects by default; read as long and convert (tables.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # testdata timestamps are naive micros (isAdjustedToUTC=false); read
+    # them as TIMESTAMP (wall clock in the UTC session zone, matching
+    # DuckDB's naive timestamps) rather than TIMESTAMP_NTZ so epoch
+    # casts/arithmetic keep working and scan-level pushdown is native.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # deterministic wall-clock rendering, matching DuckDB's naive timestamps
     "spark.sql.session.timeZone": "UTC",
 }
