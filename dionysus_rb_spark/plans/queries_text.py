@@ -557,9 +557,10 @@ def pipe_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     placed AS (
       SELECT doc_id, n_tokens,
-             sum(n_tokens) OVER (ORDER BY doc_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND CURRENT ROW) - n_tokens AS global_offset
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+               - n_tokens AS global_offset
       FROM deduped
     )
     SELECT doc_id, n_tokens, global_offset,
@@ -937,9 +938,10 @@ def t_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     placed AS (
       SELECT doc_id, n_tokens,
-             sum(n_tokens) OVER (ORDER BY doc_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND CURRENT ROW) - n_tokens AS global_offset
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+               - n_tokens AS global_offset
       FROM sized
     )
     SELECT doc_id, n_tokens, global_offset,
@@ -1108,8 +1110,10 @@ def samp_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     id, not the doc id, so an entire near-dup cluster lands in one split
     and eval can never see a near-copy of a training document (the
     leakage guard web-scale dedup exists to enable). Cluster membership
-    is duplicate-sized — tiny next to the corpus — so it broadcasts onto
-    a single corpus scan; the corpus itself is never reshuffled."""
+    is usually duplicate-sized, but on an adversarial mostly-duplicate
+    corpus it is corpus-sized (same reasoning as dd_dedup_final), so no
+    broadcast hint is forced: AQE broadcasts when the runtime size is
+    actually small and falls back to a shuffled hash join otherwise."""
     from ..operators.graph import connected_components
 
     docs = _docs(spark, sf_dir)
@@ -1122,7 +1126,7 @@ def samp_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.coalesce("cluster_id", "doc_id")
     return (
         docs.select("doc_id")
-        .join(F.broadcast(clusters), "doc_id", "left")
+        .join(clusters, "doc_id", "left")
         .select(
             "doc_id",
             key.alias("split_key"),
@@ -1179,9 +1183,9 @@ _QUALITY_SQL = f"""round(0.4 * (CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 
     ),
     placed AS (
       SELECT doc_id, quality, n_tokens,
-             sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
-                                 ROWS UNBOUNDED PRECEDING) - n_tokens
-                 AS prior_tokens
+             CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - n_tokens AS prior_tokens
       FROM scored
     )
     SELECT doc_id, quality, n_tokens, prior_tokens

@@ -9,9 +9,12 @@ the master URL.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
+
+logger = logging.getLogger(__name__)
 
 # Confs that are safe (and necessary) to set on an externally provided
 # session at runtime: used by tables.load_table() on the driver's session.
@@ -33,8 +36,11 @@ def apply_runtime_confs(spark: SparkSession) -> None:
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # conf locked on this session; reads may still succeed
+        except Exception as exc:
+            # Conf locked on this session; reads may still succeed, but a
+            # silently missing conf (e.g. inferTimestampNTZ) breaks
+            # timestamp arithmetic downstream — leave a trace.
+            logger.warning("could not set %s=%s on session: %s", k, v, exc)
 
 
 def get_spark(app_name: str = "dionysus-rb-spark", cpus: int | None = None) -> SparkSession:
@@ -60,9 +66,12 @@ def get_spark(app_name: str = "dionysus-rb-spark", cpus: int | None = None) -> S
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # Same source of truth as the runtime path so the two cannot drift:
+    # every conf that tables.load_table() must be able to set on an
+    # external session is also baked into our own builder.
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     apply_runtime_confs(spark)
     spark.sparkContext.setLogLevel("WARN")

@@ -12,12 +12,15 @@ outbox/datadog_latency_reporter.rb:13-19). Spark's native equivalents:
 
 from __future__ import annotations
 
+import logging
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.listener import StreamingQueryListener
+
+logger = logging.getLogger(__name__)
 
 
 def windowed_latency_metrics(
@@ -92,7 +95,13 @@ class ProgressMonitor(StreamingQueryListener):
         self.last_heartbeat_at = time.time()
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
-        pass
+        # A query that died with an exception must not vanish silently:
+        # surface it to the log (the listener API gives no other channel).
+        exc = getattr(event, "exception", None)
+        if exc:
+            logger.warning("streaming query %s terminated with: %s", event.id, exc)
+        else:
+            logger.debug("streaming query %s terminated cleanly", event.id)
 
     def stale(self, expiry_seconds: float = 600.0) -> bool:
         return (time.time() - self.last_heartbeat_at) > expiry_seconds
