@@ -58,10 +58,24 @@ def pq_encode(
     n_sub: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    *,
+    literal_max_entries: int | None = None,
 ) -> DataFrame:
     """Encode each vector as ``n_sub`` code ids (csv string, portable)
-    plus the reconstruction MSE. One codegen scan — the codebook is
-    literal arrays in the plan."""
+    plus the reconstruction MSE. One map-only scan either way — no
+    join, no shuffle — with the same size gate as :func:`pq_adc_topk`
+    (``ADC_LITERAL_MAX_ENTRIES``): demo codebooks inline as literal
+    arrays (pure whole-stage codegen), production codebooks (the
+    argmin candidates are ``n_codes * dim`` literals — 16k+ doubles at
+    64x256, which dominates plan analysis/codegen long before the data
+    does) ride the task closure as one numpy (K, dim) array gathered
+    by an Arrow-batched mapInPandas. Distance folds are sequential in
+    index order in both paths, argmin ties break to the lowest code id,
+    and rounding stays JVM-side, so the paths are bit-identical."""
+    if literal_max_entries is None:
+        literal_max_entries = ADC_LITERAL_MAX_ENTRIES
+    if n_sub * len(codebook) > literal_max_entries:
+        return _pq_encode_arrow(embeddings, codebook, n_sub, id_col, vec_col)
     dim = len(codebook[0])
     sub_len = dim // n_sub
     v = as_double(F.col(vec_col))
@@ -102,6 +116,67 @@ def pq_encode(
         F.col(id_col).alias("vec_id"),
         F.concat_ws(",", *[c.cast("string") for c in code_cols]).alias("codes_csv"),
         mse.alias("recon_mse"),
+    )
+
+
+def _pq_encode_arrow(
+    embeddings: DataFrame,
+    codebook: list[list[float]],
+    n_sub: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Codebook in the task closure, argmin in numpy over Arrow batches.
+    Distance accumulation is a Python-level loop over dims (sequential
+    index order, same as the literal path's fold — NOT numpy's pairwise
+    reduce); np.argmin's first-minimum rule equals the literal path's
+    (d asc, k asc) tie-break; MSE division+rounding happen JVM-side."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebook, dtype=np.float64)  # (K, dim)
+    dim = cb.shape[1]
+    sub_len = dim // n_sub
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf["__v"].to_numpy())  # (N, dim) float64
+            n = vecs.shape[0]
+            codes = []
+            mse_sum = None
+            for m in range(n_sub):
+                sv = vecs[:, m * sub_len : (m + 1) * sub_len]
+                csub = cb[:, m * sub_len : (m + 1) * sub_len]
+                acc = np.zeros((n, cb.shape[0]))
+                for d in range(sub_len):
+                    diff = sv[:, d, None] - csub[None, :, d]
+                    acc = acc + diff * diff
+                k = np.argmin(acc, axis=1)
+                dmin = acc[np.arange(n), k]
+                codes.append(k)
+                mse_sum = dmin if mse_sum is None else mse_sum + dmin
+            csv = [",".join(map(str, row)) for row in np.stack(codes, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "codes_csv": csv,
+                    "__mse_sum": mse_sum,
+                }
+            )
+
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        as_double(F.col(vec_col)).alias("__v"),
+    )
+    out = base.mapInPandas(
+        encode, "vec_id long, codes_csv string, __mse_sum double"
+    )
+    return out.select(
+        "vec_id",
+        "codes_csv",
+        F.round(F.col("__mse_sum") / F.lit(float(dim)), 9).alias("recon_mse"),
     )
 
 
@@ -152,6 +227,17 @@ def pq_encode_sql(n_codes: int = 8, n_sub: int = 8, dim: int = 64) -> str:
     """
 
 
+# Per-query literal distance-table entries (n_sub * n_codes) above which
+# pq_adc_topk switches from inlining the tables as plan literals to the
+# Arrow-batched broadcast-table path. Measured (SCALING.md round 4,
+# scoring stage isolated, 10k rows, |Q|=5): literal wins at 8x8=64
+# entries (1.7s vs 2.9s — the pandas path's flat Arrow overhead), loses
+# from 512 up (2.3s vs 0.5s), and at the production 64x256=16k shape the
+# literal plan spends 45s in analysis/codegen vs 0.5s total for the
+# broadcast path. Crossover sits between 64 and 512.
+ADC_LITERAL_MAX_ENTRIES = 256
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     codebook: list[list[float]],
@@ -160,15 +246,30 @@ def pq_adc_topk(
     n_sub: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    *,
+    literal_max_entries: int = ADC_LITERAL_MAX_ENTRIES,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: each query's
-    distances to all M*K sub-centroids precompute into a literal table
-    (M*K doubles per query), so scoring a corpus vector is M array
-    lookups + a fixed-order fold — no vector math in the scan at all.
-    The scan emits (query, cand, dist) and the per-query top-k prunes
-    map-side (WindowGroupLimit). This is the search shape PQ exists
-    for: the corpus is read as codes (32x less IO), and compute per
-    row is O(M) regardless of dimension."""
+    distances to all M*K sub-centroids precompute into a table, so
+    scoring a corpus vector is M lookups + a fixed-order fold — no
+    vector math in the scan at all. The scan emits (query, cand, dist)
+    and the per-query top-k prunes map-side (WindowGroupLimit). This is
+    the search shape PQ exists for: the corpus is read as codes (32x
+    less IO), and compute per row is O(M) regardless of dimension.
+
+    Two physically different scoring paths, same result bit-for-bit:
+
+    * ``n_sub * n_codes <= literal_max_entries`` (demo-sized codebooks):
+      the tables inline as literal arrays — pure whole-stage-codegen
+      projection, zero Python.
+    * above the gate (production codebooks, e.g. 64x256 = 16k entries
+      per query): the literal plan would carry |Q| x 16k literals and
+      blow plan build/codegen time, so the tables ride the task closure
+      as one numpy (|Q|, M, K) array instead and an Arrow-batched
+      mapInPandas does the gather — still map-only, no shuffle before
+      the top-k. The per-element math is identical: float64 adds in
+      fixed m order, rounding applied JVM-side in both paths.
+    """
     dim = len(codebook[0])
     sub_len = dim // n_sub
     qrows = (
@@ -203,6 +304,23 @@ def pq_adc_topk(
         F.col("vec_id").alias("cand_id"),
         F.split("codes_csv", ",").cast("array<long>").alias("codes"),
     )
+    if n_sub * len(codebook) <= literal_max_entries:
+        exploded = _adc_score_literal(enc, dtab, n_sub)
+    else:
+        exploded = _adc_score_broadcast(enc, dtab, n_sub)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("cand_id"))
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+def _adc_score_literal(
+    enc: DataFrame, dtab: dict[int, list[list[float]]], n_sub: int
+) -> DataFrame:
+    """Distance tables as plan literals: O(M) element_at lookups per
+    (row, query), all inside whole-stage codegen."""
     per_query = []
     for q in sorted(dtab):
         # fixed m-order sum of table lookups
@@ -216,15 +334,44 @@ def pq_adc_topk(
         per_query.append(
             F.struct(F.lit(int(q)).cast("long").alias("query_id"), dist.alias("adist"))
         )
-    exploded = enc.select(
+    return enc.select(
         "cand_id", F.explode(F.array(*per_query)).alias("qd")
     ).select("qd.query_id", "cand_id", F.round("qd.adist", 9).alias("adist"))
-    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("cand_id"))
-    return (
-        exploded.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .withColumn("rank", F.col("rank").cast("long"))
+
+
+def _adc_score_broadcast(
+    enc: DataFrame, dtab: dict[int, list[list[float]]], n_sub: int
+) -> DataFrame:
+    """Distance tables as a closure-shipped numpy array, gathered by an
+    Arrow-batched mapInPandas: the plan stays O(1) in codebook size (a
+    64x256x|Q| float64 table is ~1 MB riding the task binary, vs ~16k
+    literals PER QUERY in the plan). Sum order matches the literal path
+    exactly — a Python-level loop over m accumulating float64 vectors,
+    NOT numpy's pairwise-summing reduce — and rounding stays JVM-side."""
+    import numpy as np
+    import pandas as pd
+
+    qids = sorted(int(q) for q in dtab)
+    tab = np.asarray([dtab[q] for q in qids], dtype=np.float64)  # (Q, M, K)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (N, M) int64
+            cands = pdf["cand_id"].to_numpy()
+            for qi, q in enumerate(qids):
+                acc = tab[qi, 0][codes[:, 0]]
+                for m in range(1, n_sub):
+                    acc = acc + tab[qi, m][codes[:, m]]
+                yield pd.DataFrame(
+                    {"query_id": q, "cand_id": cands, "adist": acc}
+                )
+
+    scored = enc.mapInPandas(
+        score, "query_id long, cand_id long, adist double"
     )
+    return scored.select("query_id", "cand_id", F.round("adist", 9).alias("adist"))
 
 
 def pq_adc_topk_sql(
@@ -325,7 +472,15 @@ def train_codebook(
 
     for m in range(n_sub):
         lo = m * sub_len
-        sub = base.select(F.slice("__v", lo + 1, sub_len).alias("__sv"))
+        # Stage the sub-vector slice: every Lloyd iteration (and the two
+        # frames inside one — assignment and means) re-reads this frame,
+        # and without staging each driver collect re-runs the slice
+        # projection over the full corpus lineage. With it, iteration
+        # N+1 starts from the materialized (sub_len)-wide column — the
+        # round-to-round jitter source the round-3 bench surfaced.
+        sub = base.select(F.slice("__v", lo + 1, sub_len).alias("__sv")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         seed_cents = [seeds_full[k][lo : lo + sub_len] for k in range(n_codes)]
         cents = seed_cents
         for _ in range(iters):
@@ -364,8 +519,10 @@ def train_codebook(
             # clusters fall back to their SEED sub-centroid
             upd = {int(r["__k"]): list(r["__ucv"]) for r in upd_df.collect()}
             cents = [upd.get(k, seed_cents[k]) for k in range(n_codes)]
+        sub.unpersist()
         for k in range(n_codes):
             codebook[k][lo : lo + sub_len] = cents[k]
+    base.unpersist()
     return codebook
 
 
@@ -465,7 +622,13 @@ def ivfpq_topk(
     pushes at the scan — on a corpus laid out partitioned-by-cell this
     becomes partition pruning, i.e. the scan itself shrinks by
     ~nprobe/n_centroids. Per-query top-k prunes map-side
-    (WindowGroupLimit)."""
+    (WindowGroupLimit).
+
+    This composed demo inlines codes + distance tables as literals —
+    right for the oracle-checked 8x8 codebook it runs at. Past
+    ``ADC_LITERAL_MAX_ENTRIES`` (production 64x256), compose the gated
+    pieces instead: ``ivf_assign`` -> cell filter -> :func:`pq_encode`
+    (Arrow path) -> :func:`pq_adc_topk`'s broadcast scorer."""
     from .similarity import ivf_assign
 
     dim = len(codebook[0])

@@ -1,0 +1,113 @@
+"""The two ADC scoring paths (plan-literal distance tables vs the
+closure-shipped numpy table + mapInPandas gather) must be bit-identical:
+same distances, same ranks, same tie-breaks. The gate exists purely for
+plan-compile scale (a 64x256 codebook is ~16k literals PER QUERY in the
+literal plan), so flipping it must never change a result."""
+
+from __future__ import annotations
+
+import pytest
+
+from dionysus_rb_spark.operators import pq
+from dionysus_rb_spark.tables import ensure_min_parallelism, load_table
+
+from conftest import SF_DIR
+
+QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return ensure_min_parallelism(load_table(spark, SF_DIR, "embeddings"))
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["cand_id"], r["adist"], r["rank"])
+        for r in df.collect()
+    )
+
+
+def test_adc_broadcast_path_matches_literal_path(spark, emb):
+    codebook = pq.seed_codebook(emb, n_codes=8)
+    lit = pq.pq_adc_topk(
+        emb, codebook, QUERY_IDS, k=10, literal_max_entries=10**9
+    )
+    bc = pq.pq_adc_topk(emb, codebook, QUERY_IDS, k=10, literal_max_entries=0)
+    lit_rows, bc_rows = _rows(lit), _rows(bc)
+    assert lit_rows == bc_rows
+    assert len(lit_rows) == 10 * len(QUERY_IDS)
+
+
+def test_adc_broadcast_path_matches_oracle(spark, emb):
+    """Same DuckDB oracle the driver runs for emb_pq_adc_topk, against
+    the FORCED broadcast path (the default/literal path is covered by
+    test_oracle_parity)."""
+    import duckdb
+
+    codebook = pq.seed_codebook(emb, n_codes=8)
+    got = _rows(
+        pq.pq_adc_topk(emb, codebook, QUERY_IDS, k=10, literal_max_entries=0)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    want = sorted(
+        (q, c, a, r)
+        for q, c, a, r in con.execute(pq.pq_adc_topk_sql(QUERY_IDS, k=10)).fetchall()
+    )
+    con.close()
+    assert [(q, c, r) for q, c, a, r in got] == [
+        (q, c, r) for q, c, a, r in want
+    ]
+    for (_, _, ga, _), (_, _, wa, _) in zip(got, want):
+        assert abs(ga - wa) < 1e-12
+
+
+def test_adc_default_gate_picks_literal_for_demo_codebook(spark, emb):
+    """8x8 = 64 entries per query sits far under the default gate; the
+    plan must contain no Python evaluation (pure codegen projection)."""
+    codebook = pq.seed_codebook(emb, n_codes=8)
+    plan = pq.pq_adc_topk(
+        emb, codebook, QUERY_IDS, k=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+
+
+def test_adc_forced_broadcast_uses_arrow_path(spark, emb):
+    codebook = pq.seed_codebook(emb, n_codes=8)
+    plan = pq.pq_adc_topk(
+        emb, codebook, QUERY_IDS, k=10, literal_max_entries=0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
+def test_encode_arrow_path_matches_literal_path(spark, emb):
+    """pq_encode has the same gate: the Arrow path (codebook in the
+    task closure, numpy argmin) must reproduce the literal path's
+    codes, tie-breaks, and rounded MSE exactly."""
+    codebook = pq.seed_codebook(emb, n_codes=8)
+    lit = sorted(
+        (r["vec_id"], r["codes_csv"], r["recon_mse"])
+        for r in pq.pq_encode(
+            emb, codebook, literal_max_entries=10**9
+        ).collect()
+    )
+    arr = sorted(
+        (r["vec_id"], r["codes_csv"], r["recon_mse"])
+        for r in pq.pq_encode(emb, codebook, literal_max_entries=0).collect()
+    )
+    assert lit == arr
+    assert len(lit) == emb.count()
+
+
+def test_encode_default_gate_picks_literal_for_demo_codebook(spark, emb):
+    codebook = pq.seed_codebook(emb, n_codes=8)
+    plan = (
+        pq.pq_encode(emb, codebook)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" not in plan
