@@ -21,17 +21,31 @@ break to the lowest code id — bit-reproducible end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .similarity import as_double
 
 
-def _l2(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, d: acc + d,
+def _dlit(x: float) -> str:
+    """Double literal for an expression string. ``repr`` is the shortest
+    round-trip form and Spark's parser reads it back to the identical
+    IEEE double (verified incl. 1e-20 / max-double / 17-digit forms)."""
+    return f"{float(x)!r}D"
+
+
+def _l2_sql(vec_sql: str, lits: list[float]) -> str:
+    """Squared-L2 against a literal vector as a sequential left-fold
+    (aggregate over zip_with, index order — DuckDB list_reduce order),
+    assembled as ONE SQL expression string: building K x sub_len
+    literals as ``F.lit`` Column objects costs a Py4J round trip each
+    (~2.3 s of driver time per 8x8x5 ADC query — profiled round 4, same
+    effect similarity.py measured for LSH planes), while one ``F.expr``
+    parse is milliseconds. Identical Catalyst tree either way."""
+    arr = ",".join(_dlit(x) for x in lits)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), "
+        f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, d) -> acc + d)"
     )
 
 
@@ -78,44 +92,33 @@ def pq_encode(
         return _pq_encode_arrow(embeddings, codebook, n_sub, id_col, vec_col)
     dim = len(codebook[0])
     sub_len = dim // n_sub
-    v = as_double(F.col(vec_col))
+    v_sql = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
 
-    code_cols: list[Column] = []
-    dist_cols: list[Column] = []
+    code_sqls: list[str] = []
+    dist_sqls: list[str] = []
     for m in range(n_sub):
-        sv = F.slice(v, m * sub_len + 1, sub_len)
-        cands = F.array(
-            *[
-                F.struct(
-                    _l2(
-                        sv,
-                        F.array(
-                            *[
-                                F.lit(codebook[k][m * sub_len + d])
-                                for d in range(sub_len)
-                            ]
-                        ),
-                    ).alias("d"),
-                    F.lit(k).cast("long").alias("k"),
-                )
-                for k in range(len(codebook))
-            ]
+        sv = f"slice({v_sql}, {m * sub_len + 1}, {sub_len})"
+        cands = ",".join(
+            f"struct({_l2_sql(sv, codebook[k][m * sub_len : (m + 1) * sub_len])}"
+            f" AS d, {k}L AS k)"
+            for k in range(len(codebook))
         )
-        best = F.array_min(cands)  # (d asc, k asc) lexicographic = argmin
-        code_cols.append(best["k"])
-        dist_cols.append(best["d"])
+        # array_min over (d, k) structs: lexicographic = argmin, ties to
+        # the lowest code id
+        best = f"array_min(array({cands}))"
+        code_sqls.append(f"{best}.k")
+        dist_sqls.append(f"{best}.d")
 
     # fixed-order left fold over sub-spaces: ((d0+d1)+d2)+... — matches
     # the oracle's list_reduce in m order exactly
-    mse = dist_cols[0]
-    for d in dist_cols[1:]:
-        mse = mse + d
-    mse = F.round(mse / F.lit(float(dim)), 9)
-
+    mse_sql = f"round(({' + '.join(dist_sqls)}) / {_dlit(float(dim))}, 9)"
+    csv_sql = "concat_ws(',', {})".format(
+        ", ".join(f"CAST({c} AS STRING)" for c in code_sqls)
+    )
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.concat_ws(",", *[c.cast("string") for c in code_cols]).alias("codes_csv"),
-        mse.alias("recon_mse"),
+        F.expr(csv_sql).alias("codes_csv"),
+        F.expr(mse_sql).alias("recon_mse"),
     )
 
 
@@ -320,22 +323,25 @@ def _adc_score_literal(
     enc: DataFrame, dtab: dict[int, list[list[float]]], n_sub: int
 ) -> DataFrame:
     """Distance tables as plan literals: O(M) element_at lookups per
-    (row, query), all inside whole-stage codegen."""
+    (row, query), all inside whole-stage codegen. Assembled as ONE SQL
+    expression string — per-literal ``F.lit`` construction was the
+    dominant cost of the whole query at bench scale (~2.3 s of serial
+    Py4J driver time vs ~0.5 s of actual execution, profiled round 4)."""
     per_query = []
     for q in sorted(dtab):
-        # fixed m-order sum of table lookups
-        dist = None
+        # fixed m-order sum of table lookups (left-assoc +, same as SQL)
+        terms = []
         for m in range(n_sub):
-            term = F.element_at(
-                F.array(*[F.lit(x) for x in dtab[q][m]]),
-                (F.col("codes")[m] + 1).cast("int"),
+            arr = ",".join(_dlit(x) for x in dtab[q][m])
+            terms.append(
+                f"element_at(array({arr}), CAST(codes[{m}] + 1 AS INT))"
             )
-            dist = term if dist is None else dist + term
         per_query.append(
-            F.struct(F.lit(int(q)).cast("long").alias("query_id"), dist.alias("adist"))
+            f"struct(CAST({int(q)} AS BIGINT) AS query_id,"
+            f" ({' + '.join(terms)}) AS adist)"
         )
     return enc.select(
-        "cand_id", F.explode(F.array(*per_query)).alias("qd")
+        "cand_id", F.expr(f"explode(array({', '.join(per_query)}))").alias("qd")
     ).select("qd.query_id", "cand_id", F.round("qd.adist", 9).alias("adist"))
 
 
@@ -486,18 +492,13 @@ def train_codebook(
         for _ in range(iters):
             # map-only literal argmin (pq_encode's shape): lexicographic
             # array_min over (dist, k) == ORDER BY d ASC, k ASC LIMIT 1
-            cands = F.array(
-                *[
-                    F.struct(
-                        _l2(
-                            F.col("__sv"), F.array(*[F.lit(x) for x in cv])
-                        ).alias("d"),
-                        F.lit(k).cast("long").alias("k"),
-                    )
-                    for k, cv in enumerate(cents)
-                ]
+            cands = ",".join(
+                f"struct({_l2_sql('__sv', cv)} AS d, {k}L AS k)"
+                for k, cv in enumerate(cents)
             )
-            assigned = sub.select("__sv", F.array_min(cands)["k"].alias("__k"))
+            assigned = sub.select(
+                "__sv", F.expr(f"array_min(array({cands})).k").alias("__k")
+            )
             cells = assigned.select("__k", F.posexplode("__sv").alias("__dim", "__x"))
             means = cells.groupBy("__k", "__dim").agg(
                 (
@@ -674,31 +675,19 @@ def ivfpq_topk(
     assigned = ivf_assign(base, coarse, id_col).filter(
         F.col("cent_id").isin(allowed)
     )
-    code_cols: list[Column] = []
+    code_sqls: list[str] = []
     for m in range(n_sub):
-        sv = F.slice(F.col("__v"), m * sub_len + 1, sub_len)
-        cands = F.array(
-            *[
-                F.struct(
-                    _l2(
-                        sv,
-                        F.array(
-                            *[
-                                F.lit(codebook[c][m * sub_len + d])
-                                for d in range(sub_len)
-                            ]
-                        ),
-                    ).alias("d"),
-                    F.lit(c).cast("long").alias("k"),
-                )
-                for c in range(len(codebook))
-            ]
+        sv = f"slice(__v, {m * sub_len + 1}, {sub_len})"
+        cands = ",".join(
+            f"struct({_l2_sql(sv, codebook[c][m * sub_len : (m + 1) * sub_len])}"
+            f" AS d, {c}L AS k)"
+            for c in range(len(codebook))
         )
-        code_cols.append(F.array_min(cands)["k"])
+        code_sqls.append(f"array_min(array({cands})).k")
     enc = assigned.select(
         F.col(id_col).alias("cand_id"),
         "cent_id",
-        F.array(*code_cols).alias("codes"),
+        F.expr("array({})".format(", ".join(code_sqls))).alias("codes"),
     )
 
     def l2(a: list[float], b: list[float]) -> float:
@@ -722,23 +711,24 @@ def ivfpq_topk(
     }
     per_query = []
     for q in sorted(dtab):
-        dist = None
+        terms = []
         for m in range(n_sub):
-            term = F.element_at(
-                F.array(*[F.lit(x) for x in dtab[q][m]]),
-                (F.col("codes")[m] + 1).cast("int"),
+            arr = ",".join(_dlit(x) for x in dtab[q][m])
+            terms.append(
+                f"element_at(array({arr}), CAST(codes[{m}] + 1 AS INT))"
             )
-            dist = term if dist is None else dist + term
+        cells = ", ".join(str(int(c)) for c in probes[q])
+        # CASE with no ELSE = NULL outside this query's probed cells
         per_query.append(
-            F.struct(
-                F.lit(int(q)).cast("long").alias("query_id"),
-                F.when(
-                    F.col("cent_id").isin(probes[q]), dist
-                ).alias("adist"),  # NULL outside this query's probed cells
-            )
+            f"struct(CAST({int(q)} AS BIGINT) AS query_id,"
+            f" CASE WHEN cent_id IN ({cells})"
+            f" THEN ({' + '.join(terms)}) END AS adist)"
         )
     exploded = (
-        enc.select("cand_id", F.explode(F.array(*per_query)).alias("qd"))
+        enc.select(
+            "cand_id",
+            F.expr(f"explode(array({', '.join(per_query)}))").alias("qd"),
+        )
         .select("qd.query_id", "cand_id", F.round("qd.adist", 9).alias("adist"))
         .filter(F.col("adist").isNotNull() & (F.col("cand_id") != F.col("query_id")))
     )
