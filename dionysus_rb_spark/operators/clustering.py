@@ -23,10 +23,10 @@ driver traffic is the k x dim centroid collect.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import as_double, cosine, cosine_sql
+from .similarity import as_double, cos_lit_sql, cosine_sql
 
 Centroids = list[tuple[int, list[float]]]
 
@@ -39,23 +39,17 @@ def _assign(base: DataFrame, cents: Centroids) -> DataFrame:
     is exactly ``ORDER BY cos DESC, id ASC LIMIT 1``; the third field
     carries the winner's cosine out bit-identically (−(−x) == x for
     every double, signed zeros included)."""
-    cands = F.array(
-        *[
-            F.struct(
-                (-F.round(
-                    cosine(F.col("__v"), F.array(*[F.lit(x) for x in cv])), 6
-                )).alias("nc"),
-                F.lit(int(cid)).cast("long").alias("cluster_id"),
-            )
-            for cid, cv in cents
-        ]
+    cands = ",".join(
+        f"struct(-round({cos_lit_sql('__v', cv)}, 6) AS nc,"
+        f" {int(cid)}L AS cluster_id)"
+        for cid, cv in cents
     )
-    best = F.array_min(cands)
+    best = f"array_min(array({cands}))"
     return base.select(
         "vec_id",
         "__v",
-        best["cluster_id"].alias("cluster_id"),
-        (-best["nc"]).alias("__cos"),
+        F.expr(f"{best}.cluster_id").alias("cluster_id"),
+        F.expr(f"-{best}.nc").alias("__cos"),
     )
 
 

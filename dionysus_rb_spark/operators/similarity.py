@@ -35,6 +35,30 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def cos_lit_sql(vec_name: str, lits: list[float]) -> str:
+    """Cosine of a vector COLUMN NAME against a LITERAL vector as one
+    SQL expression string — identical math to :func:`cosine` (sequential
+    left-folds, dot / (na * nb)), but one ``F.expr`` parse instead of a
+    Py4J round trip per literal (~0.5 s of serial driver time per 8x64
+    candidate block — the lsh_bucket lesson, round 3; generalized to
+    the centroid argmins in round 4). ``repr`` literals round-trip to
+    the identical IEEE double."""
+    arr = "array(" + ",".join(f"{float(x)!r}D" for x in lits) + ")"
+    dot = (
+        f"aggregate(zip_with({vec_name}, {arr}, (x, y) -> x * y),"
+        f" 0.0D, (acc, s) -> acc + s)"
+    )
+    na = (
+        f"sqrt(aggregate(transform({vec_name}, x -> x * x),"
+        f" 0.0D, (acc, s) -> acc + s))"
+    )
+    nb = (
+        f"sqrt(aggregate(transform({arr}, x -> x * x),"
+        f" 0.0D, (acc, s) -> acc + s))"
+    )
+    return f"({dot} / ({na} * {nb}))"
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -214,19 +238,14 @@ def ivf_assign(
     MAP-ONLY — one codegen corpus scan, no join, no per-vector window
     (lexicographic array_min over (−cos, id) == ORDER BY cos DESC,
     id ASC LIMIT 1)."""
-    cands = F.array(
-        *[
-            F.struct(
-                (-cosine(F.col("__v"), F.array(*[F.lit(x) for x in cv]))).alias(
-                    "nc"
-                ),
-                F.lit(int(cid)).cast("long").alias("cent_id"),
-            )
-            for cid, cv in centroids
-        ]
+    cands = ",".join(
+        f"struct(-{cos_lit_sql('__v', cv)} AS nc, {int(cid)}L AS cent_id)"
+        for cid, cv in centroids
     )
-    best = F.array_min(cands)
-    return base.select(id_col, "__v", best["cent_id"].alias("cent_id"))
+    best = f"array_min(array({cands}))"
+    return base.select(
+        id_col, "__v", F.expr(f"{best}.cent_id").alias("cent_id")
+    )
 
 
 def ivf_topk(
@@ -262,21 +281,16 @@ def ivf_topk(
     )
     # per-query nprobe nearest cells: sort the literal (−cos, cent_id)
     # struct array and take the prefix — ORDER BY cos DESC, id ASC
-    qcands = F.array(
-        *[
-            F.struct(
-                (-cosine(F.col("__qv"), F.array(*[F.lit(x) for x in cv]))).alias(
-                    "nc"
-                ),
-                F.lit(int(cid)).cast("long").alias("cent_id"),
-            )
-            for cid, cv in cents
-        ]
+    qcands = ",".join(
+        f"struct(-{cos_lit_sql('__qv', cv)} AS nc, {int(cid)}L AS cent_id)"
+        for cid, cv in cents
     )
     probe = queries.select(
         "query_id",
         "__qv",
-        F.explode(F.slice(F.array_sort(qcands), 1, nprobe)).alias("__pc"),
+        F.expr(
+            f"explode(slice(array_sort(array({qcands})), 1, {nprobe}))"
+        ).alias("__pc"),
     ).select("query_id", "__qv", F.col("__pc.cent_id").alias("cent_id"))
 
     cands = (
