@@ -404,11 +404,14 @@ def f9_publish_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f11_deleted_resource_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11 deleted-resource guard (outbox/publisher.rb:19-34): drop
     created/updated events whose resource no longer exists — a left_semi
-    join of events against the source table before publish."""
+    join of events against the source table before publish. The guard
+    side is the FULL source-table key set (table-sized, unbounded at
+    production scale), so no broadcast hint is forced: AQE broadcasts
+    the key projection when it is actually small and shuffles otherwise."""
     ev = _events(spark, sf_dir)
     customer = load_table(spark, sf_dir, "customer")
     return ev.join(
-        F.broadcast(customer.select("c_custkey")),
+        customer.select("c_custkey"),
         ev.user_id == F.col("c_custkey"),
         "left_semi",
     ).select("event_id", "user_id")

@@ -870,11 +870,16 @@ def t_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring with the corpus as its own model:
     an add-one-smoothed bigram LM (counts + vocab) is built in two
-    token-keyed shuffles, broadcast back onto each document's bigrams,
+    token-keyed shuffles and joined back onto each document's bigrams,
     and each doc scores its average log-probability — low scores mark
     incoherent/outlier text, the same shape as CCNet's wiki-LM
     perplexity filter (the trained-KenLM step swaps in for the counts
-    join at production). Cross-partition double summation is made
+    join at production). The count tables are VOCABULARY-sized — a
+    natural-language vocabulary broadcasts, but at web scale (URLs,
+    code, numerals) the bigram space is unbounded, so no broadcast hint
+    is forced: AQE broadcasts when the runtime size is actually small
+    (same reasoning as t_tfidf_keywords). Cross-partition double
+    summation is made
     engine-deterministic by collecting each doc's rounded logps,
     sorting, and folding sequentially — never a floating-point
     sum whose addend order the shuffle controls."""
@@ -902,9 +907,9 @@ def t_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ugc = uni.groupBy("w").agg(F.count("*").alias("cu"))
     vocab = ugc.count()
     scored = (
-        bi.join(F.broadcast(bgc), "bg")
+        bi.join(bgc, "bg")
         .join(
-            F.broadcast(ugc),
+            ugc,
             F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("w"),
         )
         .select(
