@@ -41,6 +41,19 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
         .localCheckpoint(eager=True)
     )
+
+    # Convergence check: per-vertex labels are non-increasing (the min
+    # always includes the vertex's own label) over a fixed vertex set,
+    # so the label SUM strictly decreases iff any vertex changed — an
+    # exact scalar on the already-checkpointed frame. One cheap agg job
+    # per round instead of a vertex-keyed join + count (decimal(38,0)
+    # keeps the sum exact at any vertex-count x id-range product).
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr = sym.join(
             labels, sym["v"] == labels["vertex"]
@@ -51,14 +64,9 @@ def connected_components(
             .groupBy("vertex")
             .agg(F.min("component").alias("component"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
