@@ -111,3 +111,16 @@ def test_encode_default_gate_picks_literal_for_demo_codebook(spark, emb):
         .toString()
     )
     assert "MapInPandas" not in plan
+
+
+def test_default_gate_switches_to_arrow_past_threshold(spark, emb):
+    """A 64-code codebook (8*64 = 512 entries/query > the 256 gate) must
+    ride the Arrow path by DEFAULT — and still equal the literal plan."""
+    codebook = pq.seed_codebook(emb, n_codes=64)
+    df = pq.pq_adc_topk(emb, codebook, QUERY_IDS, k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    lit = pq.pq_adc_topk(
+        emb, codebook, QUERY_IDS, k=10, literal_max_entries=10**9
+    )
+    assert _rows(df) == _rows(lit)
