@@ -1,9 +1,61 @@
 """Connected-components unit checks: chains that need multiple
-propagation rounds, disjoint components, and convergence."""
+propagation rounds, disjoint components, and convergence — plus a
+property test against a driver-side union-find reference (guards the
+label-sum convergence check: an early stop would leave some vertex
+above its true min label)."""
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
 from dionysus_rb_spark.operators.graph import connected_components
+
+
+def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min vertex id per component, matching connected_components' label
+    comp: dict[int, int] = {}
+    for v in parent:
+        r = find(v)
+        comp[v] = min(comp.get(r, v), v)
+    return {v: comp[find(v)] for v in parent}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+    got = {
+        r["vertex"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == _union_find(edges)
 
 
 def test_connected_components_chain_and_islands(spark):
