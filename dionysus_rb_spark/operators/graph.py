@@ -53,7 +53,10 @@ def connected_components(
             F.sum(F.col("component").cast("decimal(38,0)"))
         ).collect()[0][0]
 
-    prev_sum = _label_sum(labels)
+    # No pre-loop sum: round 1 always changes at least one label (every
+    # edge has u != v, so the larger endpoint adopts the smaller), so
+    # the first comparison that can break the loop is round 2's.
+    prev_sum = None
     for _ in range(max_iter):
         nbr = sym.join(
             labels, sym["v"] == labels["vertex"]
@@ -66,7 +69,7 @@ def connected_components(
         ).localCheckpoint(eager=True)
         new_sum = _label_sum(new_labels)
         labels = new_labels
-        if new_sum == prev_sum:
+        if prev_sum is not None and new_sum == prev_sum:
             break
         prev_sum = new_sum
     return labels
