@@ -905,17 +905,21 @@ def t_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bgc = bi.groupBy("bg").agg(F.count("*").alias("cb"))
     uni = toks.select(F.explode("t").alias("w"))
     ugc = uni.groupBy("w").agg(F.count("*").alias("cu"))
-    vocab = ugc.count()
+    # vocabulary size stays IN the plan (1-row frame, broadcast — same
+    # shape as the oracle's vocab CTE) instead of a separate driver
+    # count job: one execution end to end, no mid-build serialization
+    vocab = ugc.agg(F.count("*").alias("__v"))
     scored = (
         bi.join(bgc, "bg")
         .join(
             ugc,
             F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("w"),
         )
+        .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
             F.round(
-                F.log((F.col("cb") + 1.0) / (F.col("cu") + F.lit(float(vocab)))), 9
+                F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("__v"))), 9
             ).alias("logp"),
         )
     )
