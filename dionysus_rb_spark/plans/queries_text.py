@@ -738,17 +738,21 @@ def t_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     from ..functions.hashing import tokenize
 
-    n_docs = docs.count()  # scalar; one jobette, broadcast into the expr
+    # corpus doc count stays IN the plan (1-row frame, broadcast onto
+    # the vocabulary-sized agg — the oracle's count CTE shape) instead
+    # of a separate driver count job
+    n_docs = docs.agg(F.count("*").alias("__nd"))
     expanded = docs.select(
         F.explode(F.array_distinct(tokenize(F.col("text")))).alias("token")
     )
     return (
         expanded.groupBy("token")
         .agg(F.count("*").alias("doc_freq"))
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "token",
             "doc_freq",
-            F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6).alias("idf"),
+            F.round(F.log(F.col("__nd") / F.col("doc_freq")), 6).alias("idf"),
         )
         .orderBy(F.desc("doc_freq"), "token")
         .limit(50)
@@ -804,7 +808,8 @@ def t_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     docs = _docs(spark, sf_dir)
-    n_docs = docs.count()
+    # corpus doc count as a 1-row in-plan frame, not a driver count job
+    n_docs = docs.agg(F.count("*").alias("__nd"))
     # tf feeds both the df reaggregation and the scored join: persist it
     # so the corpus is exploded and shuffled ONCE (at cluster scale this
     # is a staged table, the same move as minhash's shingle stage)
@@ -815,11 +820,11 @@ def t_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfc = tf.groupBy("token").agg(F.count("*").alias("df"))
-    scored = tf.join(dfc, "token").select(
+    scored = tf.join(dfc, "token").crossJoin(F.broadcast(n_docs)).select(
         "doc_id",
         "token",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            F.col("tf") * F.log(F.col("__nd") / F.col("df")), 6
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
