@@ -29,44 +29,53 @@ class QueryDef:
 
 _REGISTRY: dict[str, QueryDef] = {}
 
-# Queries with a green (rows+schema+hash) driver CORRECTNESS row in any
-# round so far (union of CORRECTNESS_r01/r02/r03.json). The driver samples
-# ~50 of the catalog per round; ``all_queries()`` enumerates the
-# never-green names FIRST so a prefix/recency-biased sample reaches them
-# (VERDICT r2, "Next round" item 1). As of round 4 the only never-green
-# names are the three round-3 hash-mismatch queries (ctx_pack_sequences,
-# samp_token_budget, pipe_full_curation — oracle HUGEINT casts fixed this
-# round), so they lead the enumeration and get re-certified.
+# Queries whose CURRENT plan has a green (rows+schema+hash) driver
+# CORRECTNESS row. The driver samples ~50 of the catalog per round;
+# ``all_queries()`` enumerates the non-certified names FIRST so a
+# prefix/recency-biased sample reaches them (VERDICT r2, item 1).
+#
+# Round-5 regeneration rule (VERDICT r4, item 1, now standing policy):
+# start from the union of green rows across all CORRECTNESS_r0*.json,
+# then REMOVE any query whose plan (or a shared helper it calls)
+# changed after its last green row — a stale row certifies the old
+# plan, not the shipped one. Removed this round:
+#   - the 14 round-4-reworked PQ/IVF/k-means/CC/text-count queries
+#     (emb_pq_*, ann_ivf*, ann_lsh_neardup, emb_kmeans,
+#     emb_cosine_neardup, dd_dup_clusters, dd_dedup_final,
+#     samp_cluster_split, t_doc_frequency, t_tfidf_keywords,
+#     t_lm_quality) — none appeared in the r4 sample;
+#   - j3_observer_fanout — round 5 dropped its two forced broadcasts.
 _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "a1_keep_latest_dedup", "a2_consecutive_dedup", "ann_bruteforce_topk",
-    "ann_ivf_topk", "ann_ivfpq_topk", "ann_lsh_neardup", "ann_recall_eval",
-    "cdc_scd2_history", "cs_changeset_from_versions", "d1_batched_envelope_roundtrip",
+    "ann_recall_eval", "cdc_scd2_history", "cs_changeset_from_versions",
+    "ctx_pack_sequences", "d1_batched_envelope_roundtrip",
     "d1_envelope_roundtrip", "d2d7_canonical_flatten", "d4_aggregate_dismantle",
     "d5_polymorphic_routing", "d8_synced_data_backfill", "dd_bloom_gate",
-    "dd_contamination", "dd_dedup_final", "dd_dup_clusters", "dd_exact_dedup",
+    "dd_contamination", "dd_exact_dedup",
     "dd_minhash_lsh", "dd_ngram_jaccard", "dd_passage_dedup", "dd_simhash",
-    "emb_cosine_neardup", "emb_kmeans", "emb_label_centroids", "emb_outlier_filter",
-    "emb_pq_adc_topk", "emb_pq_encode", "emb_pq_trained", "emb_quantize_int8",
+    "emb_label_centroids", "emb_outlier_filter", "emb_quantize_int8",
     "emb_semantic_dedup", "enc_changeset_roundtrip", "ev_funnel", "ev_interval_join",
     "ev_sessionize", "f10_mark_failed_backoff", "f11_deleted_resource_guard",
     "f1_guarded_merge_snapshot", "f2_soft_delete_classifier", "f4_message_filter",
     "f5f7_genesis_scan", "f9_publish_suppression", "fn_names_keys_roundtrip",
     "g1_latency_metrics", "g3_genesis_batch_plan", "g4_per_key_batches",
-    "g5_salted_skew_agg", "j2_dependency_parent_fanout", "j3_observer_fanout",
+    "g5_salted_skew_agg", "j2_dependency_parent_fanout",
     "j4_to_many_reconciliation", "j5_to_one_resolution", "j6_resource_refetch",
     "j7_observer_overflow", "j8_asof_join", "lc_local_changes_audit",
     "mm_binary_metadata", "mm_chunk_media", "mm_decode_features", "mm_embed_lsh",
     "mm_frame_sample", "mm_shared_segments", "o2_publish_fifo_position",
     "o4_genesis_id_batches", "p3_aggregate_assembly", "p4_serializer_dispatch",
     "p5_deleted_projection", "p6_serialization_bypass", "pipe_corpus_filter",
-    "s10_tombstone_merge", "s1_lifecycle_capture", "s2_drain_two_cycles",
+    "pipe_full_curation", "s10_tombstone_merge", "s1_lifecycle_capture",
+    "s2_drain_two_cycles",
     "s2_outbox_publishable_scan", "s3_pending_topics", "s5_genesis_topic_fanout",
-    "samp_cluster_split", "samp_domain_cap", "samp_mix_epochs", "samp_rebalance",
-    "samp_train_split", "sql_shared_dialect", "stream_t1_replay_dedup",
+    "samp_domain_cap", "samp_mix_epochs", "samp_rebalance",
+    "samp_token_budget", "samp_train_split", "sql_shared_dialect",
+    "stream_t1_replay_dedup",
     "stream_t4_sessionize", "stream_t5_snapshot_merge", "t_bpe_token_count",
-    "t_char_entropy", "t_cms_heavy_hitters", "t_corpus_stats", "t_doc_frequency",
-    "t_fingerprint", "t_kmv_distinct", "t_lang_id", "t_lm_quality", "t_quality_score",
-    "t_redact_pii", "t_repetition_quality", "t_tfidf_keywords", "t_token_stats",
+    "t_char_entropy", "t_cms_heavy_hitters", "t_corpus_stats",
+    "t_fingerprint", "t_kmv_distinct", "t_lang_id", "t_quality_score",
+    "t_redact_pii", "t_repetition_quality", "t_token_stats",
     "t_url_extraction",
 })
 

@@ -175,8 +175,15 @@ def mm_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j3_observer_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 observer join (producer.rb:101-120, registry.rb:95-161):
     events whose changeset touches a watched attribute republish the
-    associated records via the FK chain (multi-hop = chained joins,
-    dimension side broadcast)."""
+    associated records via the FK chain (multi-hop = chained joins).
+
+    No broadcast hints: the hit set is derived from the full events
+    table and is bounded only by customer cardinality, so a hot
+    watched attribute makes it dimension-sized. AQE picks broadcast
+    when the runtime stats say the side is actually small (same rule
+    the PLANS.md forced-broadcast audit applied to t_lm_quality and
+    f11); the per-batch registry fan-out path (registry.py) keeps its
+    documented broadcast_hops opt-in for genuinely bounded batches."""
     ev = load_table(spark, sf_dir, "events")
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -194,7 +201,7 @@ def j3_observer_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(
-            F.broadcast(customer.join(F.broadcast(hits), customer.c_custkey == hits.user_id)),
+            customer.join(hits, customer.c_custkey == hits.user_id),
             orders.o_custkey == F.col("c_custkey"),
         )
         .select("o_orderkey", F.lit("order_updated").alias("event"))
