@@ -6,14 +6,20 @@ this INCOMING document collide with an already-curated index (the
 training corpus, a benchmark's held-out set)? Same signature math, run
 unchanged inside readStream; the index is a static frame of band keys.
 
-Two join shapes, picked by index size:
+Two join shapes, picked by index size — AUTOMATICALLY by default
+(``broadcast_index=None`` counts the index's distinct band keys once at
+gate-construction and compares against ``BROADCAST_INDEX_MAX_KEYS``, the
+same shape-gating pattern as pq.ADC_LITERAL_MAX_ENTRIES), so the
+scale-safe path engages without the caller having to know the index
+size; pass an explicit bool to pin a shape:
 
-- ``broadcast_index=True`` (default): the stream keeps its band-key
-  ARRAY and the gate is one stream-static LEFT SEMI join on
-  ``array_contains`` — each stream doc emits AT MOST ONCE regardless of
-  how many bands collide, no state, no watermark. Right for
-  decontamination gates, where the index (a benchmark suite) is
-  broadcast-sized.
+- ``broadcast_index=True``: the stream keeps its band-key ARRAY and the
+  gate is one stream-static LEFT SEMI join on ``array_contains`` — a
+  broadcast nested-loop join. Each stream doc emits AT MOST ONCE
+  regardless of how many bands collide, no state, no watermark. Right
+  for decontamination gates, where the index (a benchmark suite) is
+  broadcast-sized; quadratic-ish and OOM-prone if the index is
+  corpus-sized, which is why it is no longer the blanket default.
 - ``broadcast_index=False``: band keys explode and the gate is an
   equi-join on band_key — the shape for a corpus-sized index (shuffled
   hash join, no broadcast). A doc colliding in several bands emits once
@@ -33,6 +39,14 @@ from ..operators.minhash import (
     doc_shingles,
     minhash_signature,
 )
+
+# Auto-shape ceiling for ``near_dup_gate(broadcast_index=None)``: at or
+# below this many distinct index band keys (~40 B each -> low tens of
+# MB broadcast) the at-most-once broadcast semi join is used; above it
+# the exploded shuffled equi-join. Benchmark decontamination suites are
+# thousands of keys; a curated-corpus index is billions — the threshold
+# only has to separate those regimes, not be exact.
+BROADCAST_INDEX_MAX_KEYS = 1_000_000
 
 
 def band_keys_frame(
@@ -75,11 +89,18 @@ def near_dup_gate(
     num_perm: int = NUM_PERM,
     bands: int = BANDS,
     seed: int = 42,
-    broadcast_index: bool = True,
+    broadcast_index: bool | None = None,
 ) -> DataFrame:
     """Rows of ``stream_docs`` whose MinHash bands collide with
     ``index_docs`` (LSH candidates — run exact Jaccard downstream if
-    the gate must be exact rather than high-recall)."""
+    the gate must be exact rather than high-recall).
+
+    ``broadcast_index=None`` (default) resolves the join shape from the
+    index's distinct band-key count (one count job over the STATIC index
+    at gate-construction; the stream side is never counted). Both shapes
+    flag the same doc_ids (pinned equal in test_streaming_ops.py); they
+    differ only in duplicate emission, see module docstring.
+    """
     stream_bands = band_keys_frame(
         stream_docs, text_col, id_col, k, num_perm, bands, seed
     )
@@ -88,6 +109,8 @@ def near_dup_gate(
         .select(F.explode("band_keys").alias("band_key"))
         .distinct()
     )
+    if broadcast_index is None:
+        broadcast_index = index_keys.count() <= BROADCAST_INDEX_MAX_KEYS
     if broadcast_index:
         return stream_bands.join(
             F.broadcast(index_keys),

@@ -795,6 +795,23 @@ def test_streaming_near_dup_gate_matches_batch(spark, tmp_path):
         {r["doc_id"] for r in near_dup_gate(batch, index, broadcast_index=False).collect()}
     )
     assert eq == want
+    # explicit broadcast shape agrees with the auto default (which picks
+    # broadcast here: 2-doc index is far under BROADCAST_INDEX_MAX_KEYS)
+    bc = sorted(
+        r["doc_id"] for r in near_dup_gate(batch, index, broadcast_index=True).collect()
+    )
+    assert bc == want
+    # force the auto gate over the ceiling -> it must route to the
+    # exploded equi-join and still flag the same docs
+    import dionysus_rb_spark.streaming.neardup_stream as nd
+
+    old = nd.BROADCAST_INDEX_MAX_KEYS
+    try:
+        nd.BROADCAST_INDEX_MAX_KEYS = 0
+        auto_big = sorted({r["doc_id"] for r in near_dup_gate(batch, index).collect()})
+    finally:
+        nd.BROADCAST_INDEX_MAX_KEYS = old
+    assert auto_big == want
 
 
 def test_streaming_bloom_accumulation_equals_batch(spark, tmp_path):
