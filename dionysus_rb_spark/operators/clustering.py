@@ -12,8 +12,12 @@ value), one groupBy(cluster, dim) whose per-cell mean is a SORTED
 sequential fold, then re-assembly of the centroid arrays. The sorted
 fold is what makes the whole iterative algorithm reproducible
 bit-for-bit across engines and shuffle orders (a plain avg() varies in
-the last ulp with partition order); a throughput-first deployment swaps
-`F.avg` in and drops the oracle guarantee, changing nothing else.
+the last ulp with partition order); a throughput-first deployment passes
+``mean_mode="fast"`` to use plain ``F.avg`` — map-side partial
+aggregation instead of shipping every value into a collect_list — and
+drops only the bit-reproducibility guarantee: on any data whose
+clusters are separated by more than a last-ulp cosine difference the
+assignments are identical (pinned in tests/test_ann_recall.py).
 
 Scale shape per iteration: one corpus scan (codegen'd literal argmax) +
 one shuffle of (cluster, dim, value) triples for the means. The corpus
@@ -53,22 +57,32 @@ def _assign(base: DataFrame, cents: Centroids) -> DataFrame:
     )
 
 
-def _update(assigned: DataFrame) -> DataFrame:
-    """New centroids: per-(cluster, dim) mean via sorted sequential fold
-    (engine- and partition-order-independent), then array re-assembly."""
+def _update(assigned: DataFrame, mean_mode: str = "sorted_fold") -> DataFrame:
+    """New centroids: per-(cluster, dim) mean, then array re-assembly.
+
+    ``mean_mode="sorted_fold"`` (default): sorted sequential fold —
+    engine- and partition-order-independent, the mode every DuckDB
+    oracle mirrors. ``"fast"``: plain ``F.avg`` — partial-aggregates
+    map-side (no per-cell collect_list), cheaper at scale, deterministic
+    only up to float addition order."""
     cells = assigned.select(
         "cluster_id", F.posexplode("__v").alias("__d", "__x")
     )
-    means = cells.groupBy("cluster_id", "__d").agg(
-        (
-            F.aggregate(
-                F.array_sort(F.collect_list("__x")),
-                F.lit(0.0),
-                lambda a, b: a + b,
-            )
-            / F.count("*")
-        ).alias("__m")
-    )
+    if mean_mode == "fast":
+        means = cells.groupBy("cluster_id", "__d").agg(F.avg("__x").alias("__m"))
+    elif mean_mode == "sorted_fold":
+        means = cells.groupBy("cluster_id", "__d").agg(
+            (
+                F.aggregate(
+                    F.array_sort(F.collect_list("__x")),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+                / F.count("*")
+            ).alias("__m")
+        )
+    else:
+        raise ValueError(f"mean_mode must be 'sorted_fold' or 'fast', got {mean_mode!r}")
     return means.groupBy("cluster_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("__d", "__m"))), lambda s: s["__m"]
@@ -82,12 +96,17 @@ def kmeans_assign(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mean_mode: str = "sorted_fold",
 ) -> DataFrame:
     """Run ``iters`` Lloyd iterations from deterministic seeds (the
     vectors with the ``k`` lowest ids — the cross-engine-reproducible
     analogue of kmeans|| seeding) and return the final assignment:
     (vec_id, cluster_id, cos). ``cluster_id`` numbers the seed order
     densely 0..k-1 (driver-side enumerate — no renumbering window).
+
+    ``mean_mode`` picks the centroid-mean implementation (see
+    ``_update``): keep the default for oracle-comparable runs; use
+    ``"fast"`` when bit-reproducibility across engines isn't needed.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -105,7 +124,7 @@ def kmeans_assign(
         # member drops out, exactly as the DataFrame groupBy did
         cents = sorted(
             (int(r["cluster_id"]), list(r["__cv"]))
-            for r in _update(assigned).collect()
+            for r in _update(assigned, mean_mode).collect()
         )
     # final assignment against the last updated centroids
     assigned = _assign(base, cents)

@@ -51,3 +51,34 @@ def test_pq_adc_recall_floor(spark):
     hits = {(q, c) for q, cs in per.items() for c in cs}
     recall = len(exact & hits) / len(exact)
     assert recall >= 0.2, f"PQ-ADC recall@10 regressed: {recall:.2f} < 0.2"
+
+
+def test_kmeans_fast_mean_mode_matches_sorted_fold(spark):
+    """mean_mode="fast" (plain F.avg centroid means) must produce the
+    SAME cluster assignments as the bit-reproducible sorted-fold default
+    on data whose clusters are separated by far more than a last-ulp
+    cosine difference — the only thing "fast" gives up is float addition
+    order. Well-separated data: four orthogonal-ish direction bundles."""
+    import pytest
+
+    from dionysus_rb_spark.operators.clustering import kmeans_assign
+
+    rows = []
+    for vid in range(40):
+        base = [0.0] * 8
+        base[vid % 4] = 1.0
+        base[(vid % 4) + 4] = 0.1 + 0.01 * (vid // 4)  # jitter within bundle
+        rows.append((vid, [float(x) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    ref = {
+        (r["vec_id"], r["cluster_id"])
+        for r in kmeans_assign(emb, k=4, iters=2).collect()
+    }
+    fast = {
+        (r["vec_id"], r["cluster_id"])
+        for r in kmeans_assign(emb, k=4, iters=2, mean_mode="fast").collect()
+    }
+    assert fast == ref
+    with pytest.raises(ValueError, match="mean_mode"):
+        kmeans_assign(emb, k=4, iters=1, mean_mode="typo")
