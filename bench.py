@@ -19,6 +19,16 @@ queries rather than every sample of one query. The JSON also carries:
               SPARK_GRAFT_CPUS; a 1-minute load near or above the core
               count means the whole run is contended and cross-round
               totals are not comparable.
+
+Load gating (round 5): both r3 and r4 totals were recorded at host load
+4-8, which made round-over-round totals noisy even with the min/spread
+fields. Before starting, the harness now waits for the 1-minute loadavg
+to drop below SPARK_GRAFT_BENCH_MAX_LOAD (default 2.0), polling every
+10s up to SPARK_GRAFT_BENCH_LOAD_WAIT seconds (default 180). It never
+refuses to run — a bench row beats no row — but the JSON carries
+  "high_load":  true when the gate timed out and the run started
+                contended (treat the total as an upper bound);
+  "load_waited_sec": how long the gate spent waiting.
 """
 
 from __future__ import annotations
@@ -38,6 +48,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+
+    # wait (bounded) for a quiet host rather than recording a contended
+    # total; annotate instead of refusing if the host never quiets down
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+    load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "180"))
+    wait_t0 = time.monotonic()
+    while os.getloadavg()[0] > max_load and time.monotonic() - wait_t0 < load_wait:
+        time.sleep(10)
+    load_waited = round(time.monotonic() - wait_t0, 1)
     load_start = os.getloadavg()
     spark = get_spark("dionysus-rb-spark-bench")
 
@@ -76,6 +95,8 @@ def main() -> None:
             "start": [round(x, 2) for x in load_start],
             "end": [round(x, 2) for x in os.getloadavg()],
         },
+        "high_load": load_start[0] > max_load,
+        "load_waited_sec": load_waited,
     }
     print(json.dumps(out))
     spark.stop()
