@@ -17,7 +17,7 @@ pipelines run between pair mining and keep-one selection.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -45,14 +45,15 @@ def connected_components(
     # Convergence check: per-vertex labels are non-increasing (the min
     # always includes the vertex's own label) over a fixed vertex set,
     # so the label SUM strictly decreases iff any vertex changed — an
-    # exact scalar on the already-checkpointed frame. One cheap agg job
-    # per round instead of a vertex-keyed join + count (decimal(38,0)
-    # keeps the sum exact at any vertex-count x id-range product).
-    def _label_sum(df: DataFrame):
-        return df.agg(
-            F.sum(F.col("component").cast("decimal(38,0)"))
-        ).collect()[0][0]
-
+    # exact scalar (decimal(38,0) keeps it exact at any vertex-count x
+    # id-range product). The sum rides the eager checkpoint's own
+    # materialization job as an observed metric, so each round runs
+    # exactly ONE job: join + groupBy + checkpoint + convergence scalar.
+    # (Metrics on an eager localCheckpoint fire in both batch and
+    # foreachBatch contexts — verified empirically; SQL *writes* of join
+    # plans inside foreachBatch do NOT deliver observed metrics, which
+    # is why consumer/persistor.py tallies with a count job instead.)
+    #
     # No pre-loop sum: round 1 always changes at least one label (every
     # edge has u != v, so the larger endpoint adopts the smaller), so
     # the first comparison that can break the loop is round 2's.
@@ -61,13 +62,18 @@ def connected_components(
         nbr = sym.join(
             labels, sym["v"] == labels["vertex"]
         ).select(F.col("u").alias("vertex"), "component")
+        obs = Observation()
         new_labels = (
             labels.select("vertex", "component")
             .unionAll(nbr)
             .groupBy("vertex")
             .agg(F.min("component").alias("component"))
-        ).localCheckpoint(eager=True)
-        new_sum = _label_sum(new_labels)
+            .observe(
+                obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = obs.get["s"]
         labels = new_labels
         if prev_sum is not None and new_sum == prev_sum:
             break
