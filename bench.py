@@ -29,6 +29,14 @@ refuses to run — a bench row beats no row — but the JSON carries
   "high_load":  true when the gate timed out and the run started
                 contended (treat the total as an upper bound);
   "load_waited_sec": how long the gate spent waiting.
+
+Host-speed calibration (round 5): even at loadavg < 1, per-query minima
+of UNTOUCHED queries drifted ~1.4-2.0x between rounds — the shared
+host's effective CPU speed changes (frequency scaling / co-tenant
+quota), which load fields can't see. "cpu_probe_sec" times a fixed
+single-thread SHA-256 workload (~128 MB) before the session starts;
+comparing two rounds' totals only makes sense after dividing each by
+its probe time (a 2x probe means the same plans on a half-speed host).
 """
 
 from __future__ import annotations
@@ -42,6 +50,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dionysus_rb_spark.plans import all_queries
 from dionysus_rb_spark.session import get_spark
+
+
+def _cpu_probe() -> float:
+    """Seconds to SHA-256 a fixed 128 MB single-thread workload — a
+    deterministic host-speed yardstick, independent of Spark."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    b = b"\x5a" * 65536
+    for _ in range(2000):
+        b = hashlib.sha256(b).digest() + b[32:]
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
@@ -58,6 +78,7 @@ def main() -> None:
         time.sleep(10)
     load_waited = round(time.monotonic() - wait_t0, 1)
     load_start = os.getloadavg()
+    cpu_probe = _cpu_probe()
     spark = get_spark("dionysus-rb-spark-bench")
 
     qdefs = {n: q for n, q in sorted(all_queries().items()) if q.bench}
@@ -97,6 +118,7 @@ def main() -> None:
         },
         "high_load": load_start[0] > max_load,
         "load_waited_sec": load_waited,
+        "cpu_probe_sec": cpu_probe,
     }
     print(json.dumps(out))
     spark.stop()
