@@ -2,9 +2,11 @@
 
 Near-dup pair generation (MinHash/SimHash/cosine) yields EDGES; dedup
 decisions need CLUSTERS (keep one doc per component). This implements
-iterative min-label propagation: every vertex starts labeled with its
-own id and repeatedly adopts the minimum label among itself and its
-neighbors, converging in O(component diameter) rounds.
+iterative min-label propagation: every vertex starts labeled with the
+minimum id in its closed neighborhood (the first propagation round,
+folded into initialization as a plain groupBy) and repeatedly adopts
+the minimum label among itself and its neighbors, converging in
+O(component diameter) rounds.
 
 Scale shape: each round is one join + one groupBy (both on vertex id —
 the same partitioning reused across rounds), with localCheckpoint
@@ -26,19 +28,40 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    dedup_edges: bool = False,
 ) -> DataFrame:
     """Return (vertex, component) where component = min vertex id in the
     connected component. Only vertices appearing in ``edges`` are
-    labeled (isolated docs are their own cluster by definition)."""
+    labeled (isolated docs are their own cluster by definition).
+
+    Min-label propagation is duplicate-tolerant — a repeated edge cannot
+    change any ``min`` — so the edge list is NOT deduplicated by default
+    (our pair miners already emit distinct pairs, and the dedup would
+    cost an extra corpus-wide shuffle before the loop even starts).
+    Duplicated edges only inflate each round's join fan-out, so callers
+    feeding an edge stream with heavy duplication (e.g. raw multi-band
+    LSH hits) should pass ``dedup_edges=True`` and pay that shuffle
+    once instead of every round."""
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    if dedup_edges:
+        sym = sym.distinct()
+    sym = sym.localCheckpoint(eager=True)
 
+    # Fold the first propagation round into initialization: label(u) =
+    # min over {u} ∪ N(u) is a plain groupBy over the symmetric edge
+    # list (no join needed while every label still equals its vertex).
+    # One fewer distributed round at ANY scale — on a 100 TB edge list a
+    # round is a full shuffle, and the init groupBy replaces both the
+    # "labels = distinct vertices" job and round 1's join.
+    init_obs = Observation()
     labels = (
-        sym.select(F.col("u").alias("vertex"))
-        .distinct()
-        .withColumn("component", F.col("vertex"))
+        sym.groupBy(F.col("u").alias("vertex"))
+        .agg(F.min(F.least("u", "v")).alias("component"))
+        .observe(
+            init_obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        )
         .localCheckpoint(eager=True)
     )
 
@@ -54,10 +77,11 @@ def connected_components(
     # plans inside foreachBatch do NOT deliver observed metrics, which
     # is why consumer/persistor.py tallies with a count job instead.)
     #
-    # No pre-loop sum: round 1 always changes at least one label (every
-    # edge has u != v, so the larger endpoint adopts the smaller), so
-    # the first comparison that can break the loop is round 2's.
-    prev_sum = None
+    # The init labels (first propagation folded in) may already be the
+    # fixed point — star components centered on their min vertex
+    # converge at init — so the baseline sum rides the init job and the
+    # very first loop round can detect convergence.
+    prev_sum = init_obs.get["s"]
     for _ in range(max_iter):
         nbr = sym.join(
             labels, sym["v"] == labels["vertex"]
@@ -75,7 +99,7 @@ def connected_components(
         )
         new_sum = obs.get["s"]
         labels = new_labels
-        if prev_sum is not None and new_sum == prev_sum:
+        if new_sum == prev_sum:
             break
         prev_sum = new_sum
     return labels

@@ -54,18 +54,17 @@ def minhash_signature(
     sh: DataFrame, num_perm: int = NUM_PERM, seed: int = 42
 ) -> DataFrame:
     params = perm_params(num_perm, seed)
-
-    def perm_fn(a: int, b: int):
-        # factory (not default-arg lambdas: PySpark reads lambda arity)
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_PRIME)
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform("shingle_hashes", perm_fn(a, b)))
-            for a, b in params
-        ]
+    # One F.expr string instead of ~6 Column calls per permutation: the
+    # assembled tree is identical, but driver-side construction drops
+    # from ~100 Py4J round trips to one (the same expression-string
+    # technique pq.py uses for ADC distance tables). h32 values are
+    # longs, so the int literals promote and all arithmetic stays int64.
+    sig_sql = "array(%s)" % ", ".join(
+        f"array_min(transform(shingle_hashes,"
+        f" h -> (h * {a} + {b}) % {MERSENNE_PRIME}))"
+        for a, b in params
     )
-    return sh.withColumn("signature", sig)
+    return sh.withColumn("signature", F.expr(sig_sql))
 
 
 def lsh_candidate_pairs(
@@ -82,23 +81,19 @@ def lsh_candidate_pairs(
     is free — a degenerate bucket is just a long collected list, dropped
     by size before expansion.
     """
+    bands_sql = "array(%s)" % ", ".join(
+        "concat_ws(',', '%d', %s)"
+        % (
+            b,
+            ", ".join(
+                f"cast(signature[{i}] as string)"
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     band_rows = signed.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",",
-                        F.lit(str(b)),
-                        *[
-                            F.col("signature")[i].cast("string")
-                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_key"),
+        "doc_id", F.explode(F.expr(bands_sql)).alias("band_key")
     )
     buckets = band_rows.groupBy("band_key").agg(
         F.array_sort(F.collect_set("doc_id")).alias("ids")
@@ -106,15 +101,10 @@ def lsh_candidate_pairs(
     buckets = buckets.filter(F.size("ids") >= 2)
     if max_bucket is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket)
-    ids = F.col("ids")
-    pairs_arr = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    pairs_arr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)),"
+        " y -> named_struct('doc_a', x, 'doc_b', y))))"
     )
     return (
         buckets.select(F.explode(pairs_arr).alias("p"))

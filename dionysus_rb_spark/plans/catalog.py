@@ -44,7 +44,11 @@ _REGISTRY: dict[str, QueryDef] = {}
 #     emb_cosine_neardup, dd_dup_clusters, dd_dedup_final,
 #     samp_cluster_split, t_doc_frequency, t_tfidf_keywords,
 #     t_lm_quality) — none appeared in the r4 sample;
-#   - j3_observer_fanout — round 5 dropped its two forced broadcasts.
+#   - j3_observer_fanout — round 5 dropped its two forced broadcasts;
+#   - dd_minhash_lsh — round 5 compiled the signature/band/pair
+#     expressions to F.expr strings (same tree, ~1 Py4J call) and its
+#     CC/graph consumers fold the first propagation round into init
+#     (the CC consumers were already in the uncertified partition).
 _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "a1_keep_latest_dedup", "a2_consecutive_dedup", "ann_bruteforce_topk",
     "ann_recall_eval", "cdc_scd2_history", "cs_changeset_from_versions",
@@ -52,7 +56,7 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "d1_envelope_roundtrip", "d2d7_canonical_flatten", "d4_aggregate_dismantle",
     "d5_polymorphic_routing", "d8_synced_data_backfill", "dd_bloom_gate",
     "dd_contamination", "dd_exact_dedup",
-    "dd_minhash_lsh", "dd_ngram_jaccard", "dd_passage_dedup", "dd_simhash",
+    "dd_ngram_jaccard", "dd_passage_dedup", "dd_simhash",
     "emb_label_centroids", "emb_outlier_filter", "emb_quantize_int8",
     "emb_semantic_dedup", "enc_changeset_roundtrip", "ev_funnel", "ev_interval_join",
     "ev_sessionize", "f10_mark_failed_backoff", "f11_deleted_resource_guard",
