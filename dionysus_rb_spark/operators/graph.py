@@ -2,104 +2,149 @@
 
 Near-dup pair generation (MinHash/SimHash/cosine) yields EDGES; dedup
 decisions need CLUSTERS (keep one doc per component). This implements
-iterative min-label propagation: every vertex starts labeled with the
-minimum id in its closed neighborhood (the first propagation round,
-folded into initialization as a plain groupBy) and repeatedly adopts
-the minimum label among itself and its neighbors, converging in
-O(component diameter) rounds.
+the alternating large-star / small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — the
+web-scale standard between pair mining and keep-one selection):
 
-Scale shape: each round is one join + one groupBy (both on vertex id —
-the same partitioning reused across rounds), with localCheckpoint
-between rounds so lineage stays flat. Components from near-dup graphs
-are shallow (duplicates of a common source), so rounds stay in the
-single digits; ``max_iter`` bounds pathological chains. This is the
-standard large-star/small-star simplification that web-scale dedup
-pipelines run between pair mining and keep-one selection.
+  large-star: every vertex u connects its LARGER neighbors to the
+      minimum of its closed neighborhood m(u);
+  small-star: every vertex u connects its smaller neighbors (and
+      itself) to that minimum.
+
+Each half-step is one key-partitioned aggregate + one join over the
+edge list — no per-vertex state beyond the edge rows themselves — and
+the edge count never grows. The alternation provably converges in
+O(log^2 n) iterations to per-component STARS rooted at the component
+minimum, so even a transitive near-dup chain of 10^6 docs (the
+adversarial shape where plain min-label propagation needs 10^6 rounds
+— and where a label + pointer-jumping hybrid is still linear-ish,
+measured) resolves in tens of iterations. Typical near-dup components
+(duplicates of a common source) are already stars and converge in 1-2.
+
+Scale shape: per iteration two joins + two groupBys, all keyed on
+vertex id, with localCheckpoint between iterations so lineage stays
+flat; the fixpoint test rides the checkpoint's materialization job as
+two observed scalars (edge count + decimal endpoint sum — see the
+in-loop proof sketch), so no extra probe job ever runs. ``max_iter``
+bounds the loop and a non-convergence warning fires if it is ever hit.
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 20,
+    max_iter: int = 25,
     dedup_edges: bool = False,
 ) -> DataFrame:
     """Return (vertex, component) where component = min vertex id in the
     connected component. Only vertices appearing in ``edges`` are
-    labeled (isolated docs are their own cluster by definition).
+    labeled (isolated docs are their own cluster by definition);
+    self-edges (u, u) are ignored.
 
-    Min-label propagation is duplicate-tolerant — a repeated edge cannot
-    change any ``min`` — so the edge list is NOT deduplicated by default
-    (our pair miners already emit distinct pairs, and the dedup would
-    cost an extra corpus-wide shuffle before the loop even starts).
-    Duplicated edges only inflate each round's join fan-out, so callers
-    feeding an edge stream with heavy duplication (e.g. raw multi-band
-    LSH hits) should pass ``dedup_edges=True`` and pay that shuffle
-    once instead of every round."""
-    sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    Both star operations are duplicate-tolerant — a repeated edge emits
+    a repeated (and equal) star edge, never a different result — so the
+    edge list is NOT deduplicated by default (our pair miners already
+    emit distinct pairs, and the dedup would cost an extra corpus-wide
+    shuffle). Callers feeding heavily duplicated edge streams (e.g. raw
+    multi-band LSH hits) should pass ``dedup_edges=True`` and pay that
+    shuffle once, since duplicates otherwise ride along every iteration.
+    """
+    # Canonical orientation (lo, hi): the undirected edge set as sorted
+    # pairs. Star emissions below always produce m < v, so orientation
+    # is preserved for free after the first iteration.
+    ecur = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("lo"),
+        F.greatest(F.col(src), F.col(dst)).alias("hi"),
+    ).where(F.col("lo") != F.col("hi"))
     if dedup_edges:
-        sym = sym.distinct()
-    sym = sym.localCheckpoint(eager=True)
+        ecur = ecur.distinct()
+    ecur = ecur.localCheckpoint(eager=True)
 
-    # Fold the first propagation round into initialization: label(u) =
-    # min over {u} ∪ N(u) is a plain groupBy over the symmetric edge
-    # list (no join needed while every label still equals its vertex).
-    # One fewer distributed round at ANY scale — on a 100 TB edge list a
-    # round is a full shuffle, and the init groupBy replaces both the
-    # "labels = distinct vertices" job and round 1's join.
-    init_obs = Observation()
-    labels = (
-        sym.groupBy(F.col("u").alias("vertex"))
-        .agg(F.min(F.least("u", "v")).alias("component"))
-        .observe(
-            init_obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        )
-        .localCheckpoint(eager=True)
-    )
+    # Fixpoint detection without a comparison job: track (edge count,
+    # decimal sum of lo+hi) per iteration. Large-star maps each
+    # canonical edge (lo, hi) -> (m(lo), hi) with m(lo) <= lo — count
+    # preserved, sum never increases, and any change strictly drops the
+    # sum. Small-star re-attaches (lo, hi) with lo != m to (m, lo) —
+    # m < hi, so the sum strictly drops — and collapses duplicate
+    # (m, hi) rows through the mins2 aggregate — count strictly drops.
+    # Nothing ever increases either scalar (for ANY ids, negative
+    # included), so both unchanged across a full iteration iff the
+    # iteration was the identity, i.e. the star-forest fixpoint.
+    prev: tuple | None = None
 
-    # Convergence check: per-vertex labels are non-increasing (the min
-    # always includes the vertex's own label) over a fixed vertex set,
-    # so the label SUM strictly decreases iff any vertex changed — an
-    # exact scalar (decimal(38,0) keeps it exact at any vertex-count x
-    # id-range product). The sum rides the eager checkpoint's own
-    # materialization job as an observed metric, so each round runs
-    # exactly ONE job: join + groupBy + checkpoint + convergence scalar.
-    # (Metrics on an eager localCheckpoint fire in both batch and
-    # foreachBatch contexts — verified empirically; SQL *writes* of join
-    # plans inside foreachBatch do NOT deliver observed metrics, which
-    # is why consumer/persistor.py tallies with a count job instead.)
-    #
-    # The init labels (first propagation folded in) may already be the
-    # fixed point — star components centered on their min vertex
-    # converge at init — so the baseline sum rides the init job and the
-    # very first loop round can detect convergence.
-    prev_sum = init_obs.get["s"]
+    converged = False
     for _ in range(max_iter):
-        nbr = sym.join(
-            labels, sym["v"] == labels["vertex"]
-        ).select(F.col("u").alias("vertex"), "component")
+        # --- large-star ---------------------------------------------
+        # m(u) = min of u's closed neighborhood; every neighbor v > u
+        # re-attaches to m(u). m(u) <= u < v, so emissions stay
+        # canonically oriented and never self-loop.
+        sym = ecur.union(
+            ecur.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
+        ).select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        mins = sym.groupBy("u").agg(F.min(F.least("u", "v")).alias("m"))
+        e_ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .localCheckpoint(eager=True)
+        )
+
+        # --- small-star ---------------------------------------------
+        # Seen from the larger endpoint hi: m = min of its smaller
+        # neighbors; each other smaller neighbor re-attaches to m, and
+        # hi itself attaches to m. m < lo and m < hi: still canonical.
+        mins2 = e_ls.groupBy("hi").agg(F.min("lo").alias("m"))
         obs = Observation()
-        new_labels = (
-            labels.select("vertex", "component")
-            .unionAll(nbr)
-            .groupBy("vertex")
-            .agg(F.min("component").alias("component"))
+        e_ss = (
+            e_ls.join(mins2, "hi")
+            .where(F.col("lo") != F.col("m"))
+            .select(F.col("m").alias("lo"), F.col("lo").alias("hi"))
+            .unionAll(
+                mins2.select(F.col("m").alias("lo"), F.col("hi"))
+            )
             .observe(
-                obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (F.col("lo") + F.col("hi")).cast("decimal(38,0)")
+                ).alias("s"),
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = obs.get["s"]
-        labels = new_labels
-        if new_sum == prev_sum:
+        got = obs.get
+        cur = (got["n"], got["s"])
+        ecur = e_ss
+        if cur == prev:
+            converged = True
             break
-        prev_sum = new_sum
-    return labels
+        prev = cur
+
+    if not converged:
+        # Star edges at any point connect vertices of one true
+        # component (never across), so the labels below are still a
+        # valid refinement — but clusters may be split. Never silent.
+        logger.warning(
+            "connected_components: not converged after %d iterations; "
+            "labels may split clusters",
+            max_iter,
+        )
+
+    # At the fixpoint ecur is a star forest: (component-min, child).
+    # Children take their root's id; roots label themselves. groupBy
+    # (not distinct) so duplicate-edge inputs collapse here too.
+    return (
+        ecur.select(F.col("hi").alias("vertex"), F.col("lo").alias("component"))
+        .unionAll(ecur.select(F.col("lo").alias("vertex"), F.col("lo").alias("component")))
+        .groupBy("vertex")
+        .agg(F.min("component").alias("component"))
+    )

@@ -58,6 +58,39 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == _union_find(edges)
 
 
+def test_connected_components_long_chain_pointer_jumping(spark):
+    # A 120-vertex path has diameter 119: plain neighbor propagation
+    # would need ~119 rounds and silently return split clusters at
+    # max_iter=20; pointer jumping needs ~log2(119) ≈ 7. Shuffled vertex
+    # ids so the min sits mid-chain, not at an end.
+    import random
+
+    ids = list(range(120))
+    random.Random(7).shuffle(ids)
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(119)], "doc_a LONG, doc_b LONG"
+    )
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges, max_iter=12).collect()
+    }
+    assert got == {v: 0 for v in ids}
+
+
+def test_connected_components_duplicate_edges(spark):
+    # dedup_edges=False is the default: repeated edges must not change
+    # any label (min is duplicate-tolerant), with or without the dedup.
+    raw = [(1, 2), (2, 1), (1, 2), (2, 3), (2, 3), (5, 4)]
+    df = spark.createDataFrame(raw, "doc_a LONG, doc_b LONG")
+    want = {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+    for dedup in (False, True):
+        got = {
+            r["vertex"]: r["component"]
+            for r in connected_components(df, dedup_edges=dedup).collect()
+        }
+        assert got == want
+
+
 def test_connected_components_chain_and_islands(spark):
     # component {1..5} as a chain (diameter 4), pair {10,11}, triangle {20,21,22}
     edges = spark.createDataFrame(
