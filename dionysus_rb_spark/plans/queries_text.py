@@ -353,7 +353,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> duplicate CLUSTERS via connected components
-    (min-label propagation): the step between pair mining and the
+    (large-star/small-star): the step between pair mining and the
     keep-one-per-cluster decision. cluster_id = smallest doc_id in the
     component (the canonical survivor)."""
     from ..operators.graph import connected_components

@@ -1,8 +1,8 @@
 """Connected-components unit checks: chains that need multiple
-propagation rounds, disjoint components, and convergence — plus a
+star iterations, disjoint components, and convergence — plus a
 property test against a driver-side union-find reference (guards the
-label-sum convergence check: an early stop would leave some vertex
-above its true min label)."""
+scalar fixpoint check: an early stop would leave some vertex above
+its true min label)."""
 
 from __future__ import annotations
 
