@@ -91,6 +91,18 @@ def test_connected_components_duplicate_edges(spark):
         assert got == want
 
 
+def test_connected_components_warns_when_iteration_capped(spark, caplog):
+    import logging
+
+    ids = list(range(64))
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(63)], "doc_a LONG, doc_b LONG"
+    )
+    with caplog.at_level(logging.WARNING, logger="dionysus_rb_spark.operators.graph"):
+        connected_components(edges, max_iter=1).collect()
+    assert any("not converged" in r.message for r in caplog.records)
+
+
 def test_connected_components_chain_and_islands(spark):
     # component {1..5} as a chain (diameter 4), pair {10,11}, triangle {20,21,22}
     edges = spark.createDataFrame(
