@@ -48,7 +48,12 @@ _REGISTRY: dict[str, QueryDef] = {}
 #   - dd_minhash_lsh — round 5 compiled the signature/band/pair
 #     expressions to F.expr strings (same tree, ~1 Py4J call) and its
 #     CC/graph consumers fold the first propagation round into init
-#     (the CC consumers were already in the uncertified partition).
+#     (the CC consumers were already in the uncertified partition);
+#   - pipe_corpus_filter, pipe_full_curation — round 5 staged the
+#     scored frame ahead of the gates (one evaluation of the heavy
+#     text expressions instead of scan-filter re-derivation);
+#   - emb_outlier_filter — round 5 staged the assignment frame its
+#     quantile and join-back consumers shared (one pass, not two).
 _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "a1_keep_latest_dedup", "a2_consecutive_dedup", "ann_bruteforce_topk",
     "ann_recall_eval", "cdc_scd2_history", "cs_changeset_from_versions",
@@ -57,7 +62,7 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "d5_polymorphic_routing", "d8_synced_data_backfill", "dd_bloom_gate",
     "dd_contamination", "dd_exact_dedup",
     "dd_ngram_jaccard", "dd_passage_dedup", "dd_simhash",
-    "emb_label_centroids", "emb_outlier_filter", "emb_quantize_int8",
+    "emb_label_centroids", "emb_quantize_int8",
     "emb_semantic_dedup", "enc_changeset_roundtrip", "ev_funnel", "ev_interval_join",
     "ev_sessionize", "f10_mark_failed_backoff", "f11_deleted_resource_guard",
     "f1_guarded_merge_snapshot", "f2_soft_delete_classifier", "f4_message_filter",
@@ -69,8 +74,8 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "mm_binary_metadata", "mm_chunk_media", "mm_decode_features", "mm_embed_lsh",
     "mm_frame_sample", "mm_shared_segments", "o2_publish_fifo_position",
     "o4_genesis_id_batches", "p3_aggregate_assembly", "p4_serializer_dispatch",
-    "p5_deleted_projection", "p6_serialization_bypass", "pipe_corpus_filter",
-    "pipe_full_curation", "s10_tombstone_merge", "s1_lifecycle_capture",
+    "p5_deleted_projection", "p6_serialization_bypass",
+    "s10_tombstone_merge", "s1_lifecycle_capture",
     "s2_drain_two_cycles",
     "s2_outbox_publishable_scan", "s3_pending_topics", "s5_genesis_topic_fanout",
     "samp_domain_cap", "samp_mix_epochs", "samp_rebalance",

@@ -437,13 +437,19 @@ def emb_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space outlier filtering (the CLIP-score-style quality
     pass): vectors in the bottom decile of cosine-to-their-centroid are
     flagged — mislabeled/garbage samples sit far from every cluster
-    center. One k-means assignment scan + a k-row per-cluster quantile
-    that joins back (AQE broadcasts the k-row side); exact percentile
-    for oracle parity — at web scale swap percentile_approx, same plan
+    center. The assignment frame is STAGED (persisted): it feeds both
+    the per-cluster quantile and the join back, and without staging
+    each consumer would re-run the full assignment scan (two corpus
+    passes at 100 TB instead of one staged narrow table). The k-row
+    quantile side joins back via AQE broadcast; exact percentile for
+    oracle parity — at web scale swap percentile_approx, same plan
     shape."""
     from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
 
-    asg = clustering.kmeans_assign(_emb(spark, sf_dir), k=8, iters=1)
+    asg = clustering.kmeans_assign(_emb(spark, sf_dir), k=8, iters=1).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     stats = asg.groupBy("cluster_id").agg(
         F.round(F.expr("percentile(cos, 0.1)"), 6).alias("p10")
     )

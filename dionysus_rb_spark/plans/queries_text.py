@@ -509,9 +509,19 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipe_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation funnel: quality gate -> language gate ->
-    exact dedup, in one plan. All three stages are projections/filters
-    over a single scan; only the final dedup shuffles (on the 32-byte
-    fingerprint) — the shape a 100 TB filter pass must have."""
+    exact dedup. The scored frame is STAGED (persisted) before the
+    gate: filtering directly on the computed columns lets Catalyst push
+    the predicates below the projection — via pushdown AND constraint
+    inference, which re-derives them even behind a non-deterministic
+    barrier (measured) — so every heavy text expression would run twice
+    (once in the scan-stage filter over ALL rows, again above for
+    survivors). Staging evaluates each expression exactly once over the
+    full corpus and the gate reads attributes; the staged frame is the
+    narrow score table (no text column), the standard materialization
+    point of a 100 TB curation pass. Only the final dedup shuffles (on
+    the 32-byte fingerprint)."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = _docs(spark, sf_dir)
     scores = textops.lang_scores(F.col("text"))
     scored = docs.select(
@@ -519,7 +529,7 @@ def pipe_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         textops.quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
         textops.predicted_lang(scores).alias("lang"),
         textops.fingerprint(F.col("text")).alias("__fp"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     kept = scored.filter((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
     return exact_dedup(kept, ["__fp"], "doc_id").select("doc_id", "quality")
 
@@ -571,11 +581,19 @@ def pipe_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipe_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole training-data prep pipeline as ONE plan: quality gate
     -> repetition gate -> deterministic language rebalancing -> exact
-    dedup -> sequence packing of the survivors. Gates are projections
-    over a single scan (no shuffle until the fingerprint dedup); packing
+    dedup -> sequence packing of the survivors. The scored frame is
+    STAGED (persisted) before the gates: filtering on the computed
+    columns directly would re-derive every heavy text expression inside
+    the scan-stage filter (predicate pushdown + constraint inference —
+    see pipe_corpus_filter), doubling the dominant cost; staging runs
+    each expression exactly once over the corpus and the gates read
+    attributes from the narrow score table (no text column — the
+    standard materialization point of a 100 TB prep job). Packing
     reuses the hierarchical prefix-sum, so the widest shuffle in the
     entire pipeline moves only the KEPT corpus, once, keyed by
-    fingerprint — the end-to-end shape a 100 TB prep job needs."""
+    fingerprint."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = _docs(spark, sf_dir)
     rep = textops.repetition_stats(F.col("text"))
     from ..functions.hashing import tokenize
@@ -588,7 +606,7 @@ def pipe_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep["top_token_frac"].alias("top_frac"),
         textops.fingerprint(F.col("text")).alias("__fp"),
         F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     gated = scored.filter(
         (F.col("quality") >= 0.3)
         & (F.col("dup_frac") < 0.75)
