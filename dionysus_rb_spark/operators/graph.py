@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 logger = logging.getLogger(__name__)
@@ -82,6 +82,14 @@ def connected_components(
     # iteration was the identity, i.e. the star-forest fixpoint.
     prev: tuple | None = None
 
+    # Both star halves are expressed as WINDOW minima + single-pass
+    # array emissions rather than groupBy+join pairs: each half then has
+    # exactly one downstream consumer, the whole iteration pipelines
+    # into ONE job (the checkpoint), and no join appears anywhere in the
+    # loop. The shuffle count per iteration is the same two key
+    # exchanges the aggregates would have cost.
+    wu = Window.partitionBy("u")
+    wh = Window.partitionBy("hi")
     converged = False
     for _ in range(max_iter):
         # --- large-star ---------------------------------------------
@@ -91,27 +99,40 @@ def connected_components(
         sym = ecur.union(
             ecur.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
         ).select(F.col("lo").alias("u"), F.col("hi").alias("v"))
-        mins = sym.groupBy("u").agg(F.min(F.least("u", "v")).alias("m"))
         e_ls = (
-            sym.join(mins, "u")
+            sym.withColumn("m", F.min(F.least("u", "v")).over(wu))
             .where(F.col("v") > F.col("u"))
             .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
-            .localCheckpoint(eager=True)
         )
 
         # --- small-star ---------------------------------------------
         # Seen from the larger endpoint hi: m = min of its smaller
         # neighbors; each other smaller neighbor re-attaches to m, and
-        # hi itself attaches to m. m < lo and m < hi: still canonical.
-        mins2 = e_ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        # hi itself attaches to m (emitted once per hi, from its first
+        # row). m < lo and m < hi: still canonical.
+        wm = e_ls.select(
+            "lo",
+            "hi",
+            F.min("lo").over(wh).alias("m"),
+            F.row_number().over(wh.orderBy("lo")).alias("rn"),
+        )
+        emit = F.filter(
+            F.array(
+                F.when(
+                    F.col("lo") != F.col("m"),
+                    F.struct(F.col("m").alias("lo"), F.col("lo").alias("hi")),
+                ),
+                F.when(
+                    F.col("rn") == 1,
+                    F.struct(F.col("m").alias("lo"), F.col("hi").alias("hi")),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
         obs = Observation()
         e_ss = (
-            e_ls.join(mins2, "hi")
-            .where(F.col("lo") != F.col("m"))
-            .select(F.col("m").alias("lo"), F.col("lo").alias("hi"))
-            .unionAll(
-                mins2.select(F.col("m").alias("lo"), F.col("hi"))
-            )
+            wm.select(F.explode(emit).alias("e"))
+            .select("e.lo", "e.hi")
             .observe(
                 obs,
                 F.count(F.lit(1)).alias("n"),
