@@ -23,8 +23,10 @@ queries rather than every sample of one query. The JSON also carries:
 Load gating (round 5): both r3 and r4 totals were recorded at host load
 4-8, which made round-over-round totals noisy even with the min/spread
 fields. Before starting, the harness now waits for the 1-minute loadavg
-to drop below SPARK_GRAFT_BENCH_MAX_LOAD (default 2.0), polling every
-10s up to SPARK_GRAFT_BENCH_LOAD_WAIT seconds (default 180). It never
+to drop below SPARK_GRAFT_BENCH_MAX_LOAD (default 1.0 — a run admitted
+at ~2 still read 15-20% slow uniformly vs a load-1 run with the same
+cpu probe), polling every
+10s up to SPARK_GRAFT_BENCH_LOAD_WAIT seconds (default 300). It never
 refuses to run — a bench row beats no row — but the JSON carries
   "high_load":  true when the gate timed out and the run started
                 contended (treat the total as an upper bound);
@@ -71,8 +73,11 @@ def main() -> None:
 
     # wait (bounded) for a quiet host rather than recording a contended
     # total; annotate instead of refusing if the host never quiets down
-    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
-    load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "180"))
+    # 1.0, not 2.0: a run admitted at load ~2 still read ~15-20% slow
+    # uniformly across untouched queries (r5, measured back-to-back
+    # against a load-1.0 run with identical cpu_probe).
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0"))
+    load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
     wait_t0 = time.monotonic()
     while os.getloadavg()[0] > max_load and time.monotonic() - wait_t0 < load_wait:
         time.sleep(10)
