@@ -402,9 +402,13 @@ def dd_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's end product: the KEPT corpus. Near-dup pairs
     (MinHash-LSH) cluster via connected components; each cluster keeps
     its canonical survivor (min doc_id) and every unclustered doc
-    survives as unique. The drop list is cluster-membership-sized — but
-    on an adversarial corpus (SCALING.md's 95%-near-dup run) it is
-    corpus-sized, so NO broadcast hint is forced: AQE broadcasts when
+    survives as unique. ONE left join against the label table decides
+    everything (unlabeled -> unique; labeled and own-cluster-min ->
+    survivor; otherwise dropped) — the oracle's own shape, and half the
+    work of the earlier anti-join + rep-join pair, which also computed
+    the label aggregate twice. The label side is cluster-membership-
+    sized — on an adversarial corpus (SCALING.md's 95%-near-dup run)
+    corpus-sized — so NO broadcast hint is forced: AQE broadcasts when
     the runtime size is actually small and falls back to a shuffled
     hash join otherwise, so neither side can OOM the executors."""
     from ..operators.graph import connected_components
@@ -413,21 +417,19 @@ def dd_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash.minhash_lsh_dedup(
         docs, "text", "doc_id", k=3, threshold=0.5
     ).select("doc_a", "doc_b")
-    cc = connected_components(pairs)
-    reps = cc.filter(F.col("vertex") == F.col("component")).select(
-        F.col("vertex").alias("rep_id")
+    cc = connected_components(pairs).select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("__comp")
     )
-    drop = cc.filter(F.col("vertex") != F.col("component")).select(
-        F.col("vertex").alias("doc_id")
-    )
-    kept = docs.join(drop, "doc_id", "left_anti")
-    return kept.join(
-        reps, kept["doc_id"] == reps["rep_id"], "left"
-    ).select(
-        "doc_id",
-        F.when(F.col("rep_id").isNotNull(), "cluster_rep")
-        .otherwise("unique")
-        .alias("kept_reason"),
+    return (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .filter(F.col("__comp").isNull() | (F.col("__comp") == F.col("doc_id")))
+        .select(
+            "doc_id",
+            F.when(F.col("__comp").isNotNull(), "cluster_rep")
+            .otherwise("unique")
+            .alias("kept_reason"),
+        )
     )
 
 
