@@ -91,6 +91,24 @@ def test_connected_components_duplicate_edges(spark):
         assert got == want
 
 
+def test_connected_components_random_graph_vs_union_find(spark):
+    # One seeded 500-vertex / ~300-edge graph: many components of mixed
+    # shapes (isolated pairs, trees, cycles) in a single CC run — the
+    # cheap high-coverage complement to the small hypothesis cases.
+    import random
+
+    rng = random.Random(1)
+    edges = [
+        (rng.randrange(500), rng.randrange(500)) for _ in range(300)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+    got = {
+        r["vertex"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == _union_find(edges)
+
+
 def test_connected_components_warns_when_iteration_capped(spark, caplog):
     import logging
 
