@@ -31,8 +31,25 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Memoized per (session, path): DataFrames are immutable plan
+    # handles, so repeated loads of the same table can share one —
+    # exactly what a registered catalog table gives a production job.
+    # Un-memoized, every query construction re-paid parquet footer
+    # schema inference plus the runtime-conf roundtrips (~0.1 s of
+    # driver time per load, i.e. per bench pass per query). The cache
+    # lives on the Python session object, so it dies with the session
+    # and cannot leak across sessions; the first load per session still
+    # applies the runtime confs the scan depends on (nanos-as-long).
+    cache = getattr(spark, "_dionysus_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._dionysus_table_cache = cache
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = cache.get(path)
+    if df is not None:
+        return df
     apply_runtime_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # NOTE: predicates on the derived timestamp cannot reach the
         # parquet scan (Catalyst can't invert the conversion) — a quirk
@@ -40,6 +57,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # micros-encoded data gets full time-range pushdown; non-time
         # filters on events push down regardless (verified via explain).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    cache[path] = df
     return df
 
 
@@ -68,6 +86,18 @@ def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataF
     spark = df.sparkSession
     if min_parts is None:
         min_parts = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min_parts:
-        return df.repartition(min_parts)
+    # Memoize the probe and the spread frame on the (memoized) input
+    # DataFrame: the scan's partition count is a pure function of the
+    # on-disk layout, and re-deriving it cost a plan materialization
+    # per query construction.
+    n = getattr(df, "_dionysus_scan_parts", None)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        df._dionysus_scan_parts = n
+    if n < min_parts:
+        spread = getattr(df, "_dionysus_spread", None)
+        if spread is None or spread[0] != min_parts:
+            spread = (min_parts, df.repartition(min_parts))
+            df._dionysus_spread = spread
+        return spread[1]
     return df
