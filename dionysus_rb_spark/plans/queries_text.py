@@ -929,7 +929,12 @@ def t_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist(StorageLevel.MEMORY_AND_DISK)
     bgc = bi.groupBy("bg").agg(F.count("*").alias("cb"))
     uni = toks.select(F.explode("t").alias("w"))
-    ugc = uni.groupBy("w").agg(F.count("*").alias("cu"))
+    # unigram counts feed BOTH the vocab scalar and the scoring join:
+    # persist the vocabulary-sized frame so the token explode +
+    # aggregate runs once (same staging rule as toks/bi above)
+    ugc = uni.groupBy("w").agg(F.count("*").alias("cu")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # vocabulary size stays IN the plan (1-row frame, broadcast — same
     # shape as the oracle's vocab CTE) instead of a separate driver
     # count job: one execution end to end, no mid-build serialization
