@@ -91,7 +91,9 @@ def connected_components(
     wu = Window.partitionBy("u")
     wh = Window.partitionBy("hi")
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # --- large-star ---------------------------------------------
         # m(u) = min of u's closed neighborhood; every neighbor v > u
         # re-attaches to m(u). m(u) <= u < v, so emissions stay
@@ -150,6 +152,8 @@ def connected_components(
             break
         prev = cur
 
+    if converged:
+        logger.debug("connected_components: fixpoint after %d iterations", rounds)
     if not converged:
         # Star edges at any point connect vertices of one true
         # component (never across), so the labels below are still a
