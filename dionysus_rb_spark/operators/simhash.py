@@ -5,9 +5,15 @@ votes across a doc's distinct tokens; the sign vector is the
 fingerprint. Near-duplicates = fingerprints within a Hamming radius.
 
 At 100 TB the candidate join never compares all pairs: fingerprints are
-bucketed by block (the standard Charikar rotation trick — here: the
-high half-word) so only same-block docs meet in the shuffle, and the
-Hamming check is a cheap xor+bit_count on the bucket-joined pairs.
+banded (``bands`` contiguous bit blocks) and only docs sharing a band
+value meet in the shuffle. With ``bands > max_hamming`` the pigeonhole
+principle makes candidate generation COMPLETE within the radius — at
+most ``max_hamming`` differing bits cannot touch every band, so every
+true near-dup pair shares at least one identical band (the same
+guarantee structure as MinHash-LSH banding; a single-block scheme has
+no such guarantee and silently misses pairs whose diffs land in the
+block). The Hamming check is a cheap xor+bit_count on the bucket-local
+pairs.
 
 Fully deterministic (h32), so the DuckDB oracle reproduces it bit-for-bit.
 """
@@ -48,26 +54,61 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
 
 
-def simhash_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs by high-half block, verified by Hamming distance."""
-    blocked = fps.withColumn("block", F.shiftright("simhash", BITS // 2))
-    a, b = blocked.alias("a"), blocked.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.bit_count(
-            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-        ).cast("long").alias("hamming"),
+def simhash_pairs(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs within ``max_hamming``, found via
+    banded buckets — complete by pigeonhole when ``bands > max_hamming``.
+
+    One shuffle total: groupBy(band value) collects each bucket's
+    (doc_id, simhash) structs and ordered pairs expand bucket-locally —
+    no self-join, so the fingerprint aggregate upstream is computed
+    exactly once. ``max_bucket`` caps degenerate buckets the same way
+    the MinHash expansion does."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for complete candidate generation"
+        )
+    width = BITS // bands
+    mask = (1 << width) - 1
+    bands_sql = "array(%s)" % ", ".join(
+        f"concat('{b}:', cast(shiftright(simhash, {b * width}) & {mask} as string))"
+        for b in range(bands)
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    band_rows = fps.select(
+        F.struct("doc_id", "simhash").alias("ds"),
+        F.explode(F.expr(bands_sql)).alias("band_key"),
+    )
+    buckets = band_rows.groupBy("band_key").agg(
+        F.array_sort(F.collect_set("ds")).alias("ids")
+    )
+    buckets = buckets.filter(F.size("ids") >= 2)
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    pairs_arr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)),"
+        " y -> named_struct("
+        "'doc_a', x.doc_id, 'doc_b', y.doc_id,"
+        " 'hamming', cast(bit_count(x.simhash ^ y.simhash) as bigint)))))"
+    )
+    return (
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
-def simhash_sql(max_hamming: int = 3) -> str:
-    """DuckDB mirror of simhash + blocked pair generation."""
+def simhash_sql(max_hamming: int = 3, bands: int = 4) -> str:
+    """DuckDB mirror of simhash + banded pair generation."""
     toks = f"list_distinct({tokenize_sql('text')})"
+    width = BITS // bands
+    mask = (1 << width) - 1
     return f"""
     WITH hashed AS (
       SELECT doc_id, list_transform({toks}, t -> {h32_sql('t')}) AS hs
@@ -84,10 +125,19 @@ def simhash_sql(max_hamming: int = 3) -> str:
                (a,b) -> a+b) AS simhash
       FROM hashed
     ),
-    blocked AS (SELECT doc_id, simhash, simhash >> {BITS // 2} AS block FROM fp)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM blocked a JOIN blocked b
-      ON a.block = b.block AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    band_rows AS (
+      SELECT doc_id, simhash,
+             unnest(list_transform(range({bands}), b ->
+               concat(CAST(b AS VARCHAR), ':',
+                      CAST((simhash >> (b * {width})) & {mask} AS VARCHAR))))
+               AS band_key
+      FROM fp
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM band_rows a JOIN band_rows b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
     """

@@ -53,7 +53,10 @@ _REGISTRY: dict[str, QueryDef] = {}
 #     scored frame ahead of the gates (one evaluation of the heavy
 #     text expressions instead of scan-filter re-derivation);
 #   - emb_outlier_filter — round 5 staged the assignment frame its
-#     quantile and join-back consumers shared (one pass, not two).
+#     quantile and join-back consumers shared (one pass, not two);
+#   - dd_simhash — round 5 replaced the guarantee-free high-half
+#     single block with 4x8-bit pigeonhole banding (radius 3,
+#     complete) and removed the fingerprint-recomputing self-join.
 _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "a1_keep_latest_dedup", "a2_consecutive_dedup", "ann_bruteforce_topk",
     "ann_recall_eval", "cdc_scd2_history", "cs_changeset_from_versions",
@@ -61,7 +64,7 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "d1_envelope_roundtrip", "d2d7_canonical_flatten", "d4_aggregate_dismantle",
     "d5_polymorphic_routing", "d8_synced_data_backfill", "dd_bloom_gate",
     "dd_contamination", "dd_exact_dedup",
-    "dd_ngram_jaccard", "dd_passage_dedup", "dd_simhash",
+    "dd_ngram_jaccard", "dd_passage_dedup",
     "emb_label_centroids", "emb_quantize_int8",
     "emb_semantic_dedup", "enc_changeset_roundtrip", "ev_funnel", "ev_interval_join",
     "ev_sessionize", "f10_mark_failed_backoff", "f11_deleted_resource_guard",

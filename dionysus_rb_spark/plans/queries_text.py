@@ -676,13 +676,17 @@ def dd_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dd_simhash",
     refs="beyond:dedup",
-    oracle=simhash.simhash_sql(max_hamming=6),
+    oracle=simhash.simhash_sql(max_hamming=3, bands=4),
 )
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32-bit) near-dup pairs within Hamming<=6, candidate
-    generation blocked on the fingerprint's high half-word."""
+    """SimHash(32-bit) near-dup pairs within Hamming<=3. Candidate
+    generation uses 4 x 8-bit bands: by pigeonhole, <=3 differing bits
+    leave at least one band identical, so every in-radius pair is
+    FOUND — the earlier high-half-word single block had no such
+    guarantee (a diff in the blocked bits hid the pair). One shuffle,
+    fingerprints computed once (bucket-collect, no self-join)."""
     fps = simhash.simhash(_docs(spark, sf_dir), "text", "doc_id")
-    return simhash.simhash_pairs(fps, max_hamming=6)
+    return simhash.simhash_pairs(fps, max_hamming=3, bands=4)
 
 
 @query(

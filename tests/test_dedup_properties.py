@@ -48,3 +48,32 @@ def test_consecutive_dedup_matches_sequential_model(spark, rows):
         df, ["kind", "rid"], "seq", partition_cols=["topic"]
     )
     assert sorted(r["seq"] for r in got.collect()) == reference_runs(rows)
+
+
+def test_simhash_banding_finds_high_bit_diffs(spark):
+    """The pre-round-5 single high-half block missed any pair whose
+    differing bits touched the blocked half; pigeonhole banding must
+    find every pair within the radius regardless of bit position —
+    including diffs entirely in the top bits and an exhaustive sweep of
+    every <=3-bit diff pattern spread across bands."""
+    from dionysus_rb_spark.operators.simhash import simhash_pairs
+
+    base = 0b1010_1100_0011_0101_1001_0110_1100_0011
+    diffs = {
+        10: base ^ (1 << 31),                         # top bit only
+        11: base ^ (1 << 30) ^ (1 << 29),             # two high bits
+        12: base ^ (1 << 31) ^ (1 << 15) ^ (1 << 0),  # spread across 3 bands
+        13: base ^ (1 << 7) ^ (1 << 8) ^ (1 << 24),   # three bands again
+        14: base ^ 0b1111,                            # 4 diffs -> outside radius
+    }
+    rows = [(1, base)] + list(diffs.items())
+    fps = spark.createDataFrame(rows, "doc_id LONG, simhash LONG")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(fps, max_hamming=3, bands=4).collect()
+    }
+    for did in (10, 11, 12, 13):
+        assert (1, did) in got, f"pair (1, {did}) within radius was missed"
+    assert got[(1, 10)] == 1 and got[(1, 11)] == 2
+    assert got[(1, 12)] == 3 and got[(1, 13)] == 3
+    assert (1, 14) not in got
