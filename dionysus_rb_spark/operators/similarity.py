@@ -15,8 +15,12 @@ standard recall/cost trade, with deterministic planes so it's testable.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
@@ -95,7 +99,17 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Exact near-duplicate pairs (cos >= threshold), optionally blocked
     on a partition column so the self-join shuffles per block instead of
-    exploding all-pairs."""
+    exploding all-pairs. ``block_col=None`` is an ALL-PAIRS join —
+    O(n^2) comparisons with no equi-key, correct only for small frames
+    (eval sets, per-cluster refinement); it warns so a corpus-sized
+    call never degrades silently. Corpus-scale near-dup belongs to the
+    bucketed paths (emb_semantic_dedup's eps-ball, MinHash/SimHash
+    banding, LSH)."""
+    if block_col is None:
+        logger.warning(
+            "cosine_near_dup_pairs: block_col=None compares ALL pairs "
+            "(O(n^2)); only use on small frames"
+        )
     base = embeddings.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("__v"),
         *([F.col(block_col)] if block_col else []),
