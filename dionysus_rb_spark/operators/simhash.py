@@ -26,19 +26,37 @@ from pyspark.sql import functions as F
 from ..functions.hashing import h32, h32_sql, tokenize, tokenize_sql
 
 BITS = 32
+# Corpus-scale fingerprint width: 60 bits = 15 md5 hex digits, the
+# widest md5 prefix that stays positive in a signed 64-bit int for both
+# engines. At 32 bits a band is 8 bits (256 values), so every band
+# bucket is corpus_size/256 — at web scale all of them blow past any
+# sane max_bucket and get dropped, gutting recall. 60-bit fingerprints
+# band into 4 x 15 bits (32k values each), the regime where banding
+# keeps working.
+WIDE_BITS = 60
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _token_hash(col, bits: int):
+    """First ceil(bits/4) md5 hex digits as a long — h32 for bits<=32,
+    a wider md5 prefix fold for the corpus-scale fingerprint."""
+    if bits <= 32:
+        return h32(col)
+    return F.conv(F.substring(F.md5(col), 1, (bits + 3) // 4), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = BITS
+) -> DataFrame:
     # F.shiftleft's Python wrapper needs an int numBits; inside a lambda the
     # bit index is a Column, so call the SQL builtin directly.
     def shl(value, i):
         return F.call_function("shiftleft", value, i)
 
     toks = F.array_distinct(tokenize(F.col(text_col)))
-    hashes = F.transform(toks, h32)
+    hashes = F.transform(toks, lambda t: _token_hash(t, bits))
     # vote for bit i: +1 if set, -1 if not; fingerprint bit = vote > 0
     fp = F.aggregate(
-        F.sequence(F.lit(0), F.lit(BITS - 1)),
+        F.sequence(F.lit(0), F.lit(bits - 1)),
         F.lit(0).cast("long"),
         lambda acc, i: acc
         + F.when(
@@ -59,6 +77,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket: int | None = 1000,
+    bits: int = BITS,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs within ``max_hamming``, found via
     banded buckets — complete by pigeonhole when ``bands > max_hamming``.
@@ -67,13 +86,18 @@ def simhash_pairs(
     (doc_id, simhash) structs and ordered pairs expand bucket-locally —
     no self-join, so the fingerprint aggregate upstream is computed
     exactly once. ``max_bucket`` caps degenerate buckets the same way
-    the MinHash expansion does."""
+    the MinHash expansion does — the completeness guarantee therefore
+    holds only while honest buckets fit under the cap, i.e. while
+    corpus_size / 2^(bits/bands) stays below it. 32-bit fingerprints
+    (8-bit bands, 256 values) exhaust that around max_bucket*256 docs;
+    pass ``bits=WIDE_BITS`` to both :func:`simhash` and this function
+    for the corpus-scale regime (15-bit bands, 32k values)."""
     if bands <= max_hamming:
         raise ValueError(
             f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
             "for complete candidate generation"
         )
-    width = BITS // bands
+    width = bits // bands
     mask = (1 << width) - 1
     bands_sql = "array(%s)" % ", ".join(
         f"concat('{b}:', cast(shiftright(simhash, {b * width}) & {mask} as string))"

@@ -77,3 +77,32 @@ def test_simhash_banding_finds_high_bit_diffs(spark):
     assert got[(1, 10)] == 1 and got[(1, 11)] == 2
     assert got[(1, 12)] == 3 and got[(1, 13)] == 3
     assert (1, 14) not in got
+
+
+def test_simhash_wide_fingerprint_variant(spark):
+    """The 60-bit corpus-scale variant (WIDE_BITS): identical texts
+    collide exactly (hamming 0, always found); clearly different texts
+    land far apart. Everything is md5-deterministic, so the assertion
+    is stable, not probabilistic."""
+    from dionysus_rb_spark.operators.simhash import (
+        WIDE_BITS,
+        simhash,
+        simhash_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (3, "completely unrelated legal boilerplate concerning maritime insurance claims"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    fps = simhash(docs, "text", "doc_id", bits=WIDE_BITS)
+    vals = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    assert vals[1] == vals[2]
+    assert 0 <= vals[1] < (1 << WIDE_BITS)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(fps, max_hamming=3, bands=4, bits=WIDE_BITS).collect()
+    }
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got and (2, 3) not in got
