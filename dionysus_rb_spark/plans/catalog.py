@@ -56,7 +56,12 @@ _REGISTRY: dict[str, QueryDef] = {}
 #     quantile and join-back consumers shared (one pass, not two);
 #   - dd_simhash — round 5 replaced the guarantee-free high-half
 #     single block with 4x8-bit pigeonhole banding (radius 3,
-#     complete) and removed the fingerprint-recomputing self-join.
+#     complete) and removed the fingerprint-recomputing self-join;
+#   - j2_dependency_parent_fanout, j4_to_many_reconciliation,
+#     j7_observer_overflow — round 5 dropped their forced broadcasts
+#     of data-proportional key sets (time-windowed fact-table keys /
+#     event-derived id sets), completing the j3 audit rule: AQE now
+#     owns those joins.
 _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "a1_keep_latest_dedup", "a2_consecutive_dedup", "ann_bruteforce_topk",
     "ann_recall_eval", "cdc_scd2_history", "cs_changeset_from_versions",
@@ -71,9 +76,9 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "f1_guarded_merge_snapshot", "f2_soft_delete_classifier", "f4_message_filter",
     "f5f7_genesis_scan", "f9_publish_suppression", "fn_names_keys_roundtrip",
     "g1_latency_metrics", "g3_genesis_batch_plan", "g4_per_key_batches",
-    "g5_salted_skew_agg", "j2_dependency_parent_fanout",
-    "j4_to_many_reconciliation", "j5_to_one_resolution", "j6_resource_refetch",
-    "j7_observer_overflow", "j8_asof_join", "lc_local_changes_audit",
+    "g5_salted_skew_agg",
+    "j5_to_one_resolution", "j6_resource_refetch",
+    "j8_asof_join", "lc_local_changes_audit",
     "mm_binary_metadata", "mm_chunk_media", "mm_decode_features", "mm_embed_lsh",
     "mm_frame_sample", "mm_shared_segments", "o2_publish_fifo_position",
     "o4_genesis_id_batches", "p3_aggregate_assembly", "p4_serializer_dispatch",

@@ -348,8 +348,14 @@ def f2_soft_delete_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j2_dependency_parent_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 dependency->parent republish (publisher.rb:80-105): changed
     children (lineitems shipped in 1995Q1) fan out ``parent_updated``
-    events keyed by the parent's partition key. The distinct child-key
-    set is broadcast into the parent join — no shuffle of orders."""
+    events keyed by the parent's partition key.
+
+    No broadcast hint on the changed-key set: it is a time window over
+    the child fact table, so it scales with data volume, not with a
+    bound fixed by construction. AQE broadcasts it when the runtime
+    stats say one batch's keys are actually small (they usually are);
+    a backfill-sized window degrades to a shuffled hash join instead
+    of an executor OOM — same rule as the PLANS.md audit."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     changed_keys = (
@@ -361,7 +367,7 @@ def j2_dependency_parent_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(
-            F.broadcast(changed_keys), orders.o_orderkey == changed_keys.l_orderkey
+            changed_keys, orders.o_orderkey == changed_keys.l_orderkey
         )
         .select(
             "o_orderkey",
@@ -397,14 +403,18 @@ def j2_dependency_parent_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j4_to_many_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 to-many reconciliation (persistor.rb:128-151): local children
     absent from the payload id list are returned for deletion
-    (``where.not(id: ids)``) via left_anti join."""
+    (``where.not(id: ids)``) via left_anti join.
+
+    No broadcast hint on the parent set: a date window over orders
+    scales with data volume (a batch is usually small, a backfill is
+    not). AQE broadcasts when runtime stats allow — PLANS.md audit."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     parents = orders.filter(
         F.col("o_orderdate").between("1995-01-01", "1995-01-31")
     ).select("o_orderkey")
     local_children = lineitem.join(
-        F.broadcast(parents), lineitem.l_orderkey == parents.o_orderkey
+        parents, lineitem.l_orderkey == parents.o_orderkey
     ).select("l_orderkey", "l_linenumber", "l_partkey")
     payload_ids = local_children.filter(F.col("l_linenumber") <= 3).select(
         "l_orderkey", "l_linenumber"

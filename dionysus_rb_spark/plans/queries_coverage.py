@@ -459,12 +459,17 @@ def j5_to_one_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j7_observer_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 observer-overflow re-select (outbox/publisher.rb:120-130):
     above the inline threshold, observers are re-fetched by id — the id
-    set as a semi-join filter on the observed table."""
+    set as a semi-join filter on the observed table.
+
+    No broadcast hint: the id set is distinct user_ids from the full
+    events table — bounded only by customer cardinality, the exact
+    shape the j3 audit dropped. AQE broadcasts the semi-join side when
+    it is actually small."""
     ev = _events(spark, sf_dir)
     customer = load_table(spark, sf_dir, "customer")
     observer_ids = ev.filter(F.col("value") > 180).select("user_id").distinct()
     return customer.join(
-        F.broadcast(observer_ids),
+        observer_ids,
         customer.c_custkey == observer_ids.user_id,
         "left_semi",
     ).select("c_custkey", "c_name")
