@@ -65,10 +65,43 @@ ORACLE_QUERIES = [
     (name, qd) for name, qd in sorted(all_queries().items()) if qd.oracle
 ]
 
+# Queries whose executed plan legitimately contains a
+# BroadcastNestedLoopJoin: every entry's broadcast side is bounded by
+# construction (a 1-row count frame or a hyperparameter-sized batch),
+# so the "nested loop" is a constant-factor scan decoration, not a
+# quadratic join. CartesianProduct (unbroadcast cross) is never
+# acceptable and has no allowlist.
+BNLJ_ALLOWED = {
+    # broadcast query batch (n_queries rows) x candidates, non-equi
+    # self-pair condition — the documented brute-force baseline shape
+    "ann_bruteforce_topk",
+    "ann_recall_eval",  # embeds the brute-force baseline
+    # crossJoin(broadcast(1-row count/vocab frame)) — scalar-in-plan
+    "t_doc_frequency",
+    "t_tfidf_keywords",
+    "t_lm_quality",
+    # crossJoin(broadcast(1-row bloom bitmap)) — the filter IS the row
+    "dd_bloom_gate",
+}
+
 
 @pytest.mark.parametrize("name,qd", ORACLE_QUERIES, ids=[n for n, _ in ORACLE_QUERIES])
 def test_oracle_parity(spark, name, qd):
-    got = qd.fn(spark, SF_DIR).toPandas()
+    df = qd.fn(spark, SF_DIR)
+    got = df.toPandas()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, (
+        f"{name}: executed plan contains a CartesianProduct — an "
+        "unbroadcast cross join is quadratic at any scale"
+    )
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: executed plan contains a BroadcastNestedLoopJoin "
+            "not on the audited allowlist — either the join lost its "
+            "equi-keys or a non-equi condition joined two corpus-sized "
+            "frames; add to BNLJ_ALLOWED only if the broadcast side is "
+            "bounded by construction"
+        )
     con = _duck(SF_DIR)
     want = con.execute(qd.oracle).df()
     con.close()
