@@ -71,6 +71,29 @@ ORACLE_QUERIES = [
 # so the "nested loop" is a constant-factor scan decoration, not a
 # quadratic join. CartesianProduct (unbroadcast cross) is never
 # acceptable and has no allowlist.
+# name -> recorded shuffle-exchange node count in the executed plan at
+# sf0.01 (tools/regen_shuffle_budgets.py). The count is a plan-shape
+# fingerprint — node occurrences in the plan string, so a subtree
+# printed under several InMemoryTableScans counts each time — but it is
+# deterministic for a given plan, and it can only DROP when AQE turns a
+# shuffled join into a broadcast at smaller scale. Asserting
+# live <= recorded therefore catches any change that adds a shuffle
+# while letting shuffle-removing optimizations pass (regenerate to
+# ratchet the budget down).
+import json as _json
+import re as _re
+from pathlib import Path as _Path
+
+SHUFFLE_BUDGETS: dict[str, int] = _json.loads(
+    (_Path(__file__).parent / "plan_shuffle_budgets.json").read_text()
+)
+# RoundRobin excluded: it is the deliberate scan-parallelism
+# repartition after tiny-file loads — present at sf0.001, absent at
+# sf0.01 where files split naturally (scale-dependent by design).
+_SHUFFLE = _re.compile(
+    r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)"
+)
+
 BNLJ_ALLOWED = {
     # broadcast query batch (n_queries rows) x candidates, non-equi
     # self-pair condition — the documented brute-force baseline shape
@@ -101,6 +124,15 @@ def test_oracle_parity(spark, name, qd):
             "equi-keys or a non-equi condition joined two corpus-sized "
             "frames; add to BNLJ_ALLOWED only if the broadcast side is "
             "bounded by construction"
+        )
+    budget = SHUFFLE_BUDGETS.get(name)
+    if budget is not None:
+        shuffles = len(_SHUFFLE.findall(plan))
+        assert shuffles <= budget, (
+            f"{name}: {shuffles} shuffle-exchange nodes in the executed "
+            f"plan, recorded budget is {budget} — the plan gained a "
+            "shuffle. Remove it, or justify it and regenerate "
+            "tests/plan_shuffle_budgets.json (tools/regen_shuffle_budgets.py)"
         )
     con = _duck(SF_DIR)
     want = con.execute(qd.oracle).df()

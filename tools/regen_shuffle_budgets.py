@@ -1,0 +1,69 @@
+"""Regenerate tests/plan_shuffle_budgets.json.
+
+Runs every catalog query at the given scale factor and records the
+number of shuffle exchanges (hash / range / single-partition /
+round-robin — NOT BroadcastExchange) in its executed plan. The parity
+suite asserts each query's live plan stays AT OR UNDER its recorded
+budget: an optimization that removes a shuffle passes (regenerate to
+ratchet the budget down); a change that adds one fails until it is
+justified and re-recorded here.
+
+Budgets are recorded at sf0.01 — the driver's comparison scale — which
+is the ceiling: at smaller scale AQE can only turn shuffled joins into
+broadcasts (fewer exchanges), never the reverse.
+
+Usage:
+    python tools/regen_shuffle_budgets.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+# RoundRobinPartitioning is deliberately excluded: it only appears from
+# the explicit scan-parallelism repartition after tiny-file loads, which
+# is scale-dependent by design (present at sf0.001, absent once files
+# split naturally). Hash / range / single-partition exchanges are where
+# an accidental shuffle would surface.
+SHUFFLE_PATTERN = (
+    r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)"
+)
+
+
+def shuffle_count(df) -> int:
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(SHUFFLE_PATTERN, plan))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from dionysus_rb_spark.plans import all_queries
+    from dionysus_rb_spark.session import get_spark
+
+    spark = get_spark()
+    budgets: dict[str, int] = {}
+    for name, qd in sorted(all_queries().items()):
+        df = qd.fn(spark, sf_dir)
+        # collect() executes THIS DataFrame's query execution, so its
+        # adaptive plan finalizes (df.count() would spawn a separate
+        # execution and leave df's own plan static — the parity test
+        # reads the finalized plan after toPandas(), so the budget must
+        # be recorded from the same shape).
+        df.collect()
+        budgets[name] = shuffle_count(df)
+        print(f"{name}: {budgets[name]}")
+
+    out = REPO / "tests" / "plan_shuffle_budgets.json"
+    out.write_text(json.dumps(budgets, indent=1, sort_keys=True) + "\n")
+    print(f"wrote {out} ({len(budgets)} queries)")
+
+
+if __name__ == "__main__":
+    main()
