@@ -43,7 +43,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
     dedup_edges: bool = False,
 ) -> DataFrame:
     """Return (vertex, component) where component = min vertex id in the
