@@ -25,7 +25,10 @@ Load gating (round 5): both r3 and r4 totals were recorded at host load
 fields. Before starting, the harness now waits for the 1-minute loadavg
 to drop below SPARK_GRAFT_BENCH_MAX_LOAD (default 1.0 — a run admitted
 at ~2 still read 15-20% slow uniformly vs a load-1 run with the same
-cpu probe), polling every
+cpu probe) AND the 5-minute loadavg below 3x that bound (a heavy job
+that just finished leaves load1 quiet while the host is still hot:
+measured 29.5 s vs 22 s with load1 = 0.98 both times, load5 7.8 vs ~1),
+polling every
 10s up to SPARK_GRAFT_BENCH_LOAD_WAIT seconds (default 300). It never
 refuses to run — a bench row beats no row — but the JSON carries
   "high_load":  true when the gate timed out and the run started
@@ -79,7 +82,18 @@ def main() -> None:
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0"))
     load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
     wait_t0 = time.monotonic()
-    while os.getloadavg()[0] > max_load and time.monotonic() - wait_t0 < load_wait:
+
+    # Gate on the 5-minute average too (at 3x the 1-minute bound): a
+    # heavy job that JUST finished leaves load1 < 1 while the host is
+    # still hot (page cache churn, cgroup history) — measured 29.5 s vs
+    # 22 s on the same code with load1 = 0.98 in both runs but load5 at
+    # 7.8 vs ~1 (r5). load5 decays slowly, so it gets the looser bound
+    # and the same bounded wait.
+    def _loaded() -> bool:
+        l1, l5, _ = os.getloadavg()
+        return l1 > max_load or l5 > 3 * max_load
+
+    while _loaded() and time.monotonic() - wait_t0 < load_wait:
         time.sleep(10)
     load_waited = round(time.monotonic() - wait_t0, 1)
     load_start = os.getloadavg()
@@ -121,7 +135,7 @@ def main() -> None:
             "start": [round(x, 2) for x in load_start],
             "end": [round(x, 2) for x in os.getloadavg()],
         },
-        "high_load": load_start[0] > max_load,
+        "high_load": load_start[0] > max_load or load_start[1] > 3 * max_load,
         "load_waited_sec": load_waited,
         "cpu_probe_sec": cpu_probe,
     }
