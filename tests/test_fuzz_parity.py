@@ -238,6 +238,7 @@ def fuzz_dir(tmp_path_factory):
 
 def test_fuzz_parity_all_queries(spark, fuzz_dir):
     failures: dict[str, str] = {}
+    empty: list[str] = []
     ran = 0
     for name, qd in sorted(all_queries().items()):
         if not qd.oracle:
@@ -245,6 +246,8 @@ def test_fuzz_parity_all_queries(spark, fuzz_dir):
         ran += 1
         try:
             got = qd.fn(spark, fuzz_dir).toPandas()
+            if len(got) == 0:
+                empty.append(name)
             con = _duck(fuzz_dir)
             want = con.execute(qd.oracle).df()
             con.close()
@@ -271,4 +274,13 @@ def test_fuzz_parity_all_queries(spark, fuzz_dir):
     assert not failures, (
         f"fuzz seed {SEED}: {len(failures)}/{ran} queries diverge:\n"
         + json.dumps(failures, indent=1)
+    )
+    # Power guard: an agreement on empty results proves nothing. Every
+    # query returns rows at the default seed; allow a little variance
+    # on other seeds, but a broad emptiness means the generator drifted
+    # off the distributions the queries filter on.
+    assert len(empty) <= 3, (
+        f"fuzz seed {SEED}: {len(empty)} queries returned 0 rows "
+        f"({empty}) — the comparison is vacuous for them; fix the "
+        "generator's value domains"
     )
