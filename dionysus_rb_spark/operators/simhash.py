@@ -128,11 +128,19 @@ def simhash_pairs(
     )
 
 
-def simhash_sql(max_hamming: int = 3, bands: int = 4) -> str:
-    """DuckDB mirror of simhash + banded pair generation."""
+def simhash_sql(
+    max_hamming: int = 3, bands: int = 4, max_bucket: int | None = 1000
+) -> str:
+    """DuckDB mirror of simhash + banded pair generation, INCLUDING the
+    ``max_bucket`` degenerate-bucket drop — the cap is part of the
+    operator's semantics (a whole band bucket above the cap emits no
+    pairs), so the oracle must model it or the two sides diverge as
+    soon as the corpus is large enough to saturate a bucket (parity
+    held at sf0.01 but broke at sf0.1 before this was mirrored)."""
     toks = f"list_distinct({tokenize_sql('text')})"
     width = BITS // bands
     mask = (1 << width) - 1
+    cap = f"HAVING count(*) <= {max_bucket}" if max_bucket is not None else ""
     return f"""
     WITH hashed AS (
       SELECT doc_id, list_transform({toks}, t -> {h32_sql('t')}) AS hs
@@ -157,10 +165,15 @@ def simhash_sql(max_hamming: int = 3, bands: int = 4) -> str:
                AS band_key
       FROM fp
     ),
+    kept_buckets AS (
+      SELECT band_key FROM band_rows GROUP BY band_key {cap}
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-      FROM band_rows a JOIN band_rows b
+      FROM band_rows a
+      JOIN kept_buckets k ON k.band_key = a.band_key
+      JOIN band_rows b
         ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
