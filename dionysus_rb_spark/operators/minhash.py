@@ -169,7 +169,15 @@ def minhash_lsh_dedup_sql(
     bands: int = BANDS,
     threshold: float = 0.7,
     seed: int = 42,
+    max_bucket: int | None = 1000,
 ) -> str:
+    """DuckDB mirror of the full pipeline, INCLUDING the ``max_bucket``
+    degenerate-bucket drop: a band bucket above the cap emits no
+    candidate pairs on the Spark side, so the oracle must apply the
+    same size filter or the two sides diverge once a bucket saturates
+    (the SimHash twin broke exactly this way at sf0.1; MinHash buckets
+    only collect truly-similar docs, so saturation needs >cap
+    near-identical docs — rarer, but the semantics must still match)."""
     from ..functions.hashing import h32_sql, shingles_sql, tokenize_sql
 
     params = perm_params(num_perm, seed)
@@ -203,9 +211,15 @@ def minhash_lsh_dedup_sql(
     band_rows AS (
       SELECT doc_id, unnest([{band_keys}]) AS band_key FROM signed
     ),
+    kept_buckets AS (
+      SELECT band_key FROM band_rows GROUP BY band_key
+      {f"HAVING count(*) <= {max_bucket}" if max_bucket is not None else ""}
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM band_rows a JOIN band_rows b
+      FROM band_rows a
+      JOIN kept_buckets kb ON kb.band_key = a.band_key
+      JOIN band_rows b
         ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
     SELECT p.doc_a, p.doc_b,
