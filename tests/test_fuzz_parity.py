@@ -28,6 +28,11 @@ from dionysus_rb_spark.plans import all_queries
 from test_oracle_parity import _duck, _normalize, _values_equal
 
 SEED = int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "1337"))
+# Row-count multiplier (default 1 = sf0.001-like). At 10x the
+# low-diversity fuzz corpus saturates 32-bit SimHash band buckets, so
+# the max_bucket drop actually fires and the oracle must model it —
+# the divergence class the sf0.1 sweep caught in round 5.
+SCALE = int(os.environ.get("SPARK_GRAFT_FUZZ_SCALE", "1"))
 
 # Same 31-word vocabulary as the driver documents corpus: the text
 # operators' token/stopword behavior is vocabulary-independent, but
@@ -40,14 +45,14 @@ VOCAB = (
     "table small data big customer row push"
 ).split()
 
-N_DOCS = 500
-N_EVENTS = 1000
-N_ORDERS = 1500
-N_LINEITEM = 6000
-N_CUSTOMER = 150
-N_SUPPLIER = 10
-N_PART = 200
-N_EMB = 500
+N_DOCS = 500 * SCALE
+N_EVENTS = 1000 * SCALE
+N_ORDERS = 1500 * SCALE
+N_LINEITEM = 6000 * SCALE
+N_CUSTOMER = 150 * SCALE
+N_SUPPLIER = 10 * SCALE
+N_PART = 200 * SCALE
+N_EMB = 500 * SCALE
 EMB_DIM = 64
 
 
@@ -216,7 +221,7 @@ def fuzz_dir(tmp_path_factory):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = tmp_path_factory.mktemp(f"fuzz_sf_seed{SEED}")
+    out = tmp_path_factory.mktemp(f"fuzz_sf_seed{SEED}_x{SCALE}")
     rng = np.random.default_rng(SEED)
     for name, df in _gen_tables(rng).items():
         if name == "embeddings":
