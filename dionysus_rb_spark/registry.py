@@ -147,7 +147,14 @@ class ProducerRegistry:
     def partition_key_col(self, topic: str, df: DataFrame) -> Column:
         """partition_key.rb:12-41: attribute name or lambda of the
         resource frame; integer keys normalize through a string cast
-        (partition_key.rb:39 ``to_i.to_s``)."""
+        (partition_key.rb:39 ``to_i.to_s``).
+
+        Deliberate deviation from partition_key_spec.rb's "resource
+        does not respond to that key -> nil": a misdeclared attribute
+        here fails at ANALYSIS time (F.col on a missing column) instead
+        of silently null-keying the whole topic. Per-record nil is
+        tolerable row-at-a-time; set-oriented, it would strip ordering
+        from every record of the publication in one batch."""
         pk = self.topics[topic].partition_key or self.default_partition_key
         col = pk(df) if callable(pk) else F.col(pk)
         return col.cast("string")

@@ -50,6 +50,35 @@ def test_consecutive_dedup_matches_sequential_model(spark, rows):
     assert sorted(r["seq"] for r in got.collect()) == reference_runs(rows)
 
 
+def test_consecutive_dedup_reference_golden_case(spark):
+    """The literal 9-record example from the reference's
+    duplicates_filter_spec.rb: records keyed by (resource_class,
+    resource_id, event_name, topic) in outbox order; only ADJACENT
+    duplicates collapse and the LAST of each run is preserved, so the
+    expected survivors are records 1,2,3,4,5,8,9 (6 and 7 are interior
+    members of the 6-7-8 run)."""
+    rows = [
+        # (seq, resource_class, resource_id, event_name, topic)
+        (1, "Booking", 1, "booking_created", "v102_bookings"),
+        (2, "Booking", 1, "booking_created", "v103_bookings"),
+        (3, "Booking", 2, "booking_created", "v102_bookings"),
+        (4, "Booking", 2, "booking_updated", "v103_bookings"),
+        (5, "Booking", 3, "booking_updated", "v103_bookings"),
+        (6, "Booking", 2, "booking_updated", "v103_bookings"),
+        (7, "Booking", 2, "booking_updated", "v103_bookings"),
+        (8, "Booking", 2, "booking_updated", "v103_bookings"),
+        (9, "Booking", 3, "booking_updated", "v103_bookings"),
+    ]
+    df = spark.createDataFrame(
+        rows, "seq LONG, resource_class STRING, resource_id LONG, "
+        "event_name STRING, topic STRING"
+    )
+    got = consecutive_dedup(
+        df, ["resource_class", "resource_id", "event_name", "topic"], "seq"
+    )
+    assert sorted(r["seq"] for r in got.collect()) == [1, 2, 3, 4, 5, 8, 9]
+
+
 def test_simhash_banding_finds_high_bit_diffs(spark):
     """The pre-round-5 single high-half block missed any pair whose
     differing bits touched the blocked half; pigeonhole banding must
