@@ -601,6 +601,21 @@ def test_outbox_drain_loop(spark):
     assert got[900] is None and got[901] is None  # parked + other topic
 
 
+def test_backoff_matches_reference_golden_values(spark):
+    """The literal table from exponential_backoff_spec.rb:
+    backoff_for(multiplier=5, count=0..4) == 5, 10, 20, 40, 80."""
+    from pyspark.sql import functions as F
+
+    from dionysus_rb_spark.operators.outbox import retry_at_backoff
+
+    df = spark.range(5).select(
+        F.col("id").alias("count"),
+        retry_at_backoff(F.col("id"), base_seconds=5).alias("backoff"),
+    )
+    got = {r["count"]: r["backoff"] for r in df.collect()}
+    assert got == {0: 5, 1: 10, 2: 20, 3: 40, 4: 80}
+
+
 def test_with_retries_backoff_and_give_up(spark):
     from dionysus_rb_spark.streaming.pipeline import with_retries
 
