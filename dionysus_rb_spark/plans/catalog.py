@@ -61,7 +61,13 @@ _REGISTRY: dict[str, QueryDef] = {}
 #     j7_observer_overflow — round 5 dropped their forced broadcasts
 #     of data-proportional key sets (time-windowed fact-table keys /
 #     event-derived id sets), completing the j3 audit rule: AQE now
-#     owns those joins.
+#     owns those joins;
+#   - ev_sessionize — round 5 fixed a second-truncation bug in the gap
+#     comparison (ts.cast("long") truncated before differencing, so a
+#     1800.4 s gap could read 1800 and miss the session split; now
+#     unix_micros, exact vs the oracle's INTERVAL comparison). Found
+#     by the 10x fuzz corpus; invisible on the driver data so the old
+#     green row certified a latently-wrong plan.
 _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "a1_keep_latest_dedup", "a2_consecutive_dedup", "ann_bruteforce_topk",
     "ann_recall_eval", "cdc_scd2_history", "cs_changeset_from_versions",
@@ -72,7 +78,7 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "dd_ngram_jaccard", "dd_passage_dedup",
     "emb_label_centroids", "emb_quantize_int8",
     "emb_semantic_dedup", "enc_changeset_roundtrip", "ev_funnel", "ev_interval_join",
-    "ev_sessionize", "f10_mark_failed_backoff", "f11_deleted_resource_guard",
+    "f10_mark_failed_backoff", "f11_deleted_resource_guard",
     "f1_guarded_merge_snapshot", "f2_soft_delete_classifier", "f4_message_filter",
     "f5f7_genesis_scan", "f9_publish_suppression", "fn_names_keys_roundtrip",
     "g1_latency_metrics", "g3_genesis_batch_plan", "g4_per_key_batches",

@@ -282,10 +282,16 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    # unix_micros, NOT cast("long"): the long cast truncates each
+    # timestamp to whole seconds BEFORE differencing, so a true gap of
+    # 1800.4 s could read as 1800 and stay in-session while the exact
+    # interval comparison (the oracle's `> INTERVAL 30 MINUTE`) splits.
+    # Invisible until two events land within the same truncation
+    # second-window — caught by the 10x fuzz corpus at seed 7.
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
     flagged = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
     )
     sess = flagged.withColumn("session_id", F.sum("new_session").over(cum))
     return sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
