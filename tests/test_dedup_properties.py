@@ -135,3 +135,53 @@ def test_simhash_wide_fingerprint_variant(spark):
     }
     assert got.get((1, 2)) == 0
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_minhash_cap_parity_when_a_bucket_saturates(spark, tmp_path):
+    """The max_bucket drop must match the oracle WHEN IT ACTUALLY
+    FIRES — no shipped corpus saturates a MinHash bucket (that needs
+    >1000 near-identical docs sharing a band), so this builds one:
+    1,200 identical documents (every band bucket holds all 1,200 —
+    over the cap, zero pairs emitted) plus a handful of 2-doc dup
+    groups that stay under the cap and must still pair up. Runs the
+    full dd pipeline on Spark AND DuckDB over the same parquet and
+    compares the verified pair sets exactly."""
+    import duckdb
+
+    from dionysus_rb_spark.operators.minhash import (
+        minhash_lsh_dedup,
+        minhash_lsh_dedup_sql,
+    )
+
+    big = "identical flood document body shared by every member of the giant cluster"
+    rows = [(i, big) for i in range(1200)]
+    for g in range(5):  # small distinct dup pairs, under any cap
+        t = f"unique pairwise duplicate text number {g} with enough words to shingle"
+        rows += [(2000 + 2 * g, t), (2001 + 2 * g, t)]
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"], pdf["source"], pdf["n_chars"] = "en", "src0", pdf.text.str.len()
+    path = tmp_path / "documents.parquet"
+    pdf.to_parquet(path)
+
+    docs = spark.read.parquet(str(path))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_dedup(docs, threshold=0.5).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = {
+        (a, b)
+        for a, b in con.execute(
+            "SELECT doc_a, doc_b FROM (%s) t"
+            % minhash_lsh_dedup_sql(threshold=0.5)
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+    # the flood cluster emits NOTHING (every bucket over the cap)...
+    assert not any(a < 1200 for a, _ in got)
+    # ...and the small dup groups all survive banding + verification
+    assert {(2000 + 2 * g, 2001 + 2 * g) for g in range(5)} <= got
