@@ -185,3 +185,44 @@ def test_minhash_cap_parity_when_a_bucket_saturates(spark, tmp_path):
     assert not any(a < 1200 for a, _ in got)
     # ...and the small dup groups all survive banding + verification
     assert {(2000 + 2 * g, 2001 + 2 * g) for g in range(5)} <= got
+
+
+def test_simhash_cap_parity_when_a_bucket_saturates(spark, tmp_path):
+    """SimHash twin of the MinHash cap-fire test (the sf0.1 sweep found
+    exactly this divergence on real data): 1,100 identical documents
+    share one fingerprint, so all four band buckets saturate past
+    max_bucket and must emit nothing on BOTH engines, while small dup
+    pairs under the cap still come out. Exact pair-set comparison
+    against the cap-aware oracle."""
+    import duckdb
+    import pandas as pd
+
+    from dionysus_rb_spark.operators.simhash import simhash, simhash_pairs, simhash_sql
+
+    big = "flood body repeated verbatim across the entire giant duplicate cluster"
+    rows = [(i, big) for i in range(1100)]
+    for g in range(4):
+        t = f"small pair text number {g} that is distinct from the flood corpus"
+        rows += [(2000 + 2 * g, t), (2001 + 2 * g, t)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"], pdf["source"], pdf["n_chars"] = "en", "src0", pdf.text.str.len()
+    path = tmp_path / "documents.parquet"
+    pdf.to_parquet(path)
+
+    docs = spark.read.parquet(str(path))
+    fps = simhash(docs, "text", "doc_id")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(fps, max_hamming=3, bands=4).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = set(
+        map(tuple, con.execute(
+            "SELECT doc_a, doc_b, hamming FROM (%s) t" % simhash_sql()
+        ).fetchall())
+    )
+    con.close()
+    assert got == want
+    assert not any(a < 1100 for a, _, _ in got)  # flood bucket dropped
+    assert {(2000 + 2 * g, 2001 + 2 * g, 0) for g in range(4)} <= got
