@@ -24,14 +24,23 @@ def h32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
-def h32_sql(expr: str) -> str:
-    """DuckDB equivalent of :func:`h32` (hex digits folded to int —
-    DuckDB can't cast '0x..' strings)."""
+def md5_prefix_sql(expr: str, ndigits: int = 8) -> str:
+    """DuckDB mirror of ``conv(substring(md5(x), 1, ndigits), 16, 10)``
+    (hex digits folded to int — DuckDB can't cast '0x..' strings).
+    ``ndigits`` must stay <= 15 so the fold fits a signed int64
+    (16^15 = 2^60); the 60-bit SimHash fingerprint uses exactly 15."""
+    if ndigits > 15:
+        raise ValueError(f"ndigits ({ndigits}) > 15 overflows int64")
     return (
-        "list_reduce(list_transform(split(substr(md5(" + expr + "),1,8),''),"
+        f"list_reduce(list_transform(split(substr(md5({expr}),1,{ndigits}),''),"
         " x -> CAST(strpos('0123456789abcdef', x) - 1 AS BIGINT)),"
         " (a,b) -> a*16+b)"
     )
+
+
+def h32_sql(expr: str) -> str:
+    """DuckDB equivalent of :func:`h32`."""
+    return md5_prefix_sql(expr, 8)
 
 
 def tokenize(col: Column) -> Column:

@@ -140,8 +140,14 @@ def minhash_lsh_dedup(
     bands: int = BANDS,
     threshold: float = 0.7,
     seed: int = 42,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Full pipeline -> verified near-duplicate pairs.
+
+    ``max_bucket`` mirrors :func:`minhash_lsh_dedup_sql`'s parameter of
+    the same name — both sides must cap (or not cap) identically for
+    cross-engine parity, so the knob is exposed here rather than only
+    on the oracle.
 
     The shingle stage is persisted: it feeds the signature branch once
     and the verification join twice; recomputing tokenize+shingle+md5
@@ -154,7 +160,7 @@ def minhash_lsh_dedup(
         StorageLevel.MEMORY_AND_DISK
     )
     signed = minhash_signature(sh, num_perm, seed)
-    pairs = lsh_candidate_pairs(signed, bands, num_perm // bands)
+    pairs = lsh_candidate_pairs(signed, bands, num_perm // bands, max_bucket)
     return verify_jaccard(pairs, sh, threshold)
 
 

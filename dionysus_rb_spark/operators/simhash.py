@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import h32, h32_sql, tokenize, tokenize_sql
+from ..functions.hashing import h32, md5_prefix_sql, tokenize, tokenize_sql
 
 BITS = 32
 # Corpus-scale fingerprint width: 60 bits = 15 md5 hex digits, the
@@ -63,7 +63,13 @@ def simhash(
             F.aggregate(
                 hashes,
                 F.lit(0).cast("long"),
-                lambda a, h: a + F.when(h.bitwiseAND(shl(F.lit(1), i)) > 0, 1).otherwise(-1),
+                # the 1 MUST be a long: shiftleft on an int wraps the
+                # shift count mod 32 (Java semantics), so at bits > 32
+                # the high-bit votes would silently re-test low bits
+                lambda a, h: a
+                + F.when(
+                    h.bitwiseAND(shl(F.lit(1).cast("long"), i)) > 0, 1
+                ).otherwise(-1),
             )
             > 0,
             shl(F.lit(1).cast("long"), i),
@@ -129,27 +135,36 @@ def simhash_pairs(
 
 
 def simhash_sql(
-    max_hamming: int = 3, bands: int = 4, max_bucket: int | None = 1000
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int | None = 1000,
+    bits: int = BITS,
 ) -> str:
     """DuckDB mirror of simhash + banded pair generation, INCLUDING the
     ``max_bucket`` degenerate-bucket drop — the cap is part of the
     operator's semantics (a whole band bucket above the cap emits no
     pairs), so the oracle must model it or the two sides diverge as
     soon as the corpus is large enough to saturate a bucket (parity
-    held at sf0.01 but broke at sf0.1 before this was mirrored)."""
+    held at sf0.01 but broke at sf0.1 before this was mirrored).
+
+    ``bits`` mirrors :func:`simhash`/:func:`simhash_pairs` — the token
+    hash is the first ceil(bits/4) md5 hex digits folded to int64
+    (md5_prefix_sql, the same fold :func:`_token_hash` computes via
+    ``conv``), so the 60-bit corpus-regime shape is oracle-checkable,
+    not just the 32-bit demo."""
     toks = f"list_distinct({tokenize_sql('text')})"
-    width = BITS // bands
+    width = bits // bands
     mask = (1 << width) - 1
     cap = f"HAVING count(*) <= {max_bucket}" if max_bucket is not None else ""
     return f"""
     WITH hashed AS (
-      SELECT doc_id, list_transform({toks}, t -> {h32_sql('t')}) AS hs
+      SELECT doc_id, list_transform({toks}, t -> {md5_prefix_sql('t', (bits + 3) // 4)}) AS hs
       FROM documents
     ),
     fp AS (
       SELECT doc_id,
              list_reduce(
-               list_transform(range({BITS}), i ->
+               list_transform(range({bits}), i ->
                  CASE WHEN list_reduce(list_transform(hs, h ->
                         CASE WHEN (h & (CAST(1 AS BIGINT) << i)) > 0
                              THEN 1 ELSE -1 END), (a,b) -> a+b) > 0

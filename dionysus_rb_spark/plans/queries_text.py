@@ -696,6 +696,28 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_simhash_wide",
+    refs="beyond:dedup",
+    oracle=simhash.simhash_sql(max_hamming=3, bands=4, bits=simhash.WIDE_BITS),
+)
+def dd_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-regime SimHash: the 60-bit fingerprint (15-bit bands, 32k
+    values each) that production dedup runs at scale. dd_simhash's
+    32-bit shape saturates its band buckets around max_bucket*256 docs
+    (SCALING.md r5 measured 94% of band rows capped at 500k docs); this
+    is the same one-shuffle pigeonhole-banded plan with band
+    cardinality 2^15, which keeps buckets under the cap out to
+    max_bucket*32768 docs. Same completeness guarantee (4 bands >
+    radius 3), same cap-modeling oracle, now parameterized by bits."""
+    fps = simhash.simhash(
+        _docs(spark, sf_dir), "text", "doc_id", bits=simhash.WIDE_BITS
+    )
+    return simhash.simhash_pairs(
+        fps, max_hamming=3, bands=4, bits=simhash.WIDE_BITS
+    )
+
+
+@query(
     "t_repetition_quality",
     bench=True,
     refs="beyond:text",

@@ -142,7 +142,10 @@ def publish_observer_updates(
     observer's association chain (each ``(table, left_col, right_col)``).
     Returns ``[(topic, key-frame with an 'event' column), …]`` — feed
     each frame to the topic's responder. The observed-change side is the
-    small one per batch; chains broadcast their dimension hops.
+    small one per batch; hop joins are left to AQE (it broadcasts a hop
+    at runtime when it is actually small — callers who KNOW every hop
+    is a bounded dimension can pass broadcast_hops=True to the resolver
+    themselves).
     """
     out: list[tuple[str, DataFrame]] = []
     for topic_decl, pub, ob in registry.observers_for(model, changed_cols):

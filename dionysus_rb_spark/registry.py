@@ -198,13 +198,21 @@ class ProducerRegistry:
         self,
         start: DataFrame,
         hops: list[tuple[DataFrame, str, str]],
-        broadcast_hops: bool = True,
+        broadcast_hops: bool = False,
     ) -> DataFrame:
         """J3's dotted ``association_name`` chains (producer.rb:101-120:
         ``booking.rental`` walks two associations): each hop is
-        ``(table, left_col, right_col)`` joined left-to-right. Dimension
-        hops broadcast by default; pass ``broadcast_hops=False`` when a
-        hop table is fact-sized and should shuffle-join instead."""
+        ``(table, left_col, right_col)`` joined left-to-right.
+
+        Hops shuffle-join by default and AQE broadcasts them at runtime
+        when they turn out small — the API accepts arbitrary tables, so
+        a forced hint is only safe when the CALLER knows every hop is
+        bounded by construction (a true dimension table); pass
+        ``broadcast_hops=True`` for that case. (Round-6 flip: the old
+        default-True was the last API whose default forced a broadcast
+        of a caller-supplied, not-provably-bounded table — the same
+        usually-small-is-not-bounded pattern the r4/r5 audit removed
+        everywhere else. PLANS.md "Forced-broadcast audit".)"""
         cur = start
         for i, (tbl, lcol, rcol) in enumerate(hops):
             left_alias, right_alias = f"__l{i}", f"__hop{i}"

@@ -187,6 +187,54 @@ def test_minhash_cap_parity_when_a_bucket_saturates(spark, tmp_path):
     assert {(2000 + 2 * g, 2001 + 2 * g) for g in range(5)} <= got
 
 
+def test_minhash_nondefault_cap_forwards_to_spark_side(spark, tmp_path):
+    """ADVICE r5: minhash_lsh_dedup used to hard-code the default cap
+    while its oracle took ``max_bucket``, so parity held only at the
+    shared default. Now both sides take the knob: with max_bucket=None
+    a 60-doc identical flood MUST pair up on both engines (1,770
+    verified pairs), and with max_bucket=50 the same flood must emit
+    nothing on both — exact pair-set comparison each way."""
+    import duckdb
+    import pandas as pd
+
+    from dionysus_rb_spark.operators.minhash import (
+        minhash_lsh_dedup,
+        minhash_lsh_dedup_sql,
+    )
+
+    big = "identical flood document body shared by every member of the cluster"
+    rows = [(i, big) for i in range(60)]
+    rows += [(200, "one distinct duplicate pair with enough words to shingle"),
+             (201, "one distinct duplicate pair with enough words to shingle")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"], pdf["source"], pdf["n_chars"] = "en", "src0", pdf.text.str.len()
+    path = tmp_path / "documents.parquet"
+    pdf.to_parquet(path)
+
+    docs = spark.read.parquet(str(path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    for cap in (None, 50):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_dedup(
+                docs, threshold=0.5, max_bucket=cap
+            ).collect()
+        }
+        want = {
+            (a, b)
+            for a, b in con.execute(
+                "SELECT doc_a, doc_b FROM (%s) t"
+                % minhash_lsh_dedup_sql(threshold=0.5, max_bucket=cap)
+            ).fetchall()
+        }
+        assert got == want, f"max_bucket={cap}"
+        flood_pairs = {p for p in got if p[0] < 60}
+        assert len(flood_pairs) == (1770 if cap is None else 0)
+        assert (200, 201) in got
+    con.close()
+
+
 def test_simhash_cap_parity_when_a_bucket_saturates(spark, tmp_path):
     """SimHash twin of the MinHash cap-fire test (the sf0.1 sweep found
     exactly this divergence on real data): 1,100 identical documents
@@ -220,6 +268,58 @@ def test_simhash_cap_parity_when_a_bucket_saturates(spark, tmp_path):
     want = set(
         map(tuple, con.execute(
             "SELECT doc_a, doc_b, hamming FROM (%s) t" % simhash_sql()
+        ).fetchall())
+    )
+    con.close()
+    assert got == want
+    assert not any(a < 1100 for a, _, _ in got)  # flood bucket dropped
+    assert {(2000 + 2 * g, 2001 + 2 * g, 0) for g in range(4)} <= got
+
+
+def test_simhash_wide_cap_parity_when_a_bucket_saturates(spark, tmp_path):
+    """Cap-fire parity for the CERTIFIED corpus-regime shape
+    (bits=WIDE_BITS, the dd_simhash_wide query): identical docs share a
+    fingerprint at any width, so an 1,100-doc flood saturates all four
+    15-bit band buckets past max_bucket and must emit nothing on BOTH
+    engines, while under-cap dup pairs still come out. Exact pair-set
+    comparison against the bits-parameterized oracle — this is the test
+    the 32-bit twin could not provide: it exercises the md5-prefix fold
+    and the >32-bit vote masks (the int-literal shiftleft wrap bug hid
+    exactly here) under cap pressure."""
+    import duckdb
+    import pandas as pd
+
+    from dionysus_rb_spark.operators.simhash import (
+        WIDE_BITS,
+        simhash,
+        simhash_pairs,
+        simhash_sql,
+    )
+
+    big = "wide flood body repeated verbatim across the entire giant duplicate cluster"
+    rows = [(i, big) for i in range(1100)]
+    for g in range(4):
+        t = f"small pair text number {g} that is distinct from the flood corpus"
+        rows += [(2000 + 2 * g, t), (2001 + 2 * g, t)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"], pdf["source"], pdf["n_chars"] = "en", "src0", pdf.text.str.len()
+    path = tmp_path / "documents.parquet"
+    pdf.to_parquet(path)
+
+    docs = spark.read.parquet(str(path))
+    fps = simhash(docs, "text", "doc_id", bits=WIDE_BITS)
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(
+            fps, max_hamming=3, bands=4, bits=WIDE_BITS
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = set(
+        map(tuple, con.execute(
+            "SELECT doc_a, doc_b, hamming FROM (%s) t"
+            % simhash_sql(bits=WIDE_BITS)
         ).fetchall())
     )
     con.close()

@@ -87,6 +87,15 @@ from pathlib import Path as _Path
 SHUFFLE_BUDGETS: dict[str, int] = _json.loads(
     (_Path(__file__).parent / "plan_shuffle_budgets.json").read_text()
 )
+# Budgets are recorded at sf0.01 and are a ceiling only at that scale
+# OR BELOW: AQE can only turn shuffled joins into broadcasts at smaller
+# scale (fewer exchanges), but at sf0.1 it may legitimately choose a
+# shuffled join where sf0.01 broadcast (especially the deliberately
+# un-hinted j2/j4/j7) — asserting the sf0.01 ceiling there would flag
+# correct scale-adaptive behavior (ADVICE r5). The plan-SHAPE gates
+# (no CartesianProduct, BNLJ allowlist) still run at every scale.
+_BUDGET_SCALES = ("sf0.001", "sf0.01")
+BUDGETS_APPLY = _Path(SF_DIR).name in _BUDGET_SCALES
 # RoundRobin excluded: it is the deliberate scan-parallelism
 # repartition after tiny-file loads — present at sf0.001, absent at
 # sf0.01 where files split naturally (scale-dependent by design).
@@ -126,7 +135,7 @@ def test_oracle_parity(spark, name, qd):
             "bounded by construction"
         )
     budget = SHUFFLE_BUDGETS.get(name)
-    if budget is not None:
+    if budget is not None and BUDGETS_APPLY:
         shuffles = len(_SHUFFLE.findall(plan))
         assert shuffles <= budget, (
             f"{name}: {shuffles} shuffle-exchange nodes in the executed "

@@ -34,7 +34,8 @@ AUDITED_SITES = {
     "operators/similarity.py": 1,
     # one outbox batch's published keys
     "operators/outbox.py": 1,
-    # per-micro-batch fan-out keys, behind the documented broadcast_hops opt-in
+    # per-micro-batch fan-out keys; chain-hop site behind the documented
+    # broadcast_hops opt-in (default False since round 6 — AQE owns hops)
     "registry.py": 2,
     # shard-count / bucket-count base tables (corpus/1000-sized)
     "operators/textops.py": 2,
