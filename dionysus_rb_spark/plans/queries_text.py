@@ -458,7 +458,18 @@ def dd_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (word-bigram) Jaccard pairs, blocked on source —
-    the exact-verification baseline the LSH pipelines approximate."""
+    the exact-verification baseline the LSH pipelines approximate.
+
+    Cost bound (same caveat class as cosine_near_dup_pairs' block_col):
+    the self-join is QUADRATIC WITHIN EACH BLOCK — sum over blocks of
+    B*(B-1)/2 shingle-set comparisons, so wall-clock is governed by the
+    LARGEST block, not the corpus. Safe here by construction (the
+    documents fixture carries ~10 sources, each corpus/10), and safe in
+    production only while max block size stays in the ~10^4 range
+    (~5*10^7 comparisons). A corpus-sized or missing block degrades to
+    all-pairs — that regime belongs to dd_minhash_lsh / dd_simhash_wide,
+    which bound the join by banding instead of trusting a column's
+    cardinality profile."""
     from pyspark.storagelevel import StorageLevel
 
     from ..functions.hashing import shingles, tokenize

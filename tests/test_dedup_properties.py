@@ -187,6 +187,35 @@ def test_minhash_cap_parity_when_a_bucket_saturates(spark, tmp_path):
     assert {(2000 + 2 * g, 2001 + 2 * g) for g in range(5)} <= got
 
 
+def test_ngram_jaccard_block_bound_semantics(spark, tmp_path):
+    """Pins dd_ngram_jaccard's documented cost contract: the self-join
+    is quadratic WITHIN a block and zero ACROSS blocks — a block of B
+    identical docs emits exactly B*(B-1)/2 pairs, and identical docs in
+    different source blocks are never compared (that's the documented
+    trade: blocking bounds the join by the largest block's cardinality
+    and forfeits cross-block recall, which the banded LSH paths keep)."""
+    import pandas as pd
+
+    from dionysus_rb_spark.plans import all_queries
+
+    same = "identical body text repeated across both sources with many words"
+    rows = [(i, "srcA", same) for i in range(8)]          # B=8 -> 28 pairs
+    rows += [(100 + i, "srcB", same) for i in range(3)]   # B=3 -> 3 pairs
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    pdf["lang"], pdf["n_chars"] = "en", pdf.text.str.len()
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pdf.to_parquet(sf / "documents.parquet")
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in all_queries()["dd_ngram_jaccard"].fn(spark, str(sf)).collect()
+    }
+    assert len(got) == 8 * 7 // 2 + 3 * 2 // 2
+    # cross-block pairs absent despite identical text
+    assert not any(a < 100 <= b for a, b in got)
+
+
 def test_minhash_nondefault_cap_forwards_to_spark_side(spark, tmp_path):
     """ADVICE r5: minhash_lsh_dedup used to hard-code the default cap
     while its oracle took ``max_bucket``, so parity held only at the

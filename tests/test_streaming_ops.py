@@ -760,6 +760,92 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert any(u == 2 and n == 3 for (u, _, _, n) in got)
 
 
+def test_sessionize_stream_matches_lag_cumsum_on_subsecond_gaps(spark, tmp_path):
+    """CROSS-IMPLEMENTATION parity (VERDICT r5 item 6): the streaming
+    session_window path must agree with ev_sessionize's lag+cumsum batch
+    plan on timestamps where SECOND-TRUNCATION flips the verdict — the
+    exact bug class round 5 fixed in batch (ts.cast('long') truncated
+    before differencing), which a future streaming refactor could
+    reintroduce. Fixture:
+      - user 1: gap 1800.4s (09:00:00.200 -> 09:30:00.600) — truncated
+        longs differ by exactly 1800 and would MERGE; true micros split.
+      - user 2: gap 1799.6s (09:00:00.600 -> 09:30:00.200) — must merge.
+    Exact-1800.000000 gaps are excluded by construction: there the two
+    shapes genuinely differ (batch splits only on gap > 30min strictly;
+    session_window's end is exclusive), and micro-exact gaps are
+    measure-zero on event data."""
+    from pyspark.sql import Window
+
+    from dionysus_rb_spark.streaming.sessionize import sessionize
+
+    inp = tmp_path / "subsec"
+    inp.mkdir()
+    rows = [
+        {"user_id": 1, "ts": "2024-01-01 09:00:00.200"},
+        {"user_id": 1, "ts": "2024-01-01 09:30:00.600"},
+        {"user_id": 2, "ts": "2024-01-01 09:00:00.600"},
+        {"user_id": 2, "ts": "2024-01-01 09:30:00.200"},
+        # watermark pusher: finalizes every session above in append mode
+        {"user_id": 99, "ts": "2024-01-02 00:00:00"},
+    ]
+    (inp / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+
+    schema = "user_id LONG, ts STRING"
+    src = (
+        spark.readStream.schema(schema)
+        .json(str(inp))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        sessionize(src, ["user_id"], "ts", gap="30 minutes", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sess_subsec")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_subsec").collect()
+    }
+
+    # ev_sessionize's exact plan shape (queries_text.py:281-301),
+    # inlined so the certified query stays untouched: lag + cumulative
+    # sum over unix_micros — NOT cast('long'), which truncates to whole
+    # seconds before differencing.
+    ev = (
+        spark.read.schema(schema)
+        .json(str(inp))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    sess = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
+    ).withColumn("session_id", F.sum("new_session").over(cum))
+    want = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .collect()
+        if r["user_id"] != 99  # pusher's own session never closes
+    }
+    assert got == want
+    # and the verdicts are the truncation-sensitive ones:
+    assert sum(1 for (u, _, _, _) in got if u == 1) == 2  # 1800.4s split
+    assert sum(1 for (u, _, _, _) in got if u == 2) == 1  # 1799.6s merged
+
+
 def test_streaming_near_dup_gate_matches_batch(spark, tmp_path):
     """The MinHash band gate flags the same incoming docs in a stream
     (stream-static semi join) as in batch, and near-identical docs ARE
