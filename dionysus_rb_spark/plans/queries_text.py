@@ -882,13 +882,22 @@ def t_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dfc = tf.groupBy("token").agg(F.count("*").alias("df"))
-    scored = tf.join(dfc, "token").crossJoin(F.broadcast(n_docs)).select(
+    # idf is a per-TOKEN quantity: compute it once on the vocabulary-
+    # sized df frame (the 1-row count decorates |vocab| rows and the
+    # log runs |vocab| times), not once per tf row — round 6 moved the
+    # crossJoin up here after profiling the r3->r5 drift (the BNLJ
+    # decoration sat on the tf-row-sized frame). Bit-identical scores:
+    # log(nd/df) sees the same inputs either way.
+    dfc = (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("token", F.log(F.col("__nd") / F.col("df")).alias("__idf"))
+    )
+    scored = tf.join(dfc, "token").select(
         "doc_id",
         "token",
-        F.round(
-            F.col("tf") * F.log(F.col("__nd") / F.col("df")), 6
-        ).alias("tfidf"),
+        F.round(F.col("tf") * F.col("__idf"), 6).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
     return (
