@@ -32,7 +32,8 @@ BITS = 32
 # bucket is corpus_size/256 — at web scale all of them blow past any
 # sane max_bucket and get dropped, gutting recall. 60-bit fingerprints
 # band into 4 x 15 bits (32k values each), the regime where banding
-# keeps working.
+# keeps working. Certified end-to-end as dd_simhash_wide (round 6);
+# tools/validation/simhash_width.py is the re-runnable saturation study.
 WIDE_BITS = 60
 
 

@@ -42,14 +42,13 @@ N_DUP_GROUPS = 2_000
 GROUP = 10  # docs per near-dup group -> 20k docs (4%) are near-dups
 
 
-def main() -> None:
-    out = REPO / ".scratch" / "corpus500k"
-    out.mkdir(parents=True, exist_ok=True)
-    spark = get_spark()  # local[$SPARK_GRAFT_CPUS], default 32
-
+def build_corpus(spark, out: Path, n_docs: int = N_DOCS) -> None:
+    """Write the realistic 500k-shape corpus (distributed generation,
+    no driver loops) to ``out/documents.parquet``. Shared with
+    simhash_width.py so the width study runs on the identical corpus."""
     vocab_arr = F.array(*[F.lit(w) for w in VOCAB])
     nv = len(VOCAB)
-    ids = spark.range(N_DOCS).withColumnRenamed("id", "doc_id")
+    ids = spark.range(n_docs).withColumnRenamed("id", "doc_id")
     in_group = F.col("doc_id") < N_DUP_GROUPS * GROUP
     # near-dup docs draw their words from the GROUP seed (identical
     # base text within a group); unique docs draw from their own id
@@ -98,7 +97,15 @@ def main() -> None:
     corpus.write.mode("overwrite").parquet(str(out / "documents.parquet"))
     n = spark.read.parquet(str(out / "documents.parquet")).count()
     print(f"generated {n} docs in {time.time() - t0:.1f}s -> {out}")
-    assert n == N_DOCS
+    assert n == n_docs
+
+
+def main() -> None:
+    out = REPO / ".scratch" / "corpus500k"
+    out.mkdir(parents=True, exist_ok=True)
+    spark = get_spark()  # local[$SPARK_GRAFT_CPUS], default 32
+    build_corpus(spark, out)
+    n = N_DOCS
 
     qs = all_queries()
     t0 = time.time()
