@@ -54,7 +54,11 @@ _REGISTRY: dict[str, QueryDef] = {}
 #   - t_tfidf_keywords — round 6 moved the in-plan doc-count crossJoin
 #     from the tf-row-sized scored frame onto the vocabulary-sized df
 #     frame (idf computed once per token; scores bit-identical, plan
-#     tree not the one the r5 row certified).
+#     tree not the one the r5 row certified);
+#   - t_lm_quality — round 6 applied the same move to the bigram LM:
+#     logp evaluates on the distinct-bigram model frame (unigram join,
+#     vocab decoration, log() all model-sized) and the occurrence
+#     stream takes one join against the finished model.
 _CERTIFIED_ROUND: dict[str, int] = {
     # round 1 rows (oldest — rotation samples these first)
     "dd_exact_dedup": 1, "t_corpus_stats": 1, "t_fingerprint": 1,
@@ -101,7 +105,6 @@ _CERTIFIED_ROUND: dict[str, int] = {
     "s2_drain_two_cycles": 5, "s2_outbox_publishable_scan": 5,
     "s3_pending_topics": 5, "s5_genesis_topic_fanout": 5,
     "samp_cluster_split": 5, "sql_shared_dialect": 5, "t_doc_frequency": 5,
-    "t_lm_quality": 5,
 }
 
 _DRIVER_CERTIFIED: frozenset[str] = frozenset(_CERTIFIED_ROUND)

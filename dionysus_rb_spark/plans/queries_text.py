@@ -991,20 +991,28 @@ def t_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shape as the oracle's vocab CTE) instead of a separate driver
     # count job: one execution end to end, no mid-build serialization
     vocab = ugc.agg(F.count("*").alias("__v"))
-    scored = (
-        bi.join(bgc, "bg")
-        .join(
+    # logp is a per-BIGRAM quantity (cb, cu, v are all functions of the
+    # bigram string), so the LM evaluates on the distinct-bigram model
+    # frame — the unigram join, the 1-row vocab decoration, and the
+    # log() run |distinct bigrams| times. The occurrence stream then
+    # takes ONE join against the finished model (round 6, the same move
+    # as t_tfidf_keywords' idf: at corpus scale `bi` is the trillions-
+    # row side and per-occurrence join work is the cost that matters).
+    # Bit-identical logp: identical inputs to the same float expression.
+    model = (
+        bgc.join(
             ugc,
             F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("w"),
         )
         .crossJoin(F.broadcast(vocab))
         .select(
-            "doc_id",
+            "bg",
             F.round(
                 F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("__v"))), 9
             ).alias("logp"),
         )
     )
+    scored = bi.join(model, "bg").select("doc_id", "logp")
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(
