@@ -187,6 +187,46 @@ def test_minhash_cap_parity_when_a_bucket_saturates(spark, tmp_path):
     assert {(2000 + 2 * g, 2001 + 2 * g) for g in range(5)} <= got
 
 
+def test_simhash_wide_banding_complete_vs_bruteforce(spark):
+    """Randomized completeness check of the pigeonhole guarantee at 60
+    bits: for 300 seeded random fingerprints, simhash_pairs(bands=4,
+    max_bucket=None) must find EXACTLY the pairs a brute-force all-pairs
+    hamming scan finds within radius 3 — no pair missed (completeness:
+    <=3 differing bits cannot touch all 4 bands) and none invented
+    (the xor+bit_count verify). Exercises the >32-bit shift/xor paths
+    end to end on adversarially dense fingerprints (random longs plus
+    planted <=3-bit perturbations)."""
+    import random
+
+    from dionysus_rb_spark.operators.simhash import WIDE_BITS, simhash_pairs
+
+    rng = random.Random(606)
+    fps = [rng.getrandbits(WIDE_BITS) for _ in range(200)]
+    # planted near-pairs: flip 1..3 random bits of existing fingerprints
+    for i in range(100):
+        base = fps[rng.randrange(len(fps))]
+        for _ in range(rng.randint(1, 3)):
+            base ^= 1 << rng.randrange(WIDE_BITS)
+        fps.append(base)
+    rows = [(i, fp) for i, fp in enumerate(fps)]
+
+    want = {
+        (a, b, bin(fa ^ fb).count("1"))
+        for a, fa in rows
+        for b, fb in rows
+        if a < b and bin(fa ^ fb).count("1") <= 3
+    }
+    df = spark.createDataFrame(rows, "doc_id LONG, simhash LONG")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(
+            df, max_hamming=3, bands=4, max_bucket=None, bits=WIDE_BITS
+        ).collect()
+    }
+    assert want, "fixture produced no in-radius pairs — no power"
+    assert got == want
+
+
 def test_ngram_jaccard_block_bound_semantics(spark, tmp_path):
     """Pins dd_ngram_jaccard's documented cost contract: the self-join
     is quadratic WITHIN a block and zero ACROSS blocks — a block of B
