@@ -84,18 +84,27 @@ import json as _json
 import re as _re
 from pathlib import Path as _Path
 
-SHUFFLE_BUDGETS: dict[str, int] = _json.loads(
-    (_Path(__file__).parent / "plan_shuffle_budgets.json").read_text()
+# The sf0.01 recording is a ceiling only at that scale OR BELOW: AQE
+# can only turn shuffled joins into broadcasts at smaller scale (fewer
+# exchanges), but at sf0.1 it may legitimately choose a shuffled join
+# where sf0.01 broadcast (especially the deliberately un-hinted
+# j2/j4/j7) — asserting the sf0.01 ceiling there would flag correct
+# scale-adaptive behavior (ADVICE r5). Larger ritual scales therefore
+# carry their OWN recording (plan_shuffle_budgets_<scale>.json, regen
+# tool with that sf_dir); if none exists for the running scale the
+# budget assertion is skipped. The plan-SHAPE gates (no
+# CartesianProduct, BNLJ allowlist) run at every scale regardless.
+_scale = _Path(SF_DIR).name
+if _scale in ("sf0.001", "sf0.01"):
+    _budget_file = _Path(__file__).parent / "plan_shuffle_budgets.json"
+else:
+    _budget_file = (
+        _Path(__file__).parent / f"plan_shuffle_budgets_{_scale}.json"
+    )
+SHUFFLE_BUDGETS: dict[str, int] = (
+    _json.loads(_budget_file.read_text()) if _budget_file.exists() else {}
 )
-# Budgets are recorded at sf0.01 and are a ceiling only at that scale
-# OR BELOW: AQE can only turn shuffled joins into broadcasts at smaller
-# scale (fewer exchanges), but at sf0.1 it may legitimately choose a
-# shuffled join where sf0.01 broadcast (especially the deliberately
-# un-hinted j2/j4/j7) — asserting the sf0.01 ceiling there would flag
-# correct scale-adaptive behavior (ADVICE r5). The plan-SHAPE gates
-# (no CartesianProduct, BNLJ allowlist) still run at every scale.
-_BUDGET_SCALES = ("sf0.001", "sf0.01")
-BUDGETS_APPLY = _Path(SF_DIR).name in _BUDGET_SCALES
+BUDGETS_APPLY = bool(SHUFFLE_BUDGETS)
 # RoundRobin excluded: it is the deliberate scan-parallelism
 # repartition after tiny-file loads — present at sf0.001, absent at
 # sf0.01 where files split naturally (scale-dependent by design).

@@ -10,7 +10,12 @@ justified and re-recorded here.
 
 Budgets are recorded at sf0.01 — the driver's comparison scale — which
 is the ceiling: at smaller scale AQE can only turn shuffled joins into
-broadcasts (fewer exchanges), never the reverse.
+broadcasts (fewer exchanges), never the reverse. That argument does NOT
+extend upward: at sf0.1 AQE may legitimately replace a broadcast with a
+shuffled join, so the scale-up ritual gets its OWN recording — passing
+an sf_dir other than sf0.01 writes plan_shuffle_budgets_<scale>.json
+and tests/test_oracle_parity.py loads the file matching the scale it
+runs at (ADVICE r5).
 
 Usage:
     python tools/regen_shuffle_budgets.py [sf_dir]
@@ -60,7 +65,9 @@ def main() -> None:
         budgets[name] = shuffle_count(df)
         print(f"{name}: {budgets[name]}")
 
-    out = REPO / "tests" / "plan_shuffle_budgets.json"
+    scale = Path(sf_dir.rstrip("/")).name
+    suffix = "" if scale == "sf0.01" else f"_{scale}"
+    out = REPO / "tests" / f"plan_shuffle_budgets{suffix}.json"
     out.write_text(json.dumps(budgets, indent=1, sort_keys=True) + "\n")
     print(f"wrote {out} ({len(budgets)} queries)")
 
