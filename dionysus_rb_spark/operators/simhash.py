@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import h32, md5_prefix_sql, tokenize, tokenize_sql
+from ..functions.hashing import md5_prefix_sql, tokenize, tokenize_sql
 
 BITS = 32
 # Corpus-scale fingerprint width: 60 bits = 15 md5 hex digits, the
@@ -37,17 +37,40 @@ BITS = 32
 WIDE_BITS = 60
 
 
+def _validate_bits(bits: int, bands: int | None = None) -> None:
+    """Reject widths the portable fold can't represent and band splits
+    that void the pigeonhole guarantee (ADVICE r6): the token hash is
+    ceil(bits/4) md5 hex digits folded to int64, so bits > 60 overflows
+    the signed fold (conv would yield values >= 2^63 that cast to null
+    on the Spark side while only the oracle raised); bits % bands != 0
+    would leave the top ``bits % bands`` fingerprint bits outside every
+    band, so a pair differing only there could share zero bands yet sit
+    within the Hamming radius — silently incomplete candidates."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits ({bits}) must be in 1..60 (int64 md5 fold)")
+    if bands is not None and bits % bands != 0:
+        raise ValueError(
+            f"bits ({bits}) must be divisible by bands ({bands}) — "
+            "otherwise the top bits are unbanded and pigeonhole "
+            "completeness is void"
+        )
+
+
 def _token_hash(col, bits: int):
-    """First ceil(bits/4) md5 hex digits as a long — h32 for bits<=32,
-    a wider md5 prefix fold for the corpus-scale fingerprint."""
-    if bits <= 32:
-        return h32(col)
-    return F.conv(F.substring(F.md5(col), 1, (bits + 3) // 4), 16, 10).cast("long")
+    """First ceil(bits/4) md5 hex digits folded to a long — the SAME
+    fold at every width (ADVICE r6: the old bits<=32 h32 special case
+    voted on the LOW bits of an 8-digit fold while the oracle folded
+    only ceil(bits/4) HIGH-order digits, breaking cross-engine parity
+    for 1 <= bits <= 31; at bits=32 the two are the identical
+    expression, so the shipped 32-bit plan is unchanged)."""
+    ndigits = (bits + 3) // 4
+    return F.conv(F.substring(F.md5(col), 1, ndigits), 16, 10).cast("long")
 
 
 def simhash(
     df: DataFrame, text_col: str, id_col: str, bits: int = BITS
 ) -> DataFrame:
+    _validate_bits(bits)
     # F.shiftleft's Python wrapper needs an int numBits; inside a lambda the
     # bit index is a Column, so call the SQL builtin directly.
     def shl(value, i):
@@ -99,6 +122,7 @@ def simhash_pairs(
     (8-bit bands, 256 values) exhaust that around max_bucket*256 docs;
     pass ``bits=WIDE_BITS`` to both :func:`simhash` and this function
     for the corpus-scale regime (15-bit bands, 32k values)."""
+    _validate_bits(bits, bands)
     if bands <= max_hamming:
         raise ValueError(
             f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
@@ -153,6 +177,7 @@ def simhash_sql(
     (md5_prefix_sql, the same fold :func:`_token_hash` computes via
     ``conv``), so the 60-bit corpus-regime shape is oracle-checkable,
     not just the 32-bit demo."""
+    _validate_bits(bits, bands)
     toks = f"list_distinct({tokenize_sql('text')})"
     width = bits // bands
     mask = (1 << width) - 1

@@ -29,83 +29,72 @@ class QueryDef:
 
 _REGISTRY: dict[str, QueryDef] = {}
 
-# Queries whose CURRENT plan has a green (rows+schema+hash) driver
-# CORRECTNESS row, mapped to the round of that row. The driver samples
-# ~50 of the catalog per round; ``all_queries()`` enumerates the
-# non-certified names FIRST (VERDICT r2, item 1) and, since round 6,
-# orders the certified remainder OLDEST ROW FIRST so the sample's tail
-# re-certifies the longest-unsampled queries (staleness rotation,
-# VERDICT r5 item 2 — r1/r2-era rows were 4 rounds old).
+# Certification bookkeeping (ADVICE r6 item 1: derive, don't hand-copy).
 #
-# Round-6 regeneration (standing policy since VERDICT r4 item 1):
-# start from the union of green rows across all CORRECTNESS_r0*.json —
-# after round 5 that union covers all 103 prior queries with every row
-# certifying the then-shipped plan — then REMOVE any query whose plan
-# (or a shared helper it calls) changed after its last green row.
-# Removed this round:
-#   - dd_simhash — round 6 cast the vote mask in simhash() to long
-#     (shiftleft on an int literal wraps the shift count mod 32; the
-#     32-bit results are provably unchanged — bit 31's sign-extended
-#     int mask selects the same bit — but the expression tree the r5
-#     row certified is not the shipped one);
-#   - dd_simhash_wide — new in round 6 (the corpus-regime 60-bit
-#     fingerprint, VERDICT r5 item 1; the judge authorized growing the
-#     catalog freeze to 104 for exactly this entry);
-#   - t_tfidf_keywords — round 6 moved the in-plan doc-count crossJoin
-#     from the tf-row-sized scored frame onto the vocabulary-sized df
-#     frame (idf computed once per token; scores bit-identical, plan
-#     tree not the one the r5 row certified);
-#   - t_lm_quality — round 6 applied the same move to the bigram LM:
-#     logp evaluates on the distinct-bigram model frame (unigram join,
-#     vocab decoration, log() all model-sized) and the occurrence
-#     stream takes one join against the finished model.
-_CERTIFIED_ROUND: dict[str, int] = {
-    # round 1 rows (oldest — rotation samples these first)
-    "dd_exact_dedup": 1, "t_corpus_stats": 1, "t_fingerprint": 1,
-    "t_lang_id": 1, "t_redact_pii": 1, "t_url_extraction": 1,
-    # round 2
-    "t_bpe_token_count": 2, "t_quality_score": 2, "t_token_stats": 2,
-    # round 3
-    "ann_bruteforce_topk": 3, "ann_recall_eval": 3, "dd_bloom_gate": 3,
-    "dd_contamination": 3, "dd_ngram_jaccard": 3, "dd_passage_dedup": 3,
-    "emb_label_centroids": 3, "emb_quantize_int8": 3, "emb_semantic_dedup": 3,
-    "mm_binary_metadata": 3, "mm_chunk_media": 3, "mm_decode_features": 3,
-    "mm_embed_lsh": 3, "mm_frame_sample": 3, "mm_shared_segments": 3,
-    "samp_domain_cap": 3, "samp_mix_epochs": 3, "samp_rebalance": 3,
-    "samp_train_split": 3, "stream_t5_snapshot_merge": 3, "t_char_entropy": 3,
-    "t_cms_heavy_hitters": 3, "t_kmv_distinct": 3, "t_repetition_quality": 3,
-    # round 4
-    "cdc_scd2_history": 4, "cs_changeset_from_versions": 4,
-    "ctx_pack_sequences": 4, "d1_batched_envelope_roundtrip": 4,
-    "d1_envelope_roundtrip": 4, "d2d7_canonical_flatten": 4,
-    "d4_aggregate_dismantle": 4, "d5_polymorphic_routing": 4,
-    "d8_synced_data_backfill": 4, "enc_changeset_roundtrip": 4,
-    "ev_funnel": 4, "ev_interval_join": 4, "g5_salted_skew_agg": 4,
-    "j8_asof_join": 4, "p3_aggregate_assembly": 4, "p4_serializer_dispatch": 4,
-    "s1_lifecycle_capture": 4, "samp_token_budget": 4,
-    "stream_t1_replay_dedup": 4, "stream_t4_sessionize": 4,
-    # round 5
-    "a1_keep_latest_dedup": 5, "a2_consecutive_dedup": 5, "ann_ivf_topk": 5,
-    "ann_ivfpq_topk": 5, "ann_lsh_neardup": 5, "dd_dedup_final": 5,
-    "dd_dup_clusters": 5, "dd_minhash_lsh": 5, "emb_cosine_neardup": 5,
-    "emb_kmeans": 5, "emb_outlier_filter": 5, "emb_pq_adc_topk": 5,
-    "emb_pq_encode": 5, "emb_pq_trained": 5, "ev_sessionize": 5,
-    "f10_mark_failed_backoff": 5, "f11_deleted_resource_guard": 5,
-    "f1_guarded_merge_snapshot": 5, "f2_soft_delete_classifier": 5,
-    "f4_message_filter": 5, "f5f7_genesis_scan": 5, "f9_publish_suppression": 5,
-    "fn_names_keys_roundtrip": 5, "g1_latency_metrics": 5,
-    "g3_genesis_batch_plan": 5, "g4_per_key_batches": 5,
-    "j2_dependency_parent_fanout": 5, "j3_observer_fanout": 5,
-    "j4_to_many_reconciliation": 5, "j5_to_one_resolution": 5,
-    "j6_resource_refetch": 5, "j7_observer_overflow": 5,
-    "lc_local_changes_audit": 5, "o2_publish_fifo_position": 5,
-    "o4_genesis_id_batches": 5, "p5_deleted_projection": 5,
-    "p6_serialization_bypass": 5, "pipe_corpus_filter": 5,
-    "pipe_full_curation": 5, "s10_tombstone_merge": 5,
-    "s2_drain_two_cycles": 5, "s2_outbox_publishable_scan": 5,
-    "s3_pending_topics": 5, "s5_genesis_topic_fanout": 5,
-    "samp_cluster_split": 5, "sql_shared_dialect": 5, "t_doc_frequency": 5,
+# A query is CERTIFIED when its current plan has a green
+# (rows+schema+hash) driver CORRECTNESS row. The driver samples ~50 of
+# the catalog per round; ``all_queries()`` enumerates the non-certified
+# names FIRST (VERDICT r2, item 1) and orders the certified remainder
+# OLDEST ROW FIRST so the sample's tail re-certifies the
+# longest-unsampled queries (staleness rotation, VERDICT r5 item 2).
+#
+# The name->round map is derived AT IMPORT TIME from the committed
+# CORRECTNESS_r*.json driver artifacts (latest green row per query), so
+# it can never go stale the way a hand-maintained dict did between the
+# r6 driver run and the r6 end-of-round commit (ADVICE r6). The one
+# judgement call a machine can't make — "did this query's plan, or a
+# shared helper it calls, change AFTER its last green row?" (standing
+# policy since VERDICT r4 item 1) — stays manual as ``_PLAN_CHANGED``:
+# name -> round in which the plan last materially changed. A green row
+# from that round or later certifies the shipped plan; older rows
+# certified a different expression tree and are ignored.
+_PLAN_CHANGED: dict[str, int] = {
+    # round 6 changes (all re-greened by CORRECTNESS_r06 rows, so these
+    # entries are satisfied; kept as the audit trail of the rule):
+    "dd_simhash": 6,  # vote mask cast to long (shiftleft mod-32 fix)
+    "dd_simhash_wide": 6,  # new in r6 (60-bit corpus-regime shape)
+    "t_tfidf_keywords": 6,  # idf moved to the vocabulary model frame
+    "t_lm_quality": 6,  # logp moved to the distinct-bigram model frame
 }
+
+
+def _latest_green_rounds() -> dict[str, int]:
+    """name -> round of the latest green driver row, from the committed
+    CORRECTNESS_r*.json artifacts at the repo root. Missing/unreadable
+    artifacts degrade safely: affected queries count as uncertified and
+    sort to the front of the rotation."""
+    import json
+    import re
+    from pathlib import Path
+
+    latest: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return {
+        name: rnd
+        for name, rnd in latest.items()
+        if rnd >= _PLAN_CHANGED.get(name, 0)
+    }
+
+
+_CERTIFIED_ROUND: dict[str, int] = _latest_green_rounds()
 
 _DRIVER_CERTIFIED: frozenset[str] = frozenset(_CERTIFIED_ROUND)
 

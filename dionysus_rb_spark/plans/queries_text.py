@@ -708,6 +708,10 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dd_simhash_wide",
+    # bench-tracked since round 7 (VERDICT r6 item 2): this is the
+    # production-regime knob, so regressions need a round-over-round
+    # number, not just the 32-bit twin's.
+    bench=True,
     refs="beyond:dedup",
     oracle=simhash.simhash_sql(max_hamming=3, bands=4, bits=simhash.WIDE_BITS),
 )

@@ -395,3 +395,90 @@ def test_simhash_wide_cap_parity_when_a_bucket_saturates(spark, tmp_path):
     assert got == want
     assert not any(a < 1100 for a, _, _ in got)  # flood bucket dropped
     assert {(2000 + 2 * g, 2001 + 2 * g, 0) for g in range(4)} <= got
+
+
+def test_simhash_bits_validation(spark):
+    """The bits knob rejects shapes the portable fold can't honor
+    (ADVICE r6): >60 bits overflows the signed-int64 md5 fold (Spark's
+    conv would return nulls while only the oracle raised), and
+    bits % bands != 0 leaves the top bits unbanded, voiding pigeonhole
+    completeness. All three entry points enforce the same contract."""
+    import pytest as _pytest
+
+    from dionysus_rb_spark.operators.simhash import (
+        simhash,
+        simhash_pairs,
+        simhash_sql,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    fps = spark.createDataFrame([(1, 5)], "doc_id LONG, simhash LONG")
+    with _pytest.raises(ValueError, match="1..60"):
+        simhash(docs, "text", "doc_id", bits=64)
+    with _pytest.raises(ValueError, match="1..60"):
+        simhash(docs, "text", "doc_id", bits=0)
+    with _pytest.raises(ValueError, match="divisible"):
+        simhash_pairs(fps, bands=4, bits=30)
+    with _pytest.raises(ValueError, match="divisible"):
+        simhash_sql(bands=4, bits=30)
+    with _pytest.raises(ValueError, match="1..60"):
+        simhash_sql(bands=4, bits=64)
+
+
+def test_simhash_32bit_token_hash_expression_unchanged(spark):
+    """Dropping the h32 special case must not touch the certified
+    32-bit plan: _token_hash(col, 32) builds the bit-identical
+    expression h32(col) built (first 8 md5 hex digits, conv 16->10,
+    cast long) — so dd_simhash / dd_simhash_wide stay certified."""
+    from pyspark.sql import functions as F
+
+    from dionysus_rb_spark.functions.hashing import h32
+    from dionysus_rb_spark.operators.simhash import _token_hash
+
+    c = F.col("t")
+    assert repr(_token_hash(c, 32)) == repr(h32(c))
+
+
+def test_simhash_narrow_width_cross_engine_parity(spark, tmp_path):
+    """Widths in 1..31 — the regime ADVICE r6 flagged as silently
+    broken (Spark voted on the LOW bits of the 8-digit h32 fold while
+    the oracle folded only ceil(bits/4) HIGH-order digits). With the
+    unified md5-prefix fold, a 16-bit/4-band run must produce the exact
+    oracle pair set, near-dups included."""
+    import duckdb
+    import pandas as pd
+
+    from dionysus_rb_spark.operators.simhash import (
+        simhash,
+        simhash_pairs,
+        simhash_sql,
+    )
+
+    rows = []
+    for g in range(40):
+        base = f"narrow width parity group {g} with shared filler tokens alpha beta gamma"
+        rows.append((2 * g, base))
+        rows.append((2 * g + 1, base + (" extra" if g % 3 == 0 else "")))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"], pdf["source"], pdf["n_chars"] = "en", "src0", pdf.text.str.len()
+    path = tmp_path / "documents.parquet"
+    pdf.to_parquet(path)
+
+    docs = spark.read.parquet(str(path))
+    fps = simhash(docs, "text", "doc_id", bits=16)
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(fps, max_hamming=3, bands=4, bits=16).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = set(
+        map(tuple, con.execute(
+            "SELECT doc_a, doc_b, hamming FROM (%s) t"
+            % simhash_sql(bands=4, bits=16)
+        ).fetchall())
+    )
+    con.close()
+    assert got == want
+    # identical-text pairs are hamming-0 at any width
+    assert {(2 * g, 2 * g + 1, 0) for g in range(40) if g % 3 != 0} <= got

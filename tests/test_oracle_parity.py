@@ -94,13 +94,10 @@ from pathlib import Path as _Path
 # tool with that sf_dir); if none exists for the running scale the
 # budget assertion is skipped. The plan-SHAPE gates (no
 # CartesianProduct, BNLJ allowlist) run at every scale regardless.
+from tools.regen_shuffle_budgets import budget_filename as _budget_filename
+
 _scale = _Path(SF_DIR).name
-if _scale in ("sf0.001", "sf0.01"):
-    _budget_file = _Path(__file__).parent / "plan_shuffle_budgets.json"
-else:
-    _budget_file = (
-        _Path(__file__).parent / f"plan_shuffle_budgets_{_scale}.json"
-    )
+_budget_file = _Path(__file__).parent / _budget_filename(_scale)
 SHUFFLE_BUDGETS: dict[str, int] = (
     _json.loads(_budget_file.read_text()) if _budget_file.exists() else {}
 )

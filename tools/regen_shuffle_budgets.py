@@ -40,6 +40,19 @@ SHUFFLE_PATTERN = (
 )
 
 
+def budget_filename(scale: str) -> str:
+    """The single scale -> budget-file mapping, shared with
+    tests/test_oracle_parity.py (ADVICE r6: the regen tool used to map
+    only sf0.01 to the default file while the test also mapped sf0.001
+    there, so an sf0.001 recording was written but never loaded).
+    sf0.001/sf0.01 share the default file: the sf0.01 recording is a
+    valid ceiling at or below its scale (AQE only ever REMOVES
+    exchanges going down — modulo the excluded RoundRobin)."""
+    if scale in ("sf0.001", "sf0.01"):
+        return "plan_shuffle_budgets.json"
+    return f"plan_shuffle_budgets_{scale}.json"
+
+
 def shuffle_count(df) -> int:
     import re
 
@@ -66,8 +79,12 @@ def main() -> None:
         print(f"{name}: {budgets[name]}")
 
     scale = Path(sf_dir.rstrip("/")).name
-    suffix = "" if scale == "sf0.01" else f"_{scale}"
-    out = REPO / "tests" / f"plan_shuffle_budgets{suffix}.json"
+    out = REPO / "tests" / budget_filename(scale)
+    if scale == "sf0.001":
+        print(
+            "note: sf0.001 writes the DEFAULT budget file (shared with "
+            "sf0.01); regenerate at sf0.01 for the driver-scale ceiling"
+        )
     out.write_text(json.dumps(budgets, indent=1, sort_keys=True) + "\n")
     print(f"wrote {out} ({len(budgets)} queries)")
 
