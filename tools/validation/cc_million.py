@@ -1,17 +1,20 @@
-"""1M-vertex connected-components validation (round 5).
+"""N-vertex connected-components validation (round 5; N-parameterized
+round 7 for the 10^7 decade run, VERDICT r6 item 5).
 
-Two topologies, both with randomly permuted 63-bit vertex ids so the
+Two topologies, both with randomly permuted vertex ids so the
 component min is never positionally convenient:
 
-1. A single 1,000,000-vertex path (diameter 999,999) — the adversarial
+1. A single N-vertex path (diameter N-1) — the adversarial
    iteration-count shape; the O(log^2 n) star alternation must resolve
-   it in tens of iterations where min-label propagation needs ~10^6.
-2. A corpus-shaped dup graph: 1,000,000 edges forming ~200k star/chain
+   it in tens of iterations where min-label propagation needs ~N.
+2. A corpus-shaped dup graph: N edges forming ~N/5 star/chain
    clusters of size 2-12 — the realistic near-dup workload, measuring
    edge throughput at low iteration counts.
 
 Checks: every vertex labeled, one component per expected cluster,
 label = cluster min. Prints timings for SCALING.md.
+
+Usage: python tools/validation/cc_million.py [n_vertices]   # default 1M
 """
 
 import logging
@@ -33,14 +36,31 @@ from dionysus_rb_spark.session import get_spark
 
 spark = get_spark(cpus=16)
 
-N = 1_000_000
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+
+
+def _next_prime(n: int) -> int:
+    def is_prime(x: int) -> bool:
+        if x < 2 or x % 2 == 0:
+            return x == 2
+        f = 3
+        while f * f <= x:
+            if x % f == 0:
+                return False
+            f += 2
+        return True
+
+    while not is_prime(n):
+        n += 1
+    return n
+
 
 # Deterministic pseudo-random permutation of vertex ids:
-# id -> id * c mod p with p prime > max id and gcd(c, p) = 1 — a
-# bijection on [0, p), and the product (<= 1e6 * 2.7e9 ~ 2.7e15) stays
-# far inside a 64-bit long, so no ANSI overflow.
+# id -> id * c mod p with p prime >= max id + 1 and gcd(c, p) = 1 — a
+# bijection on [0, p), and the product (<= 1e8 * 2.7e9 ~ 2.7e17) stays
+# inside a 64-bit long, so no ANSI overflow.
 PERM_C = 2654435761
-PERM_P = 999_999_937
+PERM_P = _next_prime(N)
 
 
 def perm(col):
@@ -73,8 +93,9 @@ labels.unpersist()
 # [0, split) and [split, 12) with split cycling 2..12 per block. CC
 # labels only vertices that appear in edges, so halves of size 1
 # (split == 11) contribute no component; the expected count below
-# mirrors that. N is divisible by 12 so no partial block.
-N2 = 999_996
+# mirrors that. N2 is N rounded down to a multiple of 12 so no
+# partial block.
+N2 = N - (N % 12)
 blocks = spark.range(N2).select(
     (F.col("id") / 12).cast("long").alias("blk"),
     (F.col("id") % 12).alias("pos"),
