@@ -57,21 +57,43 @@ def tokenize_sql(expr: str) -> str:
 
 def shingles(tokens: Column, k: int = 3) -> Column:
     """Word k-shingles as strings ("a b c"), distinct. Short docs
-    (< k tokens) contribute their full token string as one shingle."""
+    (< k tokens) contribute their full token string as one shingle;
+    ZERO-token docs contribute NO shingles. The empty case is explicit
+    because the two engines disagree one level down — Spark
+    ``array_join([], ' ')`` is ``''`` while DuckDB
+    ``array_to_string([], ' ')`` is NULL (silently stripped by
+    ``list_distinct``) — and because a ``['']`` shingle set is a
+    correctness hazard at corpus scale: the ASCII tokenizer maps EVERY
+    non-Latin document (CJK, emoji-only, whitespace-only, empty) to
+    zero tokens, so a shared empty shingle would collapse all of them
+    into one jaccard-1.0 "near-dup" cluster and dedup would drop
+    millions of unrelated documents. No shingles => no candidates =>
+    such docs pass through dedup untouched (found by the round-7
+    adversarial content fuzz)."""
     joined = F.array_join(tokens, " ")
     n = F.size(tokens)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
         lambda i: F.array_join(F.slice(tokens, i + 1, k), " "),
     )
-    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(joined)))
+    return F.array_distinct(
+        F.when(n >= k, grams)
+        .when(n > 0, F.array(joined))
+        .otherwise(F.array().cast("array<string>"))
+    )
 
 
 def shingles_sql(tokens_expr: str, k: int = 3) -> str:
+    """DuckDB mirror of :func:`shingles` — the zero-token branch is an
+    explicit typed empty list (DuckDB's ``array_to_string([], ' ')``
+    yields NULL, which ``list_distinct`` strips; relying on that
+    accident would leave the semantics undocumented)."""
     return f"""
     list_distinct(
       CASE WHEN len({tokens_expr}) >= {k}
            THEN list_transform(range(len({tokens_expr}) - {k} + 1),
                 i -> array_to_string(list_slice({tokens_expr}, i + 1, i + {k}), ' '))
-           ELSE [array_to_string({tokens_expr}, ' ')] END)
+           WHEN len({tokens_expr}) > 0
+           THEN [array_to_string({tokens_expr}, ' ')]
+           ELSE CAST([] AS VARCHAR[]) END)
     """

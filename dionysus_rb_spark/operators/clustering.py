@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import as_double, cos_lit_sql, cosine_sql
+from .similarity import as_double, cos_lit_sql, cosine_sql, sane_vec, sane_vec_sql
 
 Centroids = list[tuple[int, list[float]]]
 
@@ -110,9 +110,16 @@ def kmeans_assign(
     """
     from pyspark.storagelevel import StorageLevel
 
-    base = embeddings.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("__v")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    base = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("__v")
+        )
+        # cosine-metric clustering: zero-norm / non-finite vectors have
+        # no defined angle to any centroid — excluded up front (and kept
+        # out of seeds and means, where one NaN would poison a centroid)
+        .filter(sane_vec(F.col("__v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     seed_rows = sorted(
         base.orderBy("vec_id").limit(k).collect(), key=lambda r: r["vec_id"]
     )
@@ -162,8 +169,10 @@ def kmeans_sql(k: int = 8, iters: int = 2) -> str:
 
     ctes = [
         f"""base AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS __v
-      FROM embeddings
+      SELECT vec_id, __v FROM (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS __v
+        FROM embeddings) t0
+      WHERE {sane_vec_sql('__v')}
     )""",
         f"""c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)

@@ -44,10 +44,28 @@ def perm_params(num_perm: int = NUM_PERM, seed: int = 42) -> list[tuple[int, int
 
 
 def doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(tokenize(F.col(text_col)), k).alias("shingle_set"),
-    ).withColumn("shingle_hashes", F.transform("shingle_set", h32))
+    """Per-doc distinct shingle sets; ZERO-token docs (empty,
+    whitespace-only, or non-Latin under the ASCII tokenizer) are
+    excluded — they have no content to near-dup match on, so they never
+    band, never pair, and pass through the kept-decision join as
+    uniques. Without this, an empty signature still produces band keys
+    (concat_ws skips the NULL minhashes), silently collapsing every
+    zero-token doc into one candidate bucket."""
+    return (
+        # the zero-token gate tests the RAW text for one ASCII
+        # alphanumeric (<=> tokenize() yields >= 1 token): a cheap
+        # scan-level predicate Catalyst pushes below the projection —
+        # filtering on size(shingle_set) instead makes the pushed-down
+        # predicate re-evaluate the whole tokenize+shingle expression
+        # per row on top of the projection's own copy (measured 4.3x on
+        # dd_minhash_lsh at sf0.1)
+        df.filter(F.col(text_col).rlike("[a-zA-Z0-9]"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            shingles(tokenize(F.col(text_col)), k).alias("shingle_set"),
+        )
+        .withColumn("shingle_hashes", F.transform("shingle_set", h32))
+    )
 
 
 def minhash_signature(
@@ -203,6 +221,7 @@ def minhash_lsh_dedup_sql(
       SELECT doc_id,
              {shingles_sql(tokenize_sql('text'), k)} AS shingle_set
       FROM documents
+      WHERE regexp_matches(text, '[a-zA-Z0-9]')
     ),
     hashed AS (
       SELECT doc_id, shingle_set,

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import as_double
+from .similarity import as_double, finite_vec
 
 
 def _dlit(x: float) -> str:
@@ -49,6 +49,27 @@ def _l2_sql(vec_sql: str, lits: list[float]) -> str:
     )
 
 
+
+def _finite_only(
+    embeddings: DataFrame, vec_col: str, *, positive_norm: bool = False
+) -> DataFrame:
+    """Admission filter for PQ operators: vectors must be finite (one
+    NaN element would otherwise flow into the driver-collected codebook
+    or query literals and render as an unresolvable `nanD` SQL token;
+    an Inf element turns every L2 into Inf/NaN and voids the argmin
+    tie-break). ``positive_norm=True`` additionally drops zero-norm
+    vectors for the cosine-metric coarse quantizer (ivfpq), where a
+    zero vector has no defined cell. On well-formed corpora the filter
+    passes every row, so results are unchanged (round-7 adversarial
+    content fuzz)."""
+    pred = finite_vec(as_double(F.col(vec_col)))
+    if positive_norm:
+        from .similarity import sane_vec
+
+        pred = sane_vec(as_double(F.col(vec_col)))
+    return embeddings.filter(pred)
+
+
 def seed_codebook(
     embeddings: DataFrame,
     n_codes: int = 8,
@@ -58,7 +79,8 @@ def seed_codebook(
     """The K lowest-id vectors, as plain Python doubles (codebook-sized:
     collect here is hyperparameter-scale, not data-scale)."""
     rows = (
-        embeddings.select(F.col(id_col).alias("i"), as_double(F.col(vec_col)).alias("v"))
+        _finite_only(embeddings, vec_col)
+        .select(F.col(id_col).alias("i"), as_double(F.col(vec_col)).alias("v"))
         .orderBy("i")
         .limit(n_codes)
         .collect()
@@ -86,6 +108,7 @@ def pq_encode(
     by an Arrow-batched mapInPandas. Distance folds are sequential in
     index order in both paths, argmin ties break to the lowest code id,
     and rounding stays JVM-side, so the paths are bit-identical."""
+    embeddings = _finite_only(embeddings, vec_col)
     if literal_max_entries is None:
         literal_max_entries = ADC_LITERAL_MAX_ENTRIES
     if n_sub * len(codebook) > literal_max_entries:
@@ -196,8 +219,14 @@ def pq_encode_sql(n_codes: int = 8, n_sub: int = 8, dim: int = 64) -> str:
 
     return f"""
     WITH base AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+      -- PQ requires finite vectors (mirrors _finite_only): a NaN/Inf
+      -- element would otherwise reach collected codebook/query
+      -- literals and the L2 argmins
+      SELECT vec_id, v FROM (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings) t_fin
+      WHERE (list_reduce(list_transform(v, x -> abs(x)), (a, b) -> a + b)
+             < 'Infinity'::DOUBLE)
     ),
     cents AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS k,
@@ -275,6 +304,7 @@ def pq_adc_topk(
     """
     dim = len(codebook[0])
     sub_len = dim // n_sub
+    embeddings = _finite_only(embeddings, vec_col)
     qrows = (
         embeddings.filter(F.col(id_col).isin(query_ids))
         .select(F.col(id_col).alias("i"), as_double(F.col(vec_col)).alias("v"))
@@ -397,8 +427,14 @@ def pq_adc_topk_sql(
 
     return f"""
     WITH base AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+      -- PQ requires finite vectors (mirrors _finite_only): a NaN/Inf
+      -- element would otherwise reach collected codebook/query
+      -- literals and the L2 argmins
+      SELECT vec_id, v FROM (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings) t_fin
+      WHERE (list_reduce(list_transform(v, x -> abs(x)), (a, b) -> a + b)
+             < 'Infinity'::DOUBLE)
     ),
     cents AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cbk,
@@ -466,9 +502,11 @@ def train_codebook(
     probe job; the schema owner knows the embedding width."""
     from pyspark.storagelevel import StorageLevel
 
-    base = embeddings.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("__v")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    base = (
+        _finite_only(embeddings, vec_col)
+        .select(F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("__v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sub_len = dim // n_sub
     seed_rows = sorted(
         base.orderBy("vec_id").limit(n_codes).collect(), key=lambda r: r["vec_id"]
@@ -543,8 +581,14 @@ def pq_trained_sql(n_codes: int = 8, n_sub: int = 8, dim: int = 64) -> str:
 
     ctes = [
         """base AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+      -- PQ requires finite vectors (mirrors _finite_only): a NaN/Inf
+      -- element would otherwise reach collected codebook/query
+      -- literals and the L2 argmins
+      SELECT vec_id, v FROM (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings) t_fin
+      WHERE (list_reduce(list_transform(v, x -> abs(x)), (a, b) -> a + b)
+             < 'Infinity'::DOUBLE)
     )"""
     ]
     for m in range(n_sub):
@@ -634,7 +678,7 @@ def ivfpq_topk(
 
     dim = len(codebook[0])
     sub_len = dim // n_sub
-    base = embeddings.select(
+    base = _finite_only(embeddings, vec_col, positive_norm=True).select(
         F.col(id_col), as_double(F.col(vec_col)).alias("__v")
     )
     coarse = sorted(
@@ -767,8 +811,14 @@ def ivfpq_topk_sql(
     probe_cos = cosine_sql("q.qv", "c.ccv")
     return f"""
     WITH base AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+      -- the coarse quantizer is COSINE-metric, so ivfpq admits only
+      -- sane vectors (finite AND norm > 0; mirrors the Spark side)
+      SELECT vec_id, v FROM (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings) t_fin
+      WHERE (list_reduce(list_transform(v, x -> abs(x)), (a, b) -> a + b) > 0
+             AND list_reduce(list_transform(v, x -> abs(x)), (a, b) -> a + b)
+                 < 'Infinity'::DOUBLE)
     ),
     coarse AS (
       SELECT vec_id AS cent_id, v AS ccv FROM base WHERE vec_id < {n_centroids}

@@ -70,6 +70,14 @@ def _token_hash(col, bits: int):
 def simhash(
     df: DataFrame, text_col: str, id_col: str, bits: int = BITS
 ) -> DataFrame:
+    """ZERO-token docs (empty, whitespace-only, non-Latin under the
+    ASCII tokenizer) get NO fingerprint row: with no votes every bit's
+    sum is 0, so they would all fingerprint to 0 and band-collide into
+    one hamming-0 "near-dup" clique — at corpus scale that clique is
+    every CJK/emoji document, and dedup would drop all but one. The
+    DuckDB mirror crashes outright on the empty vote fold
+    (list_reduce on an empty list), so the exclusion is also what makes
+    the operator oracle-checkable (round-7 adversarial content fuzz)."""
     _validate_bits(bits)
     # F.shiftleft's Python wrapper needs an int numBits; inside a lambda the
     # bit index is a Column, so call the SQL builtin directly.
@@ -99,7 +107,14 @@ def simhash(
             shl(F.lit(1).cast("long"), i),
         ).otherwise(0),
     )
-    return df.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
+    return (
+        # raw-text ASCII-alnum gate <=> ">= 1 token" — a pushdown-able
+        # scan predicate (filtering on the tokenized column would make
+        # the pushed predicate re-tokenize every row; see
+        # minhash.doc_shingles)
+        df.filter(F.col(text_col).rlike("[a-zA-Z0-9]"))
+        .select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
+    )
 
 
 def simhash_pairs(
@@ -184,8 +199,13 @@ def simhash_sql(
     cap = f"HAVING count(*) <= {max_bucket}" if max_bucket is not None else ""
     return f"""
     WITH hashed AS (
+      -- zero-token docs are excluded (mirrors simhash(): no votes =>
+      -- no fingerprint; the empty vote fold would also crash
+      -- list_reduce here). Same raw-text ASCII-alnum gate as the
+      -- Spark side.
       SELECT doc_id, list_transform({toks}, t -> {md5_prefix_sql('t', (bits + 3) // 4)}) AS hs
       FROM documents
+      WHERE regexp_matches(text, '[a-zA-Z0-9]')
     ),
     fp AS (
       SELECT doc_id,

@@ -27,16 +27,60 @@ def _fold_sum(arr: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<double> columns (NULL if either
-    norm is zero)."""
+    """Cosine similarity of two array<double> columns. NULL — not an
+    error, not NaN — when either vector is degenerate: ``try_divide``
+    yields NULL on a zero denominator (zero-norm vector; plain ``/``
+    raises under ANSI mode, while DuckDB float division by zero is
+    already NULL, so this is the cross-engine-identical choice), and
+    ``nanvl`` folds the NaN produced by non-finite elements to NULL.
+    One contract downstream: a NULL cosine never clears a ``>=``
+    threshold and is filtered before any top-k rank, so garbage vectors
+    can't surface as anyone's nearest neighbor (round-7 adversarial
+    content fuzz: a NaN vector otherwise ranks #1 in EVERY query's
+    top-k — NaN compares greater than everything in both engines)."""
     dot = _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
     na = F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
     nb = F.sqrt(_fold_sum(F.transform(b, lambda x: x * x)))
-    return dot / (na * nb)
+    return F.nanvl(F.try_divide(dot, na * nb), F.lit(None).cast("double"))
 
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _abs_sum(vec: Column) -> Column:
+    return F.aggregate(F.transform(vec, F.abs), F.lit(0.0), lambda a, b: a + b)
+
+
+def finite_vec(vec: Column) -> Column:
+    """True iff every element is finite. One fold: sum(|x|) is finite
+    exactly when all elements are (abs rules out inf-inf cancellation,
+    NaN propagates), and ``NaN < inf`` is FALSE in both Spark and
+    DuckDB (both order NaN above every other double), so a single
+    ``< 'Infinity'`` comparison rejects NaN and ±Inf portably."""
+    return _abs_sum(vec) < F.lit(float("inf"))
+
+
+def sane_vec(vec: Column) -> Column:
+    """finite AND norm > 0 — the admission predicate for cosine-metric
+    operators (k-means, IVF), where a zero-norm vector has no defined
+    angle to anything."""
+    s = _abs_sum(vec)
+    return (s > 0) & (s < F.lit(float("inf")))
+
+
+def finite_vec_sql(v: str) -> str:
+    """DuckDB mirror of :func:`finite_vec`."""
+    return (
+        f"(list_reduce(list_transform({v}, x -> abs(x)), (a, b) -> a + b)"
+        f" < 'Infinity'::DOUBLE)"
+    )
+
+
+def sane_vec_sql(v: str) -> str:
+    """DuckDB mirror of :func:`sane_vec`."""
+    s = f"list_reduce(list_transform({v}, x -> abs(x)), (a, b) -> a + b)"
+    return f"({s} > 0 AND {s} < 'Infinity'::DOUBLE)"
 
 
 def cos_lit_sql(vec_name: str, lits: list[float]) -> str:
@@ -60,7 +104,8 @@ def cos_lit_sql(vec_name: str, lits: list[float]) -> str:
         f"sqrt(aggregate(transform({arr}, x -> x * x),"
         f" 0.0D, (acc, s) -> acc + s))"
     )
-    return f"({dot} / ({na} * {nb}))"
+    # same degenerate-input contract as cosine(): NULL, never raise/NaN
+    return f"nanvl(try_divide({dot}, ({na} * {nb})), CAST(NULL AS DOUBLE))"
 
 
 def brute_force_topk(
@@ -81,6 +126,10 @@ def brute_force_topk(
     scored = (
         emb.join(F.broadcast(queries), F.col("cand_id") != F.col("query_id"))
         .withColumn("cos", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+        # degenerate candidates (zero-norm / non-finite => NULL cosine)
+        # never enter the rank: without this they'd still take the last
+        # k slots when real candidates run short
+        .filter(F.col("cos").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
@@ -225,11 +274,14 @@ def lsh_near_dup_pairs(
     )
     # one bucket per vector (single-band LSH) => pairs are already unique
     pairs_arr = F.expr(
+        # nanvl(try_divide(...)) = the cosine() degenerate contract:
+        # NULL (dropped by the threshold filter below), never ANSI
+        # div-by-zero or a NaN that outranks every real pair
         "flatten(transform(ms, (x, i) ->"
         " transform(slice(ms, i + 2, size(ms)), y -> named_struct("
         "'id_a', x.id, 'id_b', y.id, 'cos',"
-        " round(aggregate(zip_with(x.v, y.v, (p, q) -> p * q), 0.0D,"
-        " (a, b) -> a + b) / (x.n * y.n), 6)))))"
+        " round(nanvl(try_divide(aggregate(zip_with(x.v, y.v, (p, q) -> p * q), 0.0D,"
+        " (a, b) -> a + b), (x.n * y.n)), CAST(NULL AS DOUBLE)), 6)))))"
     )
     return (
         members.select(F.explode(pairs_arr).alias("p"))
@@ -283,7 +335,7 @@ def ivf_topk(
     probe are literal map-only scans — no join, no per-vector window."""
     base = embeddings.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("__v")
-    )
+    ).filter(sane_vec(F.col("__v")))  # no defined cell for zero-norm/NaN/Inf
     cents = sorted(
         (int(r[id_col]), list(r["__v"]))
         for r in base.filter(F.col(id_col) < n_centroids).collect()
@@ -331,14 +383,24 @@ def ivf_topk(
 # -- DuckDB SQL mirrors -----------------------------------------------------
 
 _COS_SQL = """
+    CASE WHEN isnan(
     list_reduce(list_transform(range(len({a})), i -> {a}[i+1] * {b}[i+1]),
                 (x, y) -> x + y)
     / (sqrt(list_reduce(list_transform({a}, x -> x*x), (x,y) -> x+y))
        * sqrt(list_reduce(list_transform({b}, x -> x*x), (x,y) -> x+y)))
+    ) THEN NULL ELSE
+    list_reduce(list_transform(range(len({a})), i -> {a}[i+1] * {b}[i+1]),
+                (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform({a}, x -> x*x), (x,y) -> x+y))
+       * sqrt(list_reduce(list_transform({b}, x -> x*x), (x,y) -> x+y)))
+    END
 """
 
 
 def cosine_sql(a: str, b: str) -> str:
+    """Mirrors cosine(): DuckDB float division by zero is already NULL
+    (= Spark's try_divide); the isnan CASE folds non-finite-input NaN
+    to NULL so both engines share one degenerate contract."""
     return _COS_SQL.format(a=a, b=b)
 
 
@@ -356,6 +418,7 @@ def brute_force_topk_sql(query_ids: list[int], k: int = 10) -> str:
            CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY round({cos}, 6) DESC, cand_id ASC) AS BIGINT) AS rank
     FROM q JOIN c ON cand_id <> query_id
+    WHERE round({cos}, 6) IS NOT NULL
     QUALIFY rank <= {k}
     """
 
@@ -369,8 +432,10 @@ def ivf_topk_sql(
     final_cos = cosine_sql("q.qv", "a.v")
     return f"""
     WITH base AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+      SELECT vec_id, v FROM (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings) t
+      WHERE {sane_vec_sql('v')}
     ),
     cents AS (SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id < {n_centroids}),
     assigned AS (

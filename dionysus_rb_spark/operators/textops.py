@@ -118,8 +118,15 @@ def predicted_lang(scores: dict[str, Column]) -> Column:
 
 def fingerprint(text: Column) -> Column:
     """Canonical content fingerprint: md5 of the token-normalized text
-    (case/punctuation/whitespace-insensitive exact identity)."""
-    return F.md5(F.array_join(tokenize(text), " "))
+    (case/punctuation/whitespace-insensitive exact identity). NULL for
+    ZERO-token docs: no content, no identity claim — Spark's
+    ``array_join([], ' ')`` is ``''`` while DuckDB's
+    ``array_to_string([], ' ')`` is NULL, so an unguarded md5 both
+    diverges cross-engine AND collapses every empty/non-Latin doc (the
+    ASCII tokenizer yields zero tokens for all of them) into one
+    md5('') "exact-dup" group at corpus scale."""
+    toks = tokenize(text)
+    return F.when(F.size(toks) > 0, F.md5(F.array_join(toks, " ")))
 
 
 def min_shingle_hash(text: Column, k: int = 3) -> Column:

@@ -51,10 +51,45 @@ _REGISTRY: dict[str, QueryDef] = {}
 _PLAN_CHANGED: dict[str, int] = {
     # round 6 changes (all re-greened by CORRECTNESS_r06 rows, so these
     # entries are satisfied; kept as the audit trail of the rule):
-    "dd_simhash": 6,  # vote mask cast to long (shiftleft mod-32 fix)
-    "dd_simhash_wide": 6,  # new in r6 (60-bit corpus-regime shape)
     "t_tfidf_keywords": 6,  # idf moved to the vocabulary model frame
     "t_lm_quality": 6,  # logp moved to the distinct-bigram model frame
+    # round 7: the adversarial-content-fuzz hardening
+    # (tests/test_edge_content_parity.py). Zero-token docs now emit no
+    # shingles / NULL fingerprints / no simhash row (shingles,
+    # textops.fingerprint, minhash.doc_shingles, simhash.simhash +
+    # their SQL mirrors):
+    "dd_exact_dedup": 7,
+    "dd_minhash_lsh": 7,
+    "dd_dup_clusters": 7,
+    "dd_dedup_final": 7,
+    "dd_ngram_jaccard": 7,
+    "dd_contamination": 7,
+    "dd_bloom_gate": 7,
+    "dd_simhash": 7,  # r6: vote mask long cast; r7: zero-token exclusion
+    "dd_simhash_wide": 7,
+    "samp_cluster_split": 7,
+    "pipe_corpus_filter": 7,
+    "pipe_full_curation": 7,
+    "t_token_stats": 7,  # oracle: empty-safe sum fold
+    "t_fingerprint": 7,
+    "t_corpus_stats": 7,
+    # ...and degenerate embeddings (zero-norm / NaN / Inf) get NULL
+    # cosine + admission filters (similarity.cosine/cos_lit_sql,
+    # clustering/pq bases, centroid render window):
+    "ann_bruteforce_topk": 7,
+    "ann_lsh_neardup": 7,
+    "ann_ivf_topk": 7,
+    "ann_ivfpq_topk": 7,
+    "ann_recall_eval": 7,
+    "emb_cosine_neardup": 7,
+    "emb_kmeans": 7,
+    "emb_label_centroids": 7,
+    "emb_outlier_filter": 7,
+    "emb_pq_encode": 7,
+    "emb_pq_trained": 7,
+    "emb_pq_adc_topk": 7,
+    "emb_quantize_int8": 7,
+    "emb_semantic_dedup": 7,
 }
 
 

@@ -68,10 +68,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "emb_label_centroids",
     refs="beyond:similarity",
-    oracle="""
+    oracle=f"""
     WITH base AS (
-        SELECT label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
-        FROM embeddings
+        SELECT label, v FROM (
+          SELECT label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+          FROM embeddings) t
+        WHERE {similarity.finite_vec_sql('v')}
     ),
     un AS (
         SELECT label,
@@ -81,12 +83,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dims AS (
         SELECT label, idx,
-               CAST(round(avg(x), 6) AS DECIMAL(18, 6)) AS m
+               CASE WHEN abs(round(avg(x), 6)) < 1e9
+                    THEN CAST(round(avg(x), 6) AS DECIMAL(38, 6)) END AS m
         FROM un GROUP BY label, idx
     )
     SELECT label,
-           (SELECT count(*) FROM embeddings e WHERE e.label = dims.label) AS n,
-           array_to_string(array_agg(CAST(m AS VARCHAR) ORDER BY idx), ',') AS centroid
+           (SELECT count(*) FROM base e WHERE e.label = dims.label) AS n,
+           array_to_string(array_agg(coalesce(CAST(m AS VARCHAR), '')
+                                     ORDER BY idx), ',') AS centroid
     FROM dims GROUP BY label
     """,
 )
@@ -94,16 +98,27 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed vector mean per label (the k-means/IVF training inner
     step): posexplode to (label, dim, value), partial-aggregated avg per
     dimension — one shuffle on (label, dim), never a driver-side vector
-    sum — then reassembled in dimension order."""
-    emb = _emb(spark, sf_dir)
+    sum — then reassembled in dimension order. Non-finite vectors are
+    excluded up front (one NaN member would poison its label's whole
+    centroid), and components render NULL outside the |mean| < 1e9
+    fixed-point window: 9 integer + 6 fraction digits is the most a
+    double's ~16 significant digits can render IDENTICALLY in both
+    engines — beyond it Spark's shortest-repr cast and DuckDB's exact
+    binary expansion disagree in sub-ulp digits (and the old
+    DECIMAL(18,6) cast raised under ANSI). Round-7 adversarial content
+    fuzz."""
+    emb = _emb(spark, sf_dir).filter(
+        similarity.finite_vec(similarity.as_double(F.col("embedding")))
+    )
     un = emb.select(
         "label",
         F.posexplode(similarity.as_double(F.col("embedding"))).alias("idx", "x"),
     )
     # decimal rendering: double->string uses scientific notation for
     # small magnitudes in Spark but not DuckDB; DECIMAL prints fixed-point
+    rounded = F.round(F.avg("x"), 6)
     dims = un.groupBy("label", "idx").agg(
-        F.round(F.avg("x"), 6).cast("decimal(18,6)").alias("m"),
+        F.when(F.abs(rounded) < 1e9, rounded.cast("decimal(38,6)")).alias("m"),
         F.count("*").alias("n"),
     )
     return (
@@ -118,6 +133,10 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: s["m"].cast("string"),
                 ),
                 ",",
+                # out-of-render-window components join as an EMPTY slot
+                # (both engines) — array_join/array_to_string would
+                # otherwise silently skip NULLs and misalign dimensions
+                "",
             ).alias("centroid"),
         )
         .select("label", F.col("n").cast("long").alias("n"), "centroid")
@@ -150,11 +169,13 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_quantize_int8",
     bench=True,
     refs="beyond:similarity,beyond:multimodal",
-    oracle="""
+    oracle=f"""
     WITH base AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+      SELECT vec_id, v FROM (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings) t
+      WHERE {similarity.finite_vec_sql('v')}
     ),
     scaled AS (
       SELECT vec_id, v,
@@ -197,7 +218,13 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     err = F.zip_with(v, q, lambda x, qi: (x - qi / scale) * (x - qi / scale))
     mse = F.aggregate(err, F.lit(0.0), lambda a, b: a + b) / F.size(v)
-    return _emb(spark, sf_dir).select(
+    # non-finite vectors are excluded (an Inf element makes max|x| = Inf
+    # => scale 0 => the dequant division raises under ANSI; a NaN makes
+    # every derived stat NaN). Zero/constant vectors stay: the 1e-30
+    # floor keeps their scale finite. Round-7 adversarial content fuzz.
+    return _emb(spark, sf_dir).filter(
+        similarity.finite_vec(similarity.as_double(F.col("embedding")))
+    ).select(
         "vec_id",
         F.round(scale, 6).alias("scale"),
         F.size(F.filter(q, lambda x: F.abs(x) == 127.0))

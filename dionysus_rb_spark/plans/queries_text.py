@@ -31,8 +31,9 @@ _DTOKS = f"list_distinct({_TOKS})"
     SELECT doc_id,
            CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
            CAST(len({_DTOKS}) AS BIGINT) AS n_distinct_tokens,
-           round(CAST(list_reduce(list_transform({_TOKS}, t -> len(t)),
-                      (a,b) -> a+b) AS DOUBLE)
+           round(CAST(coalesce(list_aggregate(
+                          list_transform({_TOKS}, t -> len(t)), 'sum'), 0)
+                      AS DOUBLE)
                  / greatest(len({_TOKS}), 1), 6) AS mean_token_len
     FROM documents
     """,
@@ -179,7 +180,13 @@ def t_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.countDistinct(F.md5(F.array_join(toks, " "))).alias("n_unique_docs"),
+        # zero-token docs have no content hash (fingerprint contract:
+        # NULL, which count-distinct ignores on both engines — Spark's
+        # md5('') would otherwise count one phantom "unique" per source
+        # wherever the oracle's md5(NULL) counts none)
+        F.countDistinct(
+            F.when(F.size(toks) > 0, F.md5(F.array_join(toks, " ")))
+        ).alias("n_unique_docs"),
         F.sum(F.size(toks)).cast("long").alias("total_tokens"),
         F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
         F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("p95_chars"),
@@ -306,14 +313,22 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     refs="beyond:dedup,A1",
     oracle=f"""
     SELECT doc_id FROM documents
-    QUALIFY row_number() OVER (
+    QUALIFY md5(array_to_string({_TOKS}, ' ')) IS NULL
+         OR row_number() OVER (
         PARTITION BY md5(array_to_string({_TOKS}, ' '))
         ORDER BY doc_id ASC) = 1
     """,
 )
 def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized-content hash: one shuffle on the
-    32-byte digest (never the document body), keep lowest doc_id."""
+    32-byte digest (never the document body), keep lowest doc_id.
+    Zero-token docs fingerprint to NULL (textops.fingerprint) and
+    exact_dedup keeps every NULL-content row — an empty doc and a CJK
+    doc both tokenize to nothing under the ASCII tokenizer, and
+    "identical absence of tokens" is not identity (the md5('') of the
+    old Spark expression silently collapsed them; DuckDB's
+    array_to_string([]) was already NULL — the oracle's IS NULL branch
+    now states the keep-all semantics explicitly)."""
     docs = _docs(spark, sf_dir).withColumn(
         "__fp", textops.fingerprint(F.col("text"))
     )
@@ -447,6 +462,7 @@ def dd_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source,
              {shingles_sql(tokenize_sql("text"), 2)} AS s2
       FROM documents
+      WHERE regexp_matches(text, '[a-zA-Z0-9]')
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(CAST(len(list_intersect(a.s2, b.s2)) AS DOUBLE)
@@ -476,9 +492,19 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # both sides of the self-join need the shingle arrays: persist so the
     # tokenize+shingle pass runs once, not once per side
-    sh = _docs(spark, sf_dir).select(
-        "doc_id", "source", shingles(tokenize(F.col("text")), 2).alias("s2")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # zero-token docs (empty/non-Latin under the ASCII tokenizer) are
+    # excluded on both sides: they have no n-grams to compare, and the
+    # 0/0 Jaccard would raise under ANSI where DuckDB yields NULL. The
+    # gate is the raw-text ASCII-alnum regex (scan-level pushdown; see
+    # minhash.doc_shingles for why not size(s2) > 0)
+    sh = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").rlike("[a-zA-Z0-9]"))
+        .select(
+            "doc_id", "source", shingles(tokenize(F.col("text")), 2).alias("s2")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect("a.s2", "b.s2"))
     union = F.size(F.array_union("a.s2", "b.s2"))
@@ -1352,10 +1378,19 @@ def samp_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "epoch")
 
 
-_FP_SQL = f"md5(array_to_string({_TOKS}, ' '))"
+# NULL for zero-token docs (mirrors textops.fingerprint): no content,
+# no identity claim
+_FP_SQL = (
+    f"CASE WHEN len({_TOKS}) > 0"
+    f" THEN md5(array_to_string({_TOKS}, ' ')) END"
+)
+# NULL fingerprints are excluded from the held-out set: a NULL can't
+# equality-join (Spark side), and a NULL inside an IN-list would turn
+# every non-member's membership test into NULL instead of false (DuckDB)
 _BENCH_SET = (
-    f"(SELECT {_FP_SQL} AS f FROM documents"
-    f" WHERE {h32_sql('CAST(doc_id AS VARCHAR)')} % 10 = 0) bench"
+    f"(SELECT f FROM (SELECT {_FP_SQL} AS f FROM documents"
+    f" WHERE {h32_sql('CAST(doc_id AS VARCHAR)')} % 10 = 0) b0"
+    f" WHERE f IS NOT NULL) bench"
 )
 
 
@@ -1373,9 +1408,9 @@ _BLOOM_GATE_BITS = 16384
     oracle=f"""
     WITH bloom AS ({sketch.bloom_sql(_BENCH_SET, "f", bits=_BLOOM_GATE_BITS)})
     SELECT d.doc_id,
-           {sketch.bloom_probe_sql("b.words", _FP_SQL, bits=_BLOOM_GATE_BITS)}
-               AS bloom_hit,
-           ({_FP_SQL} IN (SELECT f FROM {_BENCH_SET})) AS exact_hit
+           coalesce({sketch.bloom_probe_sql("b.words", _FP_SQL, bits=_BLOOM_GATE_BITS)},
+                    false) AS bloom_hit,
+           coalesce(({_FP_SQL} IN (SELECT f FROM {_BENCH_SET})), false) AS exact_hit
     FROM documents d CROSS JOIN bloom b
     """,
 )
@@ -1394,9 +1429,14 @@ def dd_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     fp = textops.fingerprint(F.col("text"))
-    bench = docs.filter(
-        h32(F.col("doc_id").cast("string")) % 10 == 0
-    ).select(fp.alias("f"))
+    # NULL fingerprints (zero-token docs) can't be held-out members and
+    # can't hit the filter: excluded from the build, coalesced to a
+    # false probe — "no content => not contaminated" on both engines
+    bench = (
+        docs.filter(h32(F.col("doc_id").cast("string")) % 10 == 0)
+        .select(fp.alias("f"))
+        .filter(F.col("f").isNotNull())
+    )
     bloom = sketch.bloom_build(bench, F.col("f"), bits=_BLOOM_GATE_BITS)
     exact = bench.distinct()
     out = (
@@ -1406,8 +1446,11 @@ def dd_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "doc_id",
-        sketch.bloom_might_contain(
-            F.col("words"), F.col("__fp"), bits=_BLOOM_GATE_BITS
+        F.coalesce(
+            sketch.bloom_might_contain(
+                F.col("words"), F.col("__fp"), bits=_BLOOM_GATE_BITS
+            ),
+            F.lit(False),
         ).alias("bloom_hit"),
         F.col("f").isNotNull().alias("exact_hit"),
     )
