@@ -38,6 +38,13 @@ def publishable_scan(
 
     ``order_tiebreak`` (e.g. the outbox pk) makes LIMIT deterministic —
     the reference relies on serial pk assignment for that.
+
+    A NULL ``created_at`` sorts LAST (explicitly: Spark's bare asc is
+    NULLS FIRST, DuckDB's is NULLS LAST — the round-7 adversarial
+    events fuzz caught the twin divergence in o2): a row whose creation
+    time is unknown is treated as "just created" (the same "missing
+    timestamp = now" reading as dedup.keep_latest), so it drains after
+    every timestamped row.
     """
     df = outbox.filter(F.col(published_at).isNull())
     if topic is not None:
@@ -47,7 +54,7 @@ def publishable_scan(
         df = df.filter(
             F.col(created_at) <= now - F.expr(f"INTERVAL {publishing_delay_seconds} SECOND")
         )
-    order = [F.col(created_at).asc()]
+    order = [F.col(created_at).asc_nulls_last()]
     if order_tiebreak:
         order.append(F.col(order_tiebreak).asc())
     return df.orderBy(*order).limit(batch_size)

@@ -90,6 +90,28 @@ _PLAN_CHANGED: dict[str, int] = {
     "emb_pq_adc_topk": 7,
     "emb_quantize_int8": 7,
     "emb_semantic_dedup": 7,
+    # ...and the adversarial EVENTS fuzz (tests/test_edge_events_parity
+    # .py): NULL-timestamp ordering stated in every keep-latest /
+    # versioning / FIFO oracle (DESC NULLS FIRST / ASC NULLS LAST), the
+    # merge guard's null branches spelled in the f1 oracle, total
+    # dirty-JSON extraction (try_cast + json_valid), the JSON-integer
+    # render window in changesets, and the streaming twins' explicit
+    # post-epoch event-time domain:
+    "a1_keep_latest_dedup": 7,
+    "s2_outbox_publishable_scan": 7,
+    "s2_drain_two_cycles": 7,
+    "o2_publish_fifo_position": 7,
+    "f1_guarded_merge_snapshot": 7,
+    "s10_tombstone_merge": 7,
+    "lc_local_changes_audit": 7,
+    "j6_resource_refetch": 7,
+    "cdc_scd2_history": 7,
+    "cs_changeset_from_versions": 7,
+    "d8_synced_data_backfill": 7,
+    "ev_sessionize": 7,
+    "stream_t1_replay_dedup": 7,
+    "stream_t4_sessionize": 7,
+    "stream_t5_snapshot_merge": 7,
 }
 
 

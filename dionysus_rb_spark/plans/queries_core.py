@@ -71,7 +71,7 @@ _OUTBOXISH_SQL = """
     FROM events
     QUALIFY row_number() OVER (
         PARTITION BY user_id, event_type
-        ORDER BY ts DESC, event_id ASC) = 1
+        ORDER BY ts DESC NULLS FIRST, event_id ASC) = 1
     """,
 )
 def a1_keep_latest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,7 +120,7 @@ def a2_consecutive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE published_at IS NULL
       AND topic = 'click'
       AND (retry_at IS NULL OR retry_at <= {NOW_SQL})
-    ORDER BY created_at, event_id
+    ORDER BY created_at NULLS LAST, event_id
     LIMIT 100
     """,
 )
@@ -193,6 +193,21 @@ _MERGE_MAPPED_SQL = """
 # Shared by f1_guarded_merge_snapshot (batch) and stream_t5_snapshot_merge
 # (the same persist path under real Structured Streaming): both must land
 # on the identical final snapshot.
+#
+# NULL-timestamp semantics (round-7 adversarial events fuzz — both were
+# unmodeled in the oracle because no fixture had a NULL ts):
+#   * keep-latest sorts NULLS FIRST descending (a missing timestamp is
+#     "now", remove_duplicates_strategy.rb — dedup.keep_latest's
+#     desc_nulls_first; DuckDB's bare DESC defaults to NULLS LAST);
+#   * the merge guard passes when EITHER side's timestamp is NULL
+#     (synchronizable_model.rb:24-26 — merge.guarded_merge's guard_ok),
+#     so the CASE must spell the null branches, not rely on `s >= t`
+#     (which is NULL, i.e. target-wins, under SQL semantics).
+_F1_GUARD_OK = (
+    "(s.synced_updated_at IS NULL OR t.synced_updated_at IS NULL"
+    " OR s.synced_updated_at >= t.synced_updated_at)"
+)
+
 F1_ORACLE_SQL = f"""
     WITH m AS ({_MERGE_MAPPED_SQL}),
     tgt AS (
@@ -200,28 +215,26 @@ F1_ORACLE_SQL = f"""
                CAST(NULL AS TIMESTAMP) AS synced_canceled_at
         FROM m WHERE event_id % 2 = 0
         QUALIFY row_number() OVER (PARTITION BY synced_id
-            ORDER BY synced_updated_at DESC, event_id ASC) = 1
+            ORDER BY synced_updated_at DESC NULLS FIRST, event_id ASC) = 1
     ),
     src AS (
         SELECT * FROM m
         WHERE event_id % 2 = 1 AND event IN ('created','updated','destroyed')
         QUALIFY row_number() OVER (PARTITION BY synced_id
-            ORDER BY synced_updated_at DESC, event_id ASC) = 1
+            ORDER BY synced_updated_at DESC NULLS FIRST, event_id ASC) = 1
     )
     SELECT COALESCE(t.synced_id, s.synced_id) AS synced_id,
            CASE WHEN t.synced_id IS NULL THEN s.synced_updated_at
                 WHEN s.synced_id IS NULL THEN t.synced_updated_at
-                WHEN s.synced_updated_at >= t.synced_updated_at
-                     THEN s.synced_updated_at
+                WHEN {_F1_GUARD_OK} THEN s.synced_updated_at
                 ELSE t.synced_updated_at END AS synced_updated_at,
            CASE WHEN t.synced_id IS NULL THEN s.val
                 WHEN s.synced_id IS NULL THEN t.val
-                WHEN s.synced_updated_at >= t.synced_updated_at THEN s.val
+                WHEN {_F1_GUARD_OK} THEN s.val
                 ELSE t.val END AS val,
            CASE WHEN t.synced_id IS NULL THEN s.synced_canceled_at
                 WHEN s.synced_id IS NULL THEN t.synced_canceled_at
-                WHEN s.synced_updated_at >= t.synced_updated_at
-                     THEN s.synced_canceled_at
+                WHEN {_F1_GUARD_OK} THEN s.synced_canceled_at
                 ELSE t.synced_canceled_at END AS synced_canceled_at
     FROM tgt t FULL OUTER JOIN src s ON t.synced_id = s.synced_id
     """
@@ -431,7 +444,7 @@ def j4_to_many_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH latest AS (
         SELECT user_id, ts AS event_ts, value AS event_value FROM events
         QUALIFY row_number() OVER (
-            PARTITION BY user_id ORDER BY ts DESC, event_id ASC) = 1
+            PARTITION BY user_id ORDER BY ts DESC NULLS FIRST, event_id ASC) = 1
     )
     SELECT c.c_custkey AS synced_id, c.c_name, c.c_acctbal,
            l.event_ts, l.event_value

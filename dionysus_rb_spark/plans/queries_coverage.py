@@ -75,7 +75,7 @@ def s5_genesis_topic_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id AS synced_id, ts AS synced_updated_at, value AS val
         FROM events
         QUALIFY row_number() OVER (PARTITION BY user_id
-            ORDER BY ts DESC, event_id ASC) = 1
+            ORDER BY ts DESC NULLS FIRST, event_id ASC) = 1
     )
     SELECT synced_id, synced_updated_at, val FROM tgt WHERE synced_id % 7 <> 0
     """,
@@ -177,12 +177,12 @@ def _outboxish_cov(df: DataFrame) -> DataFrame:
         SELECT user_id AS synced_id, value AS val FROM events
         WHERE event_id % 2 = 0
         QUALIFY row_number() OVER (PARTITION BY user_id
-            ORDER BY ts DESC, event_id ASC) = 1
+            ORDER BY ts DESC NULLS FIRST, event_id ASC) = 1
     ),
     after AS (
         SELECT user_id AS synced_id, value AS val FROM events
         QUALIFY row_number() OVER (PARTITION BY user_id
-            ORDER BY ts DESC, event_id ASC) = 1
+            ORDER BY ts DESC NULLS FIRST, event_id ASC) = 1
     ),
     joined AS (
         SELECT COALESCE(a.synced_id, b.synced_id) AS synced_id,
@@ -515,7 +515,7 @@ def g4_per_key_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, CAST(position AS BIGINT) AS position FROM (
         SELECT event_id,
                row_number() OVER (PARTITION BY event_type
-                   ORDER BY ts, event_id) AS position
+                   ORDER BY ts NULLS LAST, event_id) AS position
         FROM events)
     WHERE position <= 100
     """,
@@ -523,8 +523,14 @@ def g4_per_key_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o2_publish_fifo_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1/O2 publish FIFO (model.rb:20-21, active_record_publishable.rb:
     55-57): per-topic creation-order rank, first batch of 100 — a
-    WindowGroupLimit (per-partition top-k), never a global sort."""
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    WindowGroupLimit (per-partition top-k), never a global sort. A NULL
+    creation time ranks LAST, explicitly on both engines (Spark's bare
+    asc is NULLS FIRST, DuckDB's NULLS LAST — the round-7 adversarial
+    events fuzz): an unknown creation time reads as "just created",
+    consistent with keep_latest's missing-timestamp-is-now."""
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     return (
         _events(spark, sf_dir)
         .withColumn("position", F.row_number().over(w))
@@ -573,10 +579,18 @@ def o4_genesis_id_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, event_id,
            CASE WHEN rn = 1
-                THEN '{"value":[null,' || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) || ']}'
+                THEN '{"value":[null,'
+                     || CASE WHEN abs(value) <= 1e15
+                             THEN CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+                             ELSE 'null' END || ']}'
                 WHEN prev_value IS DISTINCT FROM value
-                     THEN '{"value":[' || CAST(CAST(floor(prev_value) AS BIGINT) AS VARCHAR) || ','
-                          || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) || ']}'
+                     THEN '{"value":['
+                          || CASE WHEN abs(prev_value) <= 1e15
+                                  THEN CAST(CAST(floor(prev_value) AS BIGINT) AS VARCHAR)
+                                  ELSE 'null' END || ','
+                          || CASE WHEN abs(value) <= 1e15
+                                  THEN CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+                                  ELSE 'null' END || ']}'
                 ELSE '{}' END AS changeset
     FROM versioned
     """,
@@ -585,7 +599,17 @@ def cs_changeset_from_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The outbox ``changeset`` column (§1: previous_changes
     ``{column: [old, new]}``, publishable.rb:86-95) built set-wise from
     consecutive row versions: lag() reconstructs the pre-image, unchanged
-    columns are omitted, first-seen rows record [null, new]."""
+    columns are omitted, first-seen rows record [null, new].
+
+    Values render as JSON integers only inside the |v| <= 1e15 window
+    (within double's exact-integer range); NULL, NaN, Inf, and
+    out-of-window magnitudes render as JSON null — Spark's floor
+    SATURATES NaN to 0 and ±Inf/±1e308 to Long.MIN/MAX while DuckDB's
+    BIGINT cast raises, so an unguarded render either lies or crashes
+    depending on the engine (round-7 adversarial events fuzz). NaN/NULL
+    fall out of the window for free: both engines order NaN above every
+    double, so abs(x) <= 1e15 is false, and NULL propagates to the
+    else-branch."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("event_id")
@@ -595,7 +619,9 @@ def cs_changeset_from_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
     )
     # integer rendering: double->string formatting differs across engines
-    num = lambda c: F.floor(F.col(c)).cast("long").cast("string")  # noqa: E731
+    num = lambda c: F.when(  # noqa: E731
+        F.abs(F.col(c)) <= 1e15, F.floor(F.col(c)).cast("long").cast("string")
+    ).otherwise("null")
     changeset = (
         F.when(F.col("rn") == 1, F.concat(F.lit('{"value":[null,'), num("value"), F.lit("]}")))
         .when(
@@ -995,11 +1021,11 @@ def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            ts AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
                AS valid_to,
            event_id, value AS val,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-               AS is_current
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
+               IS NULL AS is_current
     FROM events
     """,
 )
@@ -1009,8 +1035,14 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit order — the dimension-table product warehouses build from
     exactly this changelog (the snapshot store keeps only the
     is_current slice; this keeps them all). One shuffle on the key;
-    deterministic (ts, event_id) ordering."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deterministic (ts, event_id) ordering. A NULL commit timestamp
+    versions FIRST (the unknown-time version is the oldest history
+    entry, superseded by every dated one) — stated on both engines
+    because the two default opposite NULL positions (round-7
+    adversarial events fuzz)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), "event_id"
+    )
     ev = _events(spark, sf_dir)
     return ev.select(
         "user_id",

@@ -141,7 +141,9 @@ def p3_aggregate_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d8_synced_data_backfill",
     refs="D8",
     oracle="""
-    SELECT event_id, CAST(props->>'$.k' AS INT) AS k
+    SELECT event_id,
+           TRY_CAST((CASE WHEN props IS NOT NULL AND json_valid(props)
+                          THEN props->>'$.k' END) AS INT) AS k
     FROM events
     """,
 )
@@ -149,11 +151,17 @@ def d8_synced_data_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 column backfill from the archived payload
     (assign_columns_from_synced_data.rb:11-26): re-extract a chosen
     column from the stored JSON over the whole table —
-    ``get_json_object`` stays JVM-side (no UDF)."""
+    ``get_json_object`` stays JVM-side (no UDF). Archived payloads are
+    DIRTY by definition (that's why they're being re-extracted), so the
+    extraction is total: malformed JSON yields NULL (get_json_object is
+    lenient; the oracle needs an explicit json_valid guard because
+    DuckDB's ->> raises on invalid JSON), and a non-numeric value under
+    the key yields NULL via try_cast on both engines (the plain ANSI
+    cast raised on the Spark side — round-7 adversarial events fuzz)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k"),
     )
 
 
@@ -165,6 +173,7 @@ _STREAM_Q_SEQ = [0]  # deterministic per-session memory-sink name counter
     refs="T1,T5,S6",
     oracle="""
     SELECT event_id, ts, user_id, event_type, value, props FROM events
+    WHERE ts IS NOT NULL AND ts > TIMESTAMP '1970-01-01 00:00:00'
     """,
 )
 def stream_t1_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,6 +204,19 @@ def stream_t1_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
+    # explicit event-time domain: rows with a NULL or pre-epoch ts are
+    # excluded UP FRONT on both engines. The watermark machinery would
+    # drop them anyway — Spark's initial watermark is epoch 0, so a
+    # 1969 row is "late" from the first batch, and the eviction is
+    # INCLUSIVE at the boundary (an event at exactly epoch 0 is dropped
+    # too, measured) — but only as a function
+    # of how files split into micro-batches; an input-domain filter
+    # makes the semantics deterministic instead of incidental (round-7
+    # adversarial events fuzz).
+    stream = stream.filter(
+        F.col("ts").isNotNull()
+        & (F.col("ts") > F.lit("1970-01-01 00:00:00").cast("timestamp"))
+    )
     deduped = exact_dedup_stream(
         stream, ["event_id"], "ts", watermark="10 minutes"
     )
@@ -217,10 +239,14 @@ def stream_t1_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_t4_sessionize",
     refs="T4,T5,S6",
     oracle="""
-    WITH lagged AS (
+    WITH dom AS (
+        SELECT user_id, ts FROM events
+        WHERE ts IS NOT NULL AND ts > TIMESTAMP '1970-01-01 00:00:00'
+    ),
+    lagged AS (
         SELECT user_id, ts,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-        FROM events
+        FROM dom
     ),
     marked AS (
         SELECT user_id, ts,
@@ -245,7 +271,7 @@ def stream_t1_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            session_start AS window_start,
            session_end + INTERVAL 30 MINUTE AS window_end,
            n_events, session_start, session_end
-    FROM agg, (SELECT max(ts) AS mx FROM events) m
+    FROM agg, (SELECT max(ts) AS mx FROM dom) m
     WHERE session_end + INTERVAL 30 MINUTE <= m.mx - INTERVAL 1 HOUR
     """,
 )
@@ -272,6 +298,12 @@ def stream_t4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
+    # same explicit event-time domain as stream_t1 (NULL / pre-epoch
+    # rows would otherwise be watermark-dropped micro-batch-dependently)
+    stream = stream.filter(
+        F.col("ts").isNotNull()
+        & (F.col("ts") > F.lit("1970-01-01 00:00:00").cast("timestamp"))
+    )
     sess = sessionize(
         stream, ["user_id"], "ts", gap="30 minutes", watermark="1 hour"
     )

@@ -261,6 +261,7 @@ def t_url_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
@@ -279,12 +280,16 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-minute inactivity closes a session):
     lag + cumulative-sum window composition, the batch equivalent of a
     streaming session window — one shuffle on user_id serves all three
-    window/group steps (same partitioning reused)."""
+    window/group steps (same partitioning reused). Events with a NULL
+    timestamp are excluded on both engines — they have no place on a
+    timeline, and leaving them in diverges silently because Spark and
+    DuckDB default NULLs to opposite ends of the window ordering
+    (round-7 adversarial events fuzz)."""
     from pyspark.sql import Window
 
     from ..tables import load_table
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
