@@ -101,7 +101,13 @@ def decode_media(
                 )
             out = {
                 "media_id": pdf["media_id"],
-                "byte_len": pdf["content"].map(lambda b: len(b) if b is not None else 0),
+                # NULL payload -> NULL features: a missing blob has no
+                # length ("no bytes" != "zero bytes"), matching the
+                # digest/dims columns and the SQL octet_length(NULL)
+                # semantics (round-7 NULL-input fuzz)
+                "byte_len": pdf["content"].map(
+                    lambda b: len(b) if b is not None else None
+                ),
                 "digest": pdf["content"].map(
                     lambda b: hashlib.md5(b).hexdigest() if b is not None else None
                 ),

@@ -223,9 +223,19 @@ def pack_offsets(
     )
     return (
         sized.join(F.broadcast(shard_base), "__shard")
+        # a row with NULL length has NO position in the packed stream
+        # (its n contributes nothing to either engine's cumsum, so
+        # later offsets are unaffected) — without the guard the
+        # preceding-rows window still assigns it the running offset,
+        # silently placing an unmeasurable document (round-7 NULL-input
+        # fuzz; the oracle's cumsum-minus-n form is NULL there already)
         .withColumn(
             "global_offset",
-            F.col("__base") + F.coalesce(F.sum(n_col).over(w_local), F.lit(0)),
+            F.when(
+                F.col(n_col).isNotNull(),
+                F.col("__base")
+                + F.coalesce(F.sum(n_col).over(w_local), F.lit(0)),
+            ),
         )
         .drop("__shard", "__base")
     )

@@ -112,6 +112,15 @@ _PLAN_CHANGED: dict[str, int] = {
     "stream_t1_replay_dedup": 7,
     "stream_t4_sessionize": 7,
     "stream_t5_snapshot_merge": 7,
+    # ...and the NULL-input fuzz (tests/test_edge_null_inputs.py):
+    # NULL text keeps NULL stats (the oracles' coalesce(...,0) forced
+    # zeros), NULL-length docs get no packed-stream position, NULL
+    # media payloads yield NULL features, and the centroid oracle's
+    # correlated count is null-safe on the label:
+    "ctx_pack_sequences": 7,
+    "t_bpe_token_count": 7,
+    "t_repetition_quality": 7,
+    "mm_decode_features": 7,
 }
 
 

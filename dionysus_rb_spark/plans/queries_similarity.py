@@ -88,7 +88,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM un GROUP BY label, idx
     )
     SELECT label,
-           (SELECT count(*) FROM base e WHERE e.label = dims.label) AS n,
+           (SELECT count(*) FROM base e
+            WHERE e.label IS NOT DISTINCT FROM dims.label) AS n,
            array_to_string(array_agg(coalesce(CAST(m AS VARCHAR), '')
                                      ORDER BY idx), ',') AS centroid
     FROM dims GROUP BY label

@@ -31,10 +31,11 @@ _DTOKS = f"list_distinct({_TOKS})"
     SELECT doc_id,
            CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
            CAST(len({_DTOKS}) AS BIGINT) AS n_distinct_tokens,
-           round(CAST(coalesce(list_aggregate(
-                          list_transform({_TOKS}, t -> len(t)), 'sum'), 0)
-                      AS DOUBLE)
-                 / greatest(len({_TOKS}), 1), 6) AS mean_token_len
+           CASE WHEN text IS NULL THEN NULL
+                ELSE round(CAST(coalesce(list_aggregate(
+                               list_transform({_TOKS}, t -> len(t)), 'sum'), 0)
+                           AS DOUBLE)
+                      / greatest(len({_TOKS}), 1), 6) END AS mean_token_len
     FROM documents
     """,
 )
@@ -52,9 +53,10 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     refs="beyond:text",
     oracle=f"""
     SELECT doc_id,
-           CAST(coalesce(list_aggregate(
-                list_transform({_TOKS}, t -> (len(t) + 3) // 4), 'sum'), 0)
-                AS BIGINT) AS n_bpe_tokens
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(coalesce(list_aggregate(
+                     list_transform({_TOKS}, t -> (len(t) + 3) // 4), 'sum'), 0)
+                     AS BIGINT) END AS n_bpe_tokens
     FROM documents
     """,
 )
@@ -780,11 +782,13 @@ def dd_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            round(1 - CAST(nd AS DOUBLE) / greatest(n, 1), 6) AS dup_token_frac,
-           round(CAST(coalesce(top_count, 0) AS DOUBLE) / greatest(n, 1), 6)
-               AS top_token_frac,
+           CASE WHEN n IS NULL THEN NULL
+                ELSE round(CAST(coalesce(top_count, 0) AS DOUBLE)
+                           / greatest(n, 1), 6) END AS top_token_frac,
            round(1 - CAST(nd AS DOUBLE) / greatest(n, 1), 6) < 0.75
-               AND round(CAST(coalesce(top_count, 0) AS DOUBLE)
-                         / greatest(n, 1), 6) < 0.2
+               AND CASE WHEN n IS NULL THEN NULL
+                        ELSE round(CAST(coalesce(top_count, 0) AS DOUBLE)
+                                   / greatest(n, 1), 6) END < 0.2
                AS keep
     FROM counted
     """,
