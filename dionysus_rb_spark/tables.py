@@ -29,6 +29,56 @@ TABLES = (
     "embeddings",
 )
 
+# Canonical read schemas (DDL strings), applied at scan time instead of
+# footer inference. At 100 TB a table directory holds files from many
+# producer versions; ``spark.read.parquet`` without a schema infers from
+# ONE footer, so the resulting column set depends on which file the
+# driver sampled — and ``mergeSchema=true`` both costs a footer sweep
+# and hard-fails on int-width drift (CANNOT_MERGE_SCHEMAS on
+# int32-vs-int64, measured). Declaring the schema makes every read
+# deterministic and gives the useful drift semantics for free:
+#   * a file missing a canonical column reads as NULL for its rows;
+#   * extra producer-side columns are pruned at the scan;
+#   * physically narrower ints (int32 files against a bigint canon)
+#     widen losslessly;
+#   * lossy narrowing (int64 physical against an int canon) FAILS
+#     LOUDLY at read — never a silent truncation.
+# ``events`` is deliberately absent: its timestamp column's READ type
+# depends on the file's physical encoding (this testdata's
+# TIMESTAMP(NANOS) arrives as bigint under the nanos-as-long conf and
+# is converted below; micros-encoded production files arrive as
+# timestamp directly), so a fixed declared schema cannot cover both.
+CANONICAL_SCHEMAS: dict[str, str] = {
+    "region": "r_regionkey int, r_name string",
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "customer": (
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string"
+    ),
+    "supplier": (
+        "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
+    ),
+    "part": (
+        "p_partkey bigint, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double"
+    ),
+    "orders": (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    ),
+    "lineitem": (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp"
+    ),
+    "documents": (
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ),
+    "embeddings": "vec_id bigint, embedding array<float>, label int",
+}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Memoized per (session, path): DataFrames are immutable plan
@@ -49,7 +99,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if df is not None:
         return df
     apply_runtime_confs(spark)
-    df = spark.read.parquet(path)
+    ddl = CANONICAL_SCHEMAS.get(name)
+    reader = spark.read.schema(ddl) if ddl else spark.read
+    df = reader.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # NOTE: predicates on the derived timestamp cannot reach the
         # parquet scan (Catalyst can't invert the conversion) — a quirk
