@@ -52,14 +52,18 @@ def doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
     (concat_ws skips the NULL minhashes), silently collapsing every
     zero-token doc into one candidate bucket."""
     return (
-        # the zero-token gate tests the RAW text for one ASCII
-        # alphanumeric (<=> tokenize() yields >= 1 token): a cheap
-        # scan-level predicate Catalyst pushes below the projection —
+        # the zero-token gate tests LOWERCASED text for one [a-z0-9] —
+        # tokenize's own domain, so the equivalence with "tokenize()
+        # yields >= 1 token" is exact in BOTH directions (a raw-text
+        # [a-zA-Z0-9] gate missed characters that lowercase INTO ascii,
+        # e.g. Kelvin K and dotted İ — round-7 review find). Still a
+        # cheap scan-level predicate Catalyst pushes below the
+        # projection —
         # filtering on size(shingle_set) instead makes the pushed-down
         # predicate re-evaluate the whole tokenize+shingle expression
         # per row on top of the projection's own copy (measured 4.3x on
         # dd_minhash_lsh at sf0.1)
-        df.filter(F.col(text_col).rlike("[a-zA-Z0-9]"))
+        df.filter(F.lower(F.col(text_col)).rlike("[a-z0-9]"))
         .select(
             F.col(id_col).alias("doc_id"),
             shingles(tokenize(F.col(text_col)), k).alias("shingle_set"),
@@ -221,7 +225,7 @@ def minhash_lsh_dedup_sql(
       SELECT doc_id,
              {shingles_sql(tokenize_sql('text'), k)} AS shingle_set
       FROM documents
-      WHERE regexp_matches(text, '[a-zA-Z0-9]')
+      WHERE regexp_matches(lower(text), '[a-z0-9]')
     ),
     hashed AS (
       SELECT doc_id, shingle_set,

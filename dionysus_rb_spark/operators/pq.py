@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import as_double, finite_vec
+from .similarity import as_double, finite_vec, sane_vec
 
 
 def _dlit(x: float) -> str:
@@ -62,12 +62,8 @@ def _finite_only(
     zero vector has no defined cell. On well-formed corpora the filter
     passes every row, so results are unchanged (round-7 adversarial
     content fuzz)."""
-    pred = finite_vec(as_double(F.col(vec_col)))
-    if positive_norm:
-        from .similarity import sane_vec
-
-        pred = sane_vec(as_double(F.col(vec_col)))
-    return embeddings.filter(pred)
+    v = as_double(F.col(vec_col))
+    return embeddings.filter(sane_vec(v) if positive_norm else finite_vec(v))
 
 
 def seed_codebook(
@@ -225,7 +221,8 @@ def pq_encode_sql(n_codes: int = 8, n_sub: int = 8, dim: int = 64) -> str:
       SELECT vec_id, v FROM (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings) t_fin
-      WHERE (list_reduce(list_transform(v, x -> abs(x)), (a, b) -> a + b)
+      WHERE (len(v) > 0 AND
+             list_aggregate(list_transform(v, x -> abs(x)), 'sum')
              < 'Infinity'::DOUBLE)
     ),
     cents AS (
@@ -433,7 +430,8 @@ def pq_adc_topk_sql(
       SELECT vec_id, v FROM (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings) t_fin
-      WHERE (list_reduce(list_transform(v, x -> abs(x)), (a, b) -> a + b)
+      WHERE (len(v) > 0 AND
+             list_aggregate(list_transform(v, x -> abs(x)), 'sum')
              < 'Infinity'::DOUBLE)
     ),
     cents AS (
@@ -587,7 +585,8 @@ def pq_trained_sql(n_codes: int = 8, n_sub: int = 8, dim: int = 64) -> str:
       SELECT vec_id, v FROM (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings) t_fin
-      WHERE (list_reduce(list_transform(v, x -> abs(x)), (a, b) -> a + b)
+      WHERE (len(v) > 0 AND
+             list_aggregate(list_transform(v, x -> abs(x)), 'sum')
              < 'Infinity'::DOUBLE)
     )"""
     ]
@@ -816,8 +815,9 @@ def ivfpq_topk_sql(
       SELECT vec_id, v FROM (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings) t_fin
-      WHERE (list_reduce(list_transform(v, x -> abs(x)), (a, b) -> a + b) > 0
-             AND list_reduce(list_transform(v, x -> abs(x)), (a, b) -> a + b)
+      WHERE (len(v) > 0
+             AND list_aggregate(list_transform(v, x -> abs(x)), 'sum') > 0
+             AND list_aggregate(list_transform(v, x -> abs(x)), 'sum')
                  < 'Infinity'::DOUBLE)
     ),
     coarse AS (

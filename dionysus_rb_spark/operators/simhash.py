@@ -112,7 +112,7 @@ def simhash(
         # scan predicate (filtering on the tokenized column would make
         # the pushed predicate re-tokenize every row; see
         # minhash.doc_shingles)
-        df.filter(F.col(text_col).rlike("[a-zA-Z0-9]"))
+        df.filter(F.lower(F.col(text_col)).rlike("[a-z0-9]"))
         .select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
     )
 
@@ -205,7 +205,7 @@ def simhash_sql(
       -- Spark side.
       SELECT doc_id, list_transform({toks}, t -> {md5_prefix_sql('t', (bits + 3) // 4)}) AS hs
       FROM documents
-      WHERE regexp_matches(text, '[a-zA-Z0-9]')
+      WHERE regexp_matches(lower(text), '[a-z0-9]')
     ),
     fp AS (
       SELECT doc_id,

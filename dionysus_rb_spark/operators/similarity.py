@@ -53,34 +53,47 @@ def _abs_sum(vec: Column) -> Column:
 
 
 def finite_vec(vec: Column) -> Column:
-    """True iff every element is finite. One fold: sum(|x|) is finite
-    exactly when all elements are (abs rules out inf-inf cancellation,
-    NaN propagates), and ``NaN < inf`` is FALSE in both Spark and
-    DuckDB (both order NaN above every other double), so a single
-    ``< 'Infinity'`` comparison rejects NaN and ±Inf portably."""
-    return _abs_sum(vec) < F.lit(float("inf"))
+    """True iff the vector is NON-EMPTY and every element is finite.
+    One fold: sum(|x|) is finite exactly when all elements are (abs
+    rules out inf-inf cancellation, NaN propagates), and ``NaN < inf``
+    is FALSE in both Spark and DuckDB (both order NaN above every other
+    double), so a single ``< 'Infinity'`` comparison rejects NaN and
+    ±Inf portably. The explicit size guard makes a ZERO-LENGTH
+    embedding (a half-written producer row) inadmissible too: the
+    Spark fold's 0.0 init would otherwise admit it, while DuckDB's
+    init-less ``list_reduce`` RAISED on it — a vector with no
+    dimensions has no geometry, and "admits vs crashes" was the
+    round-7 review's one live cross-engine divergence."""
+    return (F.size(vec) > 0) & (_abs_sum(vec) < F.lit(float("inf")))
 
 
 def sane_vec(vec: Column) -> Column:
     """finite AND norm > 0 — the admission predicate for cosine-metric
     operators (k-means, IVF), where a zero-norm vector has no defined
-    angle to anything."""
+    angle to anything. (``s > 0`` already excludes the empty vector;
+    the SQL twin needs the explicit length guard only to keep the
+    fold itself total.)"""
     s = _abs_sum(vec)
     return (s > 0) & (s < F.lit(float("inf")))
 
 
 def finite_vec_sql(v: str) -> str:
-    """DuckDB mirror of :func:`finite_vec`."""
+    """DuckDB mirror of :func:`finite_vec`. ``list_aggregate(...,
+    'sum')``, not ``list_reduce``: the init-less reduce RAISES on an
+    empty list where the aggregate yields NULL, and `` len > 0 AND
+    NULL `` is false — total on every input, like the Spark twin."""
     return (
-        f"(list_reduce(list_transform({v}, x -> abs(x)), (a, b) -> a + b)"
+        f"(len({v}) > 0 AND"
+        f" list_aggregate(list_transform({v}, x -> abs(x)), 'sum')"
         f" < 'Infinity'::DOUBLE)"
     )
 
 
 def sane_vec_sql(v: str) -> str:
-    """DuckDB mirror of :func:`sane_vec`."""
-    s = f"list_reduce(list_transform({v}, x -> abs(x)), (a, b) -> a + b)"
-    return f"({s} > 0 AND {s} < 'Infinity'::DOUBLE)"
+    """DuckDB mirror of :func:`sane_vec` (total on empty lists — see
+    :func:`finite_vec_sql`)."""
+    s = f"list_aggregate(list_transform({v}, x -> abs(x)), 'sum')"
+    return f"(len({v}) > 0 AND {s} > 0 AND {s} < 'Infinity'::DOUBLE)"
 
 
 def cos_lit_sql(vec_name: str, lits: list[float]) -> str:
@@ -243,7 +256,14 @@ def lsh_near_dup_pairs(
     setting, not a web-scale one).
     """
     pl = planes(num_planes, dim, seed)
-    base = embeddings.select(
+    # finite-vector admission BEFORE bucketing: a NaN vector's bucket is
+    # engine-dependent (Spark IF(NaN >= 0) is false, DuckDB's NaN sorts
+    # above every double -> true), so an unfiltered NaN row lands in
+    # different buckets per engine and can tip a bucket across
+    # max_bucket on one side only; an empty vector crashed the oracle's
+    # fold outright. Zero-norm vectors still bucket (deterministically,
+    # all sign bits set on both engines) and die at the cosine verify.
+    base = embeddings.filter(finite_vec(as_double(F.col(vec_col)))).select(
         F.col(id_col),
         as_double(F.col(vec_col)).alias("__v"),
     ).select(
@@ -383,7 +403,8 @@ def ivf_topk(
 # -- DuckDB SQL mirrors -----------------------------------------------------
 
 _COS_SQL = """
-    CASE WHEN isnan(
+    CASE WHEN len({a}) = 0 OR len({b}) = 0 THEN NULL
+    WHEN isnan(
     list_reduce(list_transform(range(len({a})), i -> {a}[i+1] * {b}[i+1]),
                 (x, y) -> x + y)
     / (sqrt(list_reduce(list_transform({a}, x -> x*x), (x,y) -> x+y))
@@ -400,7 +421,13 @@ _COS_SQL = """
 def cosine_sql(a: str, b: str) -> str:
     """Mirrors cosine(): DuckDB float division by zero is already NULL
     (= Spark's try_divide); the isnan CASE folds non-finite-input NaN
-    to NULL so both engines share one degenerate contract."""
+    to NULL so both engines share one degenerate contract. The leading
+    empty-length CASE branch keeps the expression TOTAL — DuckDB's
+    init-less ``list_reduce`` raises on an empty list where Spark's
+    0.0-seeded fold yields a NULL cosine via try_divide(0, 0); CASE
+    short-circuits, and the folds stay ``list_reduce`` (not
+    list_aggregate) because their sequential order IS the cross-engine
+    bit-parity guarantee."""
     return _COS_SQL.format(a=a, b=b)
 
 
@@ -413,12 +440,19 @@ def brute_force_topk_sql(query_ids: list[int], k: int = 10) -> str:
       FROM embeddings
     ),
     q AS (SELECT vec_id AS query_id, v AS __qv FROM base WHERE vec_id IN ({ids})),
-    c AS (SELECT vec_id AS cand_id, v AS __cv FROM base)
-    SELECT query_id, cand_id, round({cos}, 6) AS cos,
+    c AS (SELECT vec_id AS cand_id, v AS __cv FROM base),
+    -- score once per pair: inlining the cosine into SELECT + ORDER BY
+    -- + WHERE re-evaluated the three list folds up to ~8x per pair on
+    -- the O(n^2) path (round-7 review find)
+    scored AS (
+      SELECT query_id, cand_id, round({cos}, 6) AS cos
+      FROM q JOIN c ON cand_id <> query_id
+    )
+    SELECT query_id, cand_id, cos,
            CAST(row_number() OVER (PARTITION BY query_id
-                ORDER BY round({cos}, 6) DESC, cand_id ASC) AS BIGINT) AS rank
-    FROM q JOIN c ON cand_id <> query_id
-    WHERE round({cos}, 6) IS NOT NULL
+                ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+    FROM scored
+    WHERE cos IS NOT NULL
     QUALIFY rank <= {k}
     """
 
@@ -481,8 +515,12 @@ def lsh_near_dup_sql(
     cos = cosine_sql("a.v", "b.v")
     return f"""
     WITH base AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+      -- finite-vector admission mirrors lsh_near_dup_pairs (NaN
+      -- buckets are engine-dependent; empty vectors crash the fold)
+      SELECT vec_id, v FROM (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings) t_adm
+      WHERE {finite_vec_sql('v')}
     ),
     bucketed AS (SELECT vec_id, v, {bucket} AS bucket FROM base),
     ok AS (

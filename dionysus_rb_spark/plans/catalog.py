@@ -144,6 +144,11 @@ def _latest_green_rounds() -> dict[str, int]:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            # degrade safely, per the contract above: a list-shaped or
+            # otherwise malformed artifact must not kill the package
+            # import — its queries just stay uncertified
+            continue
         for name, row in rows.items():
             if (
                 isinstance(row, dict)

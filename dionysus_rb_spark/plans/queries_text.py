@@ -469,7 +469,7 @@ def dd_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source,
              {shingles_sql(tokenize_sql("text"), 2)} AS s2
       FROM documents
-      WHERE regexp_matches(text, '[a-zA-Z0-9]')
+      WHERE regexp_matches(lower(text), '[a-z0-9]')
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(CAST(len(list_intersect(a.s2, b.s2)) AS DOUBLE)
@@ -506,7 +506,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash.doc_shingles for why not size(s2) > 0)
     sh = (
         _docs(spark, sf_dir)
-        .filter(F.col("text").rlike("[a-zA-Z0-9]"))
+        .filter(F.lower(F.col("text")).rlike("[a-z0-9]"))
         .select(
             "doc_id", "source", shingles(tokenize(F.col("text")), 2).alias("s2")
         )

@@ -100,8 +100,16 @@ EDGE_DOCS = [
         " http://xn--wgv71a.example/日本語 plus www.bare.example",
         "srcD",
     ),                                              # 219 near dup of 209, same source
+    # 220/221: identical docs whose ONLY alphanumerics arise via
+    # lowercasing (U+212A Kelvin sign -> 'k' on both engines). A
+    # raw-text [a-zA-Z0-9] gate excluded them from dedup entirely
+    # (round-7 review find); the lower()-domain gate admits them, and
+    # being identical they must pair.
+    ("KK KKK KKKK 42", "srcD"),  # 220
+    ("KK KKK KKKK 42", "srcD"),  # 221
 ]
-ZERO_TOKEN_IDS = {200, 201, 203, 204}  # no [a-z0-9] run anywhere
+ZERO_TOKEN_IDS = {200, 201, 203, 204}  # no [a-z0-9] after lower() anywhere
+KELVIN_PAIR = (220, 221)
 
 EMB_DIM = 64
 # vec_id = 200 + index; every guard class fires at least once
@@ -112,8 +120,12 @@ EDGE_VECS = [
     np.r_[np.nan, np.zeros(EMB_DIM - 1)],     # 203 NaN element
     np.r_[np.inf, np.ones(EMB_DIM - 1)],      # 204 +Inf element
     np.r_[-np.inf, np.ones(EMB_DIM - 1)],     # 205 -Inf element
+    np.array([]),                             # 206 ZERO-LENGTH (half-written row)
 ]
-DEGENERATE_VEC_IDS = {200, 203, 204, 205}  # zero-norm or non-finite
+# zero-norm, non-finite, or zero-length (the empty list is the shape
+# that crashed DuckDB's init-less list_reduce while Spark's 0.0-seeded
+# fold admitted it — round-7 review find)
+DEGENERATE_VEC_IDS = {200, 203, 204, 205, 206}
 
 # The affected surface: every query that reads documents or embeddings
 # and exercises a guard, plus their composition pipelines.
@@ -252,6 +264,9 @@ def test_edge_content_parity(spark, edge_dir):
     mh = results["dd_minhash_lsh"]
     assert ((mh["doc_a"] == 205) & (mh["doc_b"] == 218)).any(), "exact emoji dup missed"
     assert ((mh["doc_a"] == 209) & (mh["doc_b"] == 219)).any(), "URL near dup missed"
+    # lowercase-into-ascii content is inside the dedup domain now
+    ka, kb = KELVIN_PAIR
+    assert ((mh["doc_a"] == ka) & (mh["doc_b"] == kb)).any(), "Kelvin-sign dup missed"
     ng = results["dd_ngram_jaccard"]
     assert len(ng) >= 2, "planted same-source dups produced no ngram pairs"
     # degenerate vectors never rank in anyone's top-k and never pair
