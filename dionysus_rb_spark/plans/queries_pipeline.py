@@ -168,6 +168,26 @@ def d8_synced_data_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_Q_SEQ = [0]  # deterministic per-session memory-sink name counter
 
 
+def _stage_events_replays(sf_dir: str, src_dir: str, replays: int) -> None:
+    """Stage ``replays`` copies of the events table into a file-stream
+    source directory.
+
+    Layout-agnostic on purpose: a table path is a single parquet file in
+    the driver fixtures but a DIRECTORY of part files on any production
+    table (and in tests/test_layout_invariance.py's scrambled twin), so
+    staging must enumerate whichever shape it finds. Part files keep
+    their sorted enumeration order within each replay so the
+    maxFilesPerTrigger micro-batching stays deterministic."""
+    import shutil
+    from pathlib import Path
+
+    src = Path(sf_dir) / "events.parquet"
+    parts = sorted(src.glob("*.parquet")) if src.is_dir() else [src]
+    for r in range(replays):
+        for j, p in enumerate(parts):
+            shutil.copy(p, f"{src_dir}/copy{r}_{j}.parquet")
+
+
 @query(
     "stream_t1_replay_dedup",
     refs="T1,T5,S6",
@@ -186,15 +206,13 @@ def stream_t1_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct table. The output is a SET (order-insensitive compare), so
     the streaming run is deterministic however the micro-batches
     split. State is bounded by the watermark horizon, not history."""
-    import shutil
     import tempfile
 
     from ..streaming.dedup_stream import exact_dedup_stream
 
     ev = load_table(spark, sf_dir, "events")
     src_dir = tempfile.mkdtemp(prefix="replay_src_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/copy1.parquet")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/copy2.parquet")
+    _stage_events_replays(sf_dir, src_dir, replays=2)
 
     # stream with the RAW parquet schema (ts may be nanos-as-long),
     # then normalize exactly like tables.load_table does
@@ -285,14 +303,13 @@ def stream_t4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule (an event at exactly prev+gap starts a NEW session:
     session_window's half-open [t, t+gap)) and the watermark cut, so
     the lateness semantics themselves are value-checked."""
-    import shutil
     import tempfile
 
     from ..streaming.sessionize import sessionize
 
     raw_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     src_dir = tempfile.mkdtemp(prefix="sess_src_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/p.parquet")
+    _stage_events_replays(sf_dir, src_dir, replays=1)
     stream = spark.readStream.schema(raw_batch.schema).parquet(src_dir)
     if dict(raw_batch.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
@@ -345,7 +362,6 @@ def stream_t5_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch split because the F1 guard (>=) is monotone: per key
     the max-timestamp surviving event wins in every application order,
     and replays are neutralized by idempotent re-merge (T1)."""
-    import shutil
     import tempfile
 
     from ..operators import dedup
@@ -382,8 +398,7 @@ def stream_t5_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     src_dir = tempfile.mkdtemp(prefix="t5_src_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/copy1.parquet")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/copy2.parquet")
+    _stage_events_replays(sf_dir, src_dir, replays=2)
     stream = (
         spark.readStream.schema(raw_batch.schema)
         .option("maxFilesPerTrigger", 1)  # force >1 micro-batch

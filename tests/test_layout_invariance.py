@@ -1,0 +1,129 @@
+"""Physical-layout invariance: results are a function of CONTENT only.
+
+On a 1000-executor cluster nothing about the physical layout that the
+driver's fixtures happen to have survives: row order inside files is
+whatever the producers flushed, file counts differ per table per day,
+and ``spark.sql.shuffle.partitions`` is cluster-sized, not 32. Any
+query whose answer depends on one of those — a first-wins tie-break
+that actually means "whichever partition arrived first", a float fold
+whose rendered value shifts with reduction order, a LIMIT without a
+total order — certifies green on the fixture layout and silently
+drifts on the real one.
+
+This suite rebuilds the sf0.001 tables as a *scrambled twin*: identical
+logical content, rows hash-shuffled across a different file count with
+a different within-file order, read back under a different
+``shuffle.partitions``. Every oracle query must then satisfy the chain
+
+    Spark(original) == DuckDB(original)            (test_oracle_parity)
+    DuckDB(original) == DuckDB(scrambled)          (here: engine-level
+                                                    content-function check)
+    DuckDB(scrambled) == Spark(scrambled, 7 parts) (here: cross-engine
+                                                    on the hostile layout)
+
+which together prove the result is layout-free. The scramble key is a
+seeded xxhash64 of the full row JSON, so the twin is deterministic
+given content — failures reproduce.
+
+Reference parity note: the reference engine (single Ruby process,
+per-key FIFO topics) gets layout determinism for free; a distributed
+re-expression has to prove it. See SURVEY.md §4 (ordering) and the
+keep-latest tie-break contract in operators/dedup.py:23.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from dionysus_rb_spark.plans import all_queries
+from dionysus_rb_spark.tables import TABLES, load_table
+
+from test_oracle_parity import _normalize, _values_equal
+
+SRC_DIR = "/root/testdata/sf0.001"
+SCRAMBLE_SEED = 7_0001
+SCRAMBLE_FILES = 7
+SHUFFLE_PARTITIONS = "7"
+
+ORACLE_QUERIES = [
+    (name, qd) for name, qd in sorted(all_queries().items()) if qd.oracle
+]
+
+
+@pytest.fixture(scope="session")
+def scrambled_dir(spark, tmp_path_factory) -> str:
+    """Write the scrambled twin of every table once per session."""
+    out = tmp_path_factory.mktemp("scrambled_sf0.001")
+    for t in TABLES:
+        df = load_table(spark, SRC_DIR, t)
+        key = F.xxhash64(F.to_json(F.struct(*df.columns)), F.lit(SCRAMBLE_SEED))
+        (
+            df.withColumn("_k", key)
+            .repartition(SCRAMBLE_FILES, "_k")
+            .sortWithinPartitions("_k")
+            .drop("_k")
+            .write.mode("overwrite")
+            .parquet(str(out / f"{t}.parquet"))
+        )
+    return str(out)
+
+
+def _duck_glob(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Like test_oracle_parity._duck but globs Spark's directory output."""
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{src}'")
+    return con
+
+
+def _assert_frames_equal(name: str, label: str, got, want) -> None:
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name} [{label}]: columns {sorted(got.columns)} != {sorted(want.columns)}"
+    )
+    assert len(got) == len(want), (
+        f"{name} [{label}]: rows {len(got)} != {len(want)} — the result "
+        "row set changed with physical layout"
+    )
+    g, w = _normalize(got), _normalize(want)
+    mismatches = []
+    for col in g.columns:
+        for i, (x, y) in enumerate(zip(g[col].tolist(), w[col].tolist())):
+            if not _values_equal(x, y):
+                mismatches.append((col, i, x, y))
+                if len(mismatches) > 5:
+                    break
+        if len(mismatches) > 5:
+            break
+    assert not mismatches, f"{name} [{label}]: value mismatches {mismatches}"
+
+
+@pytest.mark.parametrize("name,qd", ORACLE_QUERIES, ids=[n for n, _ in ORACLE_QUERIES])
+def test_layout_invariance(spark, scrambled_dir, name, qd):
+    con_o = _duck_glob(SRC_DIR)
+    want_o = con_o.execute(qd.oracle).df()
+    con_o.close()
+    con_s = _duck_glob(scrambled_dir)
+    want_s = con_s.execute(qd.oracle).df()
+    con_s.close()
+    # Engine-level: the oracle itself must be a pure function of content.
+    # A divergence here means the QUERY CONTRACT is order-sensitive
+    # (e.g. an un-keyed LIMIT) — fix the contract, not the engines.
+    _assert_frames_equal(name, "duckdb orig vs scrambled", want_o, want_s)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", SHUFFLE_PARTITIONS)
+    try:
+        got_s = qd.fn(spark, scrambled_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # Cross-engine on the hostile layout: Spark's answer under a
+    # different partitioning of different files must still be the
+    # oracle's answer.
+    _assert_frames_equal(name, "spark scrambled vs duckdb scrambled", got_s, want_s)
