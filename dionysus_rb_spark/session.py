@@ -29,6 +29,11 @@ RUNTIME_CONFS = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # deterministic wall-clock rendering, matching DuckDB's naive timestamps
     "spark.sql.session.timeZone": "UTC",
+    # the engine's cast/overflow/raise contracts are written against ANSI
+    # semantics (Spark 4's default) — pin it so a driver session that
+    # disabled ANSI can't silently turn a raising overflow into a NULL
+    # (tests/test_session_portability.py)
+    "spark.sql.ansi.enabled": "true",
 }
 
 
