@@ -33,6 +33,7 @@ keep-latest tie-break contract in operators/dedup.py:23.
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import duckdb
@@ -45,7 +46,12 @@ from dionysus_rb_spark.tables import TABLES, load_table
 
 from test_oracle_parity import _normalize, _values_equal
 
-SRC_DIR = "/root/testdata/sf0.001"
+# Default sf0.001 for the per-push suite; the scale-up ritual points
+# this at sf0.1, where the bucket caps (max_bucket, gates) actually
+# fire — cap *counts* are content-only by construction, and the sf0.1
+# run proves it empirically (the r5 lesson: cap behavior is invisible
+# below saturation scale).
+SRC_DIR = os.environ.get("SPARK_GRAFT_LAYOUT_SF_DIR", "/root/testdata/sf0.001")
 SCRAMBLE_SEED = 7_0001
 SCRAMBLE_FILES = 7
 SHUFFLE_PARTITIONS = "7"
