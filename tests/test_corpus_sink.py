@@ -1,0 +1,109 @@
+"""Sharded corpus sink: layout properties a training loader relies on.
+
+Each test pins one of the write-side contracts documented in
+sources/corpus_sink.py: lossless round-trip, partition pruning at the
+PartitionFilters level, row-key pushdown + sorted-within-file order,
+the maxRecordsPerFile size bound, and content-derived (upstream-layout
+independent) shard membership.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dionysus_rb_spark.sources.corpus_sink import read_corpus, write_corpus_shards
+from dionysus_rb_spark.tables import load_table
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory) -> str:
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path_factory.mktemp("corpus_sink") / "docs")
+    write_corpus_shards(
+        docs,
+        out,
+        shard_key="doc_id",
+        partition_by=("lang",),
+        sort_by=("doc_id",),
+        target_rows_per_file=100,
+        shards=5,
+        mode="overwrite",
+    )
+    return out
+
+
+def test_roundtrip_lossless(spark, corpus_path):
+    docs = load_table(spark, SF_DIR, "documents").toPandas()
+    back = read_corpus(spark, corpus_path).toPandas()
+    assert sorted(back.columns) == sorted(docs.columns)
+    key = sorted(docs.columns.tolist())
+    a = docs[key].sort_values(key, na_position="first").reset_index(drop=True)
+    b = back[key].sort_values(key, na_position="first").reset_index(drop=True)
+    # lang round-trips through the directory name; compare as string
+    assert a.astype(str).equals(b.astype(str))
+
+
+def test_partition_pruning_and_key_pushdown(spark, corpus_path):
+    df = read_corpus(spark, corpus_path).filter(
+        (F.col("lang") == "en") & (F.col("doc_id") < 100)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the lang predicate must prune directories, not filter rows
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    # the doc_id predicate must reach the parquet scan
+    pushed = plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    assert "doc_id" in pushed
+
+
+def test_files_sorted_and_size_bounded(spark, corpus_path):
+    per_file = (
+        read_corpus(spark, corpus_path)
+        .withColumn("_f", F.input_file_name())
+        .groupBy("_f")
+        .agg(
+            F.count("*").alias("n"),
+            # sortWithinPartitions emits rows in order and parquet
+            # preserves it, so within every file doc_id is sorted
+            (
+                F.collect_list("doc_id") == F.sort_array(F.collect_list("doc_id"))
+            ).alias("sorted_ok"),
+        )
+        .collect()
+    )
+    assert per_file, "no files written"
+    assert all(r["n"] <= 100 for r in per_file), "maxRecordsPerFile bound broken"
+    assert all(r["sorted_ok"] for r in per_file), "within-file sort broken"
+
+
+def test_shard_membership_is_content_derived(spark, corpus_path, tmp_path):
+    """Re-writing the same rows from a hostile upstream layout (13-way
+    random repartition) must produce the same per-file row sets — the
+    sink-side twin of tests/test_layout_invariance.py."""
+    docs = load_table(spark, SF_DIR, "documents").repartition(13, F.col("n_chars"))
+    out2 = str(tmp_path / "docs2")
+    write_corpus_shards(
+        docs,
+        out2,
+        shard_key="doc_id",
+        partition_by=("lang",),
+        sort_by=("doc_id",),
+        target_rows_per_file=100,
+        shards=5,
+        mode="overwrite",
+    )
+
+    def file_sets(path):
+        rows = (
+            read_corpus(spark, path)
+            .withColumn("_f", F.input_file_name())
+            .groupBy("_f")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .collect()
+        )
+        return sorted(tuple(r["ids"]) for r in rows)
+
+    assert file_sets(corpus_path) == file_sets(out2)
