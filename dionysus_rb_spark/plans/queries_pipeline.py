@@ -442,3 +442,57 @@ def stream_t5_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.select(
         "synced_id", "synced_updated_at", "val", "synced_canceled_at"
     )
+
+
+@query(
+    "pipe_corpus_shard_roundtrip",
+    refs="S8",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def pipe_corpus_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 set-oriented bulk EXPORT, oracle-checked through a real write:
+    the documents corpus lands via the sharded sink (lang-partitioned
+    directories, content-derived doc_id shards, 2048-row file bound,
+    within-file sort — sources/corpus_sink.py) and is re-read from the
+    files; the per-lang profile of the re-read corpus must equal the
+    profile of the source table, so partition-value round-tripping
+    (incl. the NULL partition directory), the file split, and the
+    sort/write path are all inside the certified surface. The reference
+    ends its bulk path at Postgres inserts (lib/dionysus/utils/ — S8);
+    the file-layout concern is the beyond-reference training-corpus
+    sink. NULL semantics: sum/min/max ignore NULL n_chars/doc_id and an
+    all-NULL group stays NULL (missing is not empty); NULL lang is a
+    group like any other."""
+    import tempfile
+
+    from ..sources.corpus_sink import read_corpus, write_corpus_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="corpus_shards_") + "/docs"
+    write_corpus_shards(
+        docs,
+        out,
+        shard_key="doc_id",
+        partition_by=("lang",),
+        sort_by=("doc_id",),
+        target_rows_per_file=2048,
+        shards=8,
+        mode="overwrite",
+    )
+    return (
+        read_corpus(spark, out)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

@@ -141,6 +141,9 @@ EDGE_QUERIES = [
     "emb_label_centroids", "emb_outlier_filter", "emb_pq_encode",
     "emb_pq_trained", "emb_pq_adc_topk", "emb_quantize_int8",
     "emb_semantic_dedup",
+    # sink round-trip: unicode/empty langs become partition DIRECTORY
+    # names and must survive the escape/unescape
+    "pipe_corpus_shard_roundtrip",
 ]
 
 

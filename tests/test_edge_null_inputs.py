@@ -68,6 +68,9 @@ EDGE_QUERIES = [
     "mm_decode_features", "mm_embed_lsh",
     "emb_label_centroids", "emb_kmeans", "ann_bruteforce_topk",
     "pipe_full_curation",
+    # NULL lang -> __HIVE_DEFAULT_PARTITION__ directory -> NULL again;
+    # all-NULL n_chars groups must stay NULL (missing is not empty)
+    "pipe_corpus_shard_roundtrip",
 ]
 
 
