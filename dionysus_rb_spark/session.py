@@ -48,18 +48,27 @@ def apply_runtime_confs(spark: SparkSession) -> None:
             logger.warning("could not set %s=%s on session: %s", k, v, exc)
 
 
-def get_spark(app_name: str = "dionysus-rb-spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "dionysus-rb-spark",
+    cpus: int | None = None,
+    task_retries: int = 1,
+) -> SparkSession:
     """Build (or fetch) a session.
 
     ``cpus`` defaults to $SPARK_GRAFT_CPUS or all local cores. Shuffle
     partition count follows core count locally; on a real cluster AQE
     coalesces the 2x over-provisioned shuffle partitions down to size.
+    ``task_retries`` > 1 enables local task re-execution (master
+    ``local[N,R]``) — used by the task-retry chaos validation
+    (tools/validation/task_retry_chaos.py) to prove results survive
+    first-attempt task failures; the default matches plain local mode.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = f"local[{cpus}]" if task_retries <= 1 else f"local[{cpus},{task_retries}]"
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
