@@ -121,6 +121,55 @@ def test_restart_is_noop_and_replay_idempotent(spark, stream_env, tmp_path):
     assert _final_state(spark, stream_env["store"]) == s1
 
 
+def test_midrun_crash_resumes_from_checkpoint(spark, stream_env):
+    """T1 crash-recovery, the case restart-noop can't see: the query
+    dies BETWEEN micro-batches (batch 0 committed, batch 1 not), and a
+    restart from the same checkpoint must resume at the failed batch
+    and land the exact same snapshot a crash-free run produces. On a
+    real cluster this is driver loss mid-backfill — the steady state,
+    not an edge case (the batch-side twin is
+    tools/validation/task_retry_chaos.py)."""
+    calls = [0]
+
+    def crashing(df):
+        calls[0] += 1
+        if calls[0] == 2:
+            raise RuntimeError("chaos: crash before second micro-batch persists")
+        return df
+
+    def run(hook):
+        q = run_consumer_stream(
+            spark,
+            stream_env["input"],
+            stream_env["checkpoint"],
+            THING,
+            "thing",
+            {"thing": EntitySink(SnapshotStore(stream_env["store"].path))},
+            batch_transformation=hook,
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass  # the crashing run fails its query, by design
+        return q
+
+    q1 = run(crashing)
+    assert q1.exception() is not None, "injected crash did not surface"
+    # partial progress is real: batch 0 (creates) committed, batch 1 not
+    mid = _final_state(spark, stream_env["store"])
+    assert set(mid) == {1, 2} and mid[1]["name"] == "A"
+
+    q2 = run(None)
+    assert q2.exception() is None
+    state = _final_state(spark, stream_env["store"])
+    assert set(state) == {1, 2, 3}
+    assert state[1]["name"] == "A2"  # batch 1 landed on resume
+    assert state[2]["synced_canceled_at"] is not None
+    assert state[3]["name"] == "C"
+
+
 def test_keep_latest_stream_stateful(spark, tmp_path):
     from dionysus_rb_spark.streaming.dedup_stream import keep_latest_stream
 
