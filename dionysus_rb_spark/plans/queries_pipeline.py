@@ -175,9 +175,14 @@ def _stage_events_replays(sf_dir: str, src_dir: str, replays: int) -> None:
     Layout-agnostic on purpose: a table path is a single parquet file in
     the driver fixtures but a DIRECTORY of part files on any production
     table (and in tests/test_layout_invariance.py's scrambled twin), so
-    staging must enumerate whichever shape it finds. Part files keep
-    their sorted enumeration order within each replay so the
-    maxFilesPerTrigger micro-batching stays deterministic."""
+    staging must enumerate whichever shape it finds. Staged names are
+    zero-padded so their lexicographic order matches enumeration order
+    (copy0_10 must not sort between copy0_1 and copy0_2); note the
+    file-stream source orders primarily by modification time, so
+    micro-batch COMPOSITION under maxFilesPerTrigger is not a pinned
+    contract here — the streaming results themselves are split-
+    independent (stream_t5's monotone-merge argument, and every twin's
+    output is set-compared)."""
     import shutil
     from pathlib import Path
 
@@ -185,7 +190,7 @@ def _stage_events_replays(sf_dir: str, src_dir: str, replays: int) -> None:
     parts = sorted(src.glob("*.parquet")) if src.is_dir() else [src]
     for r in range(replays):
         for j, p in enumerate(parts):
-            shutil.copy(p, f"{src_dir}/copy{r}_{j}.parquet")
+            shutil.copy(p, f"{src_dir}/copy{r:03d}_{j:05d}.parquet")
 
 
 @query(
@@ -447,13 +452,16 @@ def stream_t5_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pipe_corpus_shard_roundtrip",
     refs="S8",
+    # nullif mirrors the sink's documented '' -> NULL partition-value
+    # normalization (Hive directory encoding conflates the two; the
+    # sink makes the conflation explicit on both engines)
     oracle="""
-    SELECT lang,
+    SELECT nullif(lang, '') AS lang,
            count(*) AS n_docs,
            min(doc_id) AS min_doc_id,
            max(doc_id) AS max_doc_id,
            CAST(sum(n_chars) AS BIGINT) AS total_chars
-    FROM documents GROUP BY lang
+    FROM documents GROUP BY nullif(lang, '')
     """,
 )
 def pipe_corpus_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,7 +477,9 @@ def pipe_corpus_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the file-layout concern is the beyond-reference training-corpus
     sink. NULL semantics: sum/min/max ignore NULL n_chars/doc_id and an
     all-NULL group stays NULL (missing is not empty); NULL lang is a
-    group like any other."""
+    group like any other, and an EMPTY lang joins it via the sink's
+    documented '' -> NULL partition normalization (mirrored by the
+    oracle's nullif)."""
     import tempfile
 
     from ..sources.corpus_sink import read_corpus, write_corpus_shards

@@ -27,7 +27,22 @@ shard count), not task-derived: re-running the sink on the same rows
 re-creates the same shard membership whatever the upstream
 partitioning did (tests/test_layout_invariance.py is the engine-wide
 statement of that principle; the determinism test here is its
-sink-side twin).
+sink-side twin). Per-FILE determinism additionally needs a total
+within-shard row order, so the shard key is always appended to the
+sort — with a unique shard key (the normal case) the maxRecordsPerFile
+split boundaries are then content-determined too.
+
+Partition-VALUE round-tripping is contractual, with one documented
+normalization: Hive directory encoding cannot distinguish an empty
+string from NULL (both land in ``__HIVE_DEFAULT_PARTITION__``), so the
+sink normalizes ``''`` to NULL at write for string partition columns
+— explicitly, on both engines' side of any oracle, rather than as a
+silent read-back surprise. Partition-column TYPES round-trip via a
+``_corpus_manifest.json`` written next to the data: the reader casts
+each partition column back to its written DDL type, so a lang of
+``'7'`` stays a string instead of being re-typed by Spark's default
+partition-column inference (which is a session-global conf the engine
+must not flip — the bucketed snapshot store relies on typed buckets).
 
 Reference parity: the closest surface is the bulk-import sink
 (lib/dionysus/utils/ — set-oriented inserts, SURVEY §2 S8); the
@@ -37,6 +52,8 @@ This sink is part of the beyond-reference LLM-pipeline family.
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +62,7 @@ from pyspark.sql import functions as F
 __all__ = ["write_corpus_shards", "read_corpus"]
 
 _SHARD_COL = "_shard"
+_MANIFEST = "_corpus_manifest.json"  # leading '_': ignored by parquet scans
 
 
 def write_corpus_shards(
@@ -65,20 +83,42 @@ def write_corpus_shards(
     ``target_rows_per_file`` bounds every emitted file regardless of
     shard skew via the writer-level ``maxRecordsPerFile`` split, so a
     hot shard degrades into several bounded files, never one straggler.
+
+    Per-file determinism holds when ``(partition_by, sort_by,
+    shard_key)`` totally orders rows within each shard — automatic when
+    ``shard_key`` is unique per row. With duplicate full sort keys the
+    landed corpus is still content-exact as a multiset; only which side
+    of a file-split boundary a tied row lands on is unpinned.
     """
     if shard_key in partition_by:
         raise ValueError("shard_key must not be a partition column")
+    if _SHARD_COL in df.columns:
+        raise ValueError(
+            f"input already has a {_SHARD_COL!r} column — the sink needs "
+            "that name for its internal shard id"
+        )
     spark = df.sparkSession
     if shards is None:
         shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
     shards = max(1, shards)
+    # The documented '' -> NULL normalization for string partition
+    # values (Hive directory encoding conflates them; we make the
+    # conflation explicit and engine-independent).
+    part_types: dict[str, str] = {}
+    dtypes = dict(df.dtypes)
+    for p in partition_by:
+        part_types[p] = dtypes[p]
+        if dtypes[p] == "string":
+            df = df.withColumn(p, F.nullif(F.col(p), F.lit("")))
     # Content-derived shard id; NULL keys hash like any other value
     # (xxhash64(NULL, seed) is a constant, so NULL-keyed rows co-locate
     # in one shard rather than scattering nondeterministically).
     sharded = df.withColumn(
         _SHARD_COL, F.pmod(F.xxhash64(F.col(shard_key), F.lit(77)), F.lit(shards))
     )
-    order = [*partition_by, *sort_by] or [_SHARD_COL]
+    # shard_key appended: totally orders rows within a shard when the
+    # key is unique, pinning the maxRecordsPerFile split boundaries
+    order = [*partition_by, *sort_by, shard_key]
     (
         sharded.repartition(shards, *partition_by, _SHARD_COL)
         .sortWithinPartitions(*order)
@@ -88,9 +128,22 @@ def write_corpus_shards(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump({"partition_types": part_types}, f)
 
 
 def read_corpus(spark: SparkSession, path: str) -> DataFrame:
     """Re-open a sharded corpus. Partition columns come back from the
-    directory structure; filters on them prune before the scan."""
-    return spark.read.parquet(path)
+    directory structure and are cast to their WRITTEN types via the
+    manifest — Spark's partition-column type inference would otherwise
+    re-type a numeric-looking string slice value. Filters on them still
+    prune before the scan (the cast sits above the partition filter)."""
+    df = spark.read.parquet(path)
+    manifest = os.path.join(path, _MANIFEST)
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            part_types = json.load(f).get("partition_types", {})
+        for col, ddl in part_types.items():
+            if col in df.columns and dict(df.dtypes)[col] != ddl:
+                df = df.withColumn(col, F.col(col).cast(ddl))
+    return df

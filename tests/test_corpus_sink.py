@@ -53,10 +53,11 @@ def test_partition_pruning_and_key_pushdown(spark, corpus_path):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the lang predicate must prune directories, not filter rows
-    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "PartitionFilters" in plan, plan
+    assert "lang" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     # the doc_id predicate must reach the parquet scan
-    pushed = plan.split("PushedFilters", 1)[1].split("]", 1)[0]
-    assert "doc_id" in pushed
+    assert "PushedFilters" in plan, plan
+    assert "doc_id" in plan.split("PushedFilters", 1)[1].split("]", 1)[0]
 
 
 def test_files_sorted_and_size_bounded(spark, corpus_path):
@@ -107,3 +108,37 @@ def test_shard_membership_is_content_derived(spark, corpus_path, tmp_path):
         return sorted(tuple(r["ids"]) for r in rows)
 
     assert file_sets(corpus_path) == file_sets(out2)
+
+
+def test_hostile_partition_values_round_trip(spark, tmp_path):
+    """Partition VALUES that fight the directory encoding: unicode, a
+    path separator, a space, a numeric-looking string (type-inference
+    bait), NULL, and '' (the documented '' -> NULL normalization —
+    Hive encoding cannot represent the difference, so the sink makes
+    the conflation explicit instead of a read-back surprise)."""
+    rows = [
+        (1, "en"),
+        (2, "zh中文"),
+        (3, "a/b"),
+        (4, "UP ER"),
+        (5, "7"),
+        (6, None),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = str(tmp_path / "hostile")
+    write_corpus_shards(
+        df, out, shard_key="doc_id", partition_by=("lang",), mode="overwrite"
+    )
+    back = {r["doc_id"]: r["lang"] for r in read_corpus(spark, out).collect()}
+    want = {i: v for i, v in rows}
+    want[7] = None  # the one documented normalization
+    assert back == want
+    # type manifest: '7' must come back a STRING, not an inferred int
+    assert dict(read_corpus(spark, out).dtypes)["lang"] == "string"
+
+
+def test_shard_col_collision_rejected(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2)], "doc_id long, _shard long")
+    with pytest.raises(ValueError, match="_shard"):
+        write_corpus_shards(df, str(tmp_path / "x"), shard_key="doc_id")

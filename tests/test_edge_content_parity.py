@@ -141,8 +141,10 @@ EDGE_QUERIES = [
     "emb_label_centroids", "emb_outlier_filter", "emb_pq_encode",
     "emb_pq_trained", "emb_pq_adc_topk", "emb_quantize_int8",
     "emb_semantic_dedup",
-    # sink round-trip: unicode/empty langs become partition DIRECTORY
-    # names and must survive the escape/unescape
+    # sink round-trip over the salted documents (zero-token, unicode,
+    # huge-token texts through the write path; hostile partition VALUES
+    # are pinned separately in test_corpus_sink.py — this corpus keeps
+    # the standard lang set)
     "pipe_corpus_shard_roundtrip",
 ]
 

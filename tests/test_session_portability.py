@@ -72,6 +72,11 @@ def test_hostile_session_parity(hostile, name):
 
 
 def test_runtime_confs_healed(hostile):
+    # Trigger the healing explicitly — this test must not depend on the
+    # parity tests having run first (pytest -k / xdist isolation).
+    from dionysus_rb_spark.tables import load_table
+
+    load_table(hostile, SF_DIR, "region")
     # load_table must have re-applied every runtime conf on the hostile
     # session; the deliberately unmanaged conf stays the driver's.
     for k, v in RUNTIME_CONFS.items():

@@ -137,7 +137,7 @@ def test_midrun_crash_resumes_from_checkpoint(spark, stream_env):
             raise RuntimeError("chaos: crash before second micro-batch persists")
         return df
 
-    def run(hook):
+    def run(hook, expect_crash):
         q = run_consumer_stream(
             spark,
             stream_env["input"],
@@ -149,19 +149,24 @@ def test_midrun_crash_resumes_from_checkpoint(spark, stream_env):
             available_now=True,
             max_files_per_trigger=1,
         )
-        try:
-            q.awaitTermination(120)
-        except Exception:
-            pass  # the crashing run fails its query, by design
+        if expect_crash:
+            try:
+                q.awaitTermination(120)
+            except Exception:
+                pass  # the crashing run fails its query, by design
+        else:
+            # un-swallowed, and the True return proves the query FINISHED
+            # (a 120s timeout would read the snapshot mid-flight)
+            assert q.awaitTermination(120) is True
         return q
 
-    q1 = run(crashing)
+    q1 = run(crashing, expect_crash=True)
     assert q1.exception() is not None, "injected crash did not surface"
     # partial progress is real: batch 0 (creates) committed, batch 1 not
     mid = _final_state(spark, stream_env["store"])
     assert set(mid) == {1, 2} and mid[1]["name"] == "A"
 
-    q2 = run(None)
+    q2 = run(None, expect_crash=False)
     assert q2.exception() is None
     state = _final_state(spark, stream_env["store"])
     assert set(state) == {1, 2, 3}

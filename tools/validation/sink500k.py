@@ -90,6 +90,7 @@ def main() -> None:
     n_pruned = pruned.count()
     t_pruned = time.time() - t0
     plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "PushedFilters" in plan, plan
     part = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     pushed = plan.split("PushedFilters", 1)[1].split("]", 1)[0]
     assert "lang" in part and "doc_id" in pushed
