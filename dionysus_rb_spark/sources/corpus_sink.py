@@ -59,7 +59,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_corpus_shards", "read_corpus"]
+__all__ = ["write_corpus_shards", "read_corpus", "compact_corpus"]
 
 _SHARD_COL = "_shard"
 _MANIFEST = "_corpus_manifest.json"  # leading '_': ignored by parquet scans
@@ -117,10 +117,16 @@ def write_corpus_shards(
         _SHARD_COL, F.pmod(F.xxhash64(F.col(shard_key), F.lit(77)), F.lit(shards))
     )
     # shard_key appended: totally orders rows within a shard when the
-    # key is unique, pinning the maxRecordsPerFile split boundaries
+    # key is unique, pinning the maxRecordsPerFile split boundaries.
+    # The distribution key is the SHARD ALONE (not partition cols +
+    # shard): compaction rewrites one partition directory at a time and
+    # must reproduce the identical task packing from just the shard ids
+    # — that is what makes compact(write+appends) converge file-for-file
+    # on write(union) (test_corpus_sink.py). Partition cols still LEAD
+    # the sort, so each task writes its directories sequentially.
     order = [*partition_by, *sort_by, shard_key]
     (
-        sharded.repartition(shards, *partition_by, _SHARD_COL)
+        sharded.repartition(shards, _SHARD_COL)
         .sortWithinPartitions(*order)
         .drop(_SHARD_COL)
         .write.mode(mode)
@@ -128,8 +134,117 @@ def write_corpus_shards(
         .partitionBy(*partition_by)
         .parquet(path)
     )
-    with open(os.path.join(path, _MANIFEST), "w") as f:
-        json.dump({"partition_types": part_types}, f)
+    manifest_path = os.path.join(path, _MANIFEST)
+    if mode == "append" and os.path.exists(manifest_path):
+        # the FIRST write's layout governs the corpus; appends that pass
+        # different knobs land physically but compaction normalizes to
+        # the recorded layout
+        return
+    with open(manifest_path, "w") as f:
+        json.dump(
+            {
+                "partition_types": part_types,
+                "layout": {
+                    "shard_key": shard_key,
+                    "partition_by": list(partition_by),
+                    "sort_by": list(sort_by),
+                    "target_rows_per_file": target_rows_per_file,
+                    "shards": shards,
+                },
+            },
+            f,
+        )
+
+
+def compact_corpus(
+    spark: SparkSession, path: str, partitions: Sequence[str] | None = None
+) -> None:
+    """Re-land a corpus (or a subset of its partition directories) in
+    the manifest's canonical shard layout.
+
+    Incremental ``mode="append"`` writes accumulate small files — the
+    operational killer at 100 TB (every downstream scan pays per-file
+    scheduling and footer costs). Because shard membership and
+    within-file order are CONTENT-derived, compaction is *convergent*:
+    compacting any sequence of appends produces byte-set-identical
+    per-file layouts to a single fresh write of the union, so re-running
+    a half-finished compaction (or compacting an already-compact
+    corpus) is always safe and a no-op layout-wise.
+
+    ``partitions`` selects directory names (e.g. ``["lang=en"]``) to
+    compact incrementally — cost is bounded by the selected partitions'
+    size, which is how a 100 TB corpus compacts on a schedule instead
+    of in one job. The per-directory rewrite is replace-after-write on
+    the filesystem, not transactional: a reader racing the swap can see
+    a directory mid-replace (use a lakehouse table format when that
+    matters; this sink is the layout algebra, proven deterministic).
+    """
+    import shutil
+    import tempfile
+
+    with open(os.path.join(path, _MANIFEST)) as f:
+        manifest = json.load(f)
+    layout = manifest["layout"]
+    part_cols = layout["partition_by"]
+    dirs = [
+        d
+        for d in sorted(os.listdir(path))
+        if os.path.isdir(os.path.join(path, d))
+        and (partitions is None or d in partitions)
+    ]
+    if not part_cols:
+        dirs = ["."]  # unpartitioned corpus: compact the root
+    for d in dirs:
+        src = os.path.normpath(os.path.join(path, d))
+        df = read_corpus(spark, path) if d == "." else read_corpus_dir(spark, path, d)
+        tmp = tempfile.mkdtemp(prefix="compact_", dir=path)
+        # Re-shard through the canonical layout (the '' -> NULL partition
+        # normalization is already applied on disk, so no re-normalize).
+        _rewrite_dir(df, tmp, layout, part_cols, d)
+        # swap: remove old contents, move new in
+        if d == ".":
+            for name in os.listdir(src):
+                p = os.path.join(src, name)
+                if name != _MANIFEST and not name.startswith("compact_"):
+                    shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+            target_dir = src
+        else:
+            shutil.rmtree(src)
+            target_dir = src
+            os.makedirs(target_dir, exist_ok=True)
+        for name in os.listdir(tmp):
+            os.replace(os.path.join(tmp, name), os.path.join(target_dir, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _rewrite_dir(
+    df: DataFrame, tmp: str, layout: dict, part_cols: Sequence[str], d: str
+) -> None:
+    """Write ``df`` (one partition directory's rows, partition columns
+    already dropped from the files) into ``tmp`` in canonical layout."""
+    shards = max(1, int(layout["shards"]))
+    shard_key = layout["shard_key"]
+    sort_by = layout["sort_by"]
+    data_cols = [c for c in df.columns if c not in part_cols]
+    body = df.select(*data_cols)
+    sharded = body.withColumn(
+        _SHARD_COL, F.pmod(F.xxhash64(F.col(shard_key), F.lit(77)), F.lit(shards))
+    )
+    order = [*sort_by, shard_key]
+    (
+        sharded.repartition(shards, _SHARD_COL)
+        .sortWithinPartitions(*order)
+        .drop(_SHARD_COL)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", layout["target_rows_per_file"])
+        .parquet(tmp)
+    )
+
+
+def read_corpus_dir(spark: SparkSession, path: str, d: str) -> DataFrame:
+    """Read ONE partition directory's rows (partition columns excluded —
+    they live in the directory name, which is preserved by compaction)."""
+    return spark.read.parquet(os.path.join(path, d))
 
 
 def read_corpus(spark: SparkSession, path: str) -> DataFrame:

@@ -110,6 +110,95 @@ def test_shard_membership_is_content_derived(spark, corpus_path, tmp_path):
     assert file_sets(corpus_path) == file_sets(out2)
 
 
+def _file_sets(spark, path):
+    from dionysus_rb_spark.sources.corpus_sink import read_corpus as _rc
+
+    rows = (
+        _rc(spark, path)
+        .withColumn("_f", F.input_file_name())
+        .groupBy("_f")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .collect()
+    )
+    return sorted(tuple(r["ids"]) for r in rows)
+
+
+def test_append_then_compact_converges(spark, tmp_path):
+    """The convergence law that makes incremental corpora maintainable:
+    compact(write(a) + append(b)) lands per-file row sets IDENTICAL to
+    write(a ∪ b) — because shard membership and within-file order are
+    content-derived, the layout is a function of the corpus, not of the
+    write history. Compaction is idempotent for the same reason."""
+    from dionysus_rb_spark.sources.corpus_sink import compact_corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    knobs = dict(
+        shard_key="doc_id",
+        partition_by=("lang",),
+        sort_by=("doc_id",),
+        target_rows_per_file=100,
+        shards=5,
+    )
+    inc = str(tmp_path / "incremental")
+    write_corpus_shards(docs.filter(F.col("doc_id") % 2 == 0), inc, mode="overwrite", **knobs)
+    write_corpus_shards(docs.filter(F.col("doc_id") % 2 == 1), inc, mode="append", **knobs)
+    full = str(tmp_path / "fresh")
+    write_corpus_shards(docs, full, mode="overwrite", **knobs)
+
+    # the append history left a different (small-file) layout...
+    assert _file_sets(spark, inc) != _file_sets(spark, full)
+    # ...and one compaction converges it to the fresh-write layout
+    compact_corpus(spark, inc)
+    assert _file_sets(spark, inc) == _file_sets(spark, full)
+    # idempotent: compacting a compact corpus changes nothing
+    compact_corpus(spark, inc)
+    assert _file_sets(spark, inc) == _file_sets(spark, full)
+
+
+def test_partial_compaction_is_incremental(spark, tmp_path):
+    """Compacting ONE partition directory converges that directory and
+    leaves the others' files untouched — cost bounded by the selected
+    partition, the property that lets a 100 TB corpus compact on a
+    schedule."""
+    from dionysus_rb_spark.sources.corpus_sink import compact_corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    knobs = dict(
+        shard_key="doc_id",
+        partition_by=("lang",),
+        sort_by=("doc_id",),
+        target_rows_per_file=100,
+        shards=5,
+    )
+    inc = str(tmp_path / "inc")
+    write_corpus_shards(docs.filter(F.col("doc_id") % 2 == 0), inc, mode="overwrite", **knobs)
+    write_corpus_shards(docs.filter(F.col("doc_id") % 2 == 1), inc, mode="append", **knobs)
+    full = str(tmp_path / "full")
+    write_corpus_shards(docs, full, mode="overwrite", **knobs)
+
+    langs = sorted(
+        r["lang"] for r in docs.select("lang").distinct().collect() if r["lang"]
+    )
+    target = f"lang={langs[0]}"
+
+    def per_dir(path, d):
+        rows = (
+            spark.read.parquet(f"{path}/{d}")
+            .withColumn("_f", F.input_file_name())
+            .groupBy("_f")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .collect()
+        )
+        return sorted(tuple(r["ids"]) for r in rows)
+
+    before_other = per_dir(inc, f"lang={langs[1]}")
+    compact_corpus(spark, inc, partitions=[target])
+    # selected directory converged to the fresh layout
+    assert per_dir(inc, target) == per_dir(full, target)
+    # unselected directory byte-set untouched (still the append layout)
+    assert per_dir(inc, f"lang={langs[1]}") == before_other
+
+
 def test_hostile_partition_values_round_trip(spark, tmp_path):
     """Partition VALUES that fight the directory encoding: unicode, a
     path separator, a space, a numeric-looking string (type-inference

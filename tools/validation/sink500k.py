@@ -134,6 +134,48 @@ def main() -> None:
     assert file_fingerprints(out) == file_fingerprints(out2)
     print("determinism: per-file row sets identical from hostile layout")
 
+    # Append a 100k delta, compact, and require file-for-file
+    # convergence on a fresh write of the 600k union — the property
+    # that makes scheduled compaction of an incrementally grown corpus
+    # safe to re-run and cheap to verify.
+    from dionysus_rb_spark.sources.corpus_sink import compact_corpus
+
+    corpus6 = scratch / "corpus600"
+    build_corpus(spark, corpus6, n_docs=600_000)
+    all6 = spark.read.parquet(str(corpus6 / "documents.parquet"))
+    delta = all6.filter(F.col("doc_id") >= 500_000)
+    t0 = time.time()
+    write_corpus_shards(
+        delta,
+        out,
+        shard_key="doc_id",
+        partition_by=("lang",),
+        sort_by=("doc_id",),
+        target_rows_per_file=TARGET_ROWS,
+        shards=SHARDS,
+        mode="append",
+    )
+    t_append = time.time() - t0
+    t0 = time.time()
+    compact_corpus(spark, out)
+    t_compact = time.time() - t0
+    fresh6 = str(scratch / "landed600")
+    write_corpus_shards(
+        all6,
+        fresh6,
+        shard_key="doc_id",
+        partition_by=("lang",),
+        sort_by=("doc_id",),
+        target_rows_per_file=TARGET_ROWS,
+        shards=SHARDS,
+        mode="overwrite",
+    )
+    assert file_fingerprints(out) == file_fingerprints(fresh6)
+    print(
+        f"append 100k: {t_append:.1f}s; compact 600k: {t_compact:.1f}s; "
+        "converged file-for-file on the fresh 600k write"
+    )
+
 
 if __name__ == "__main__":
     main()
