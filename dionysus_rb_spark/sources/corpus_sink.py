@@ -186,10 +186,22 @@ def compact_corpus(
         manifest = json.load(f)
     layout = manifest["layout"]
     part_cols = layout["partition_by"]
+    # single-writer assumption (documented above): stale temp dirs from
+    # a crashed compaction are garbage — reclaim them up front. They
+    # were never visible to readers: the leading underscore keeps Spark's
+    # source discovery from treating them as data.
+    for d in os.listdir(path):
+        if d.startswith("_compact_"):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    # only true partition directories (col=value): a crashed prior
+    # compaction's compact_* temp dir must never be read as data — its
+    # contents are already (or about to be) somewhere else
+    prefixes = tuple(f"{c}=" for c in part_cols)
     dirs = [
         d
         for d in sorted(os.listdir(path))
         if os.path.isdir(os.path.join(path, d))
+        and d.startswith(prefixes)
         and (partitions is None or d in partitions)
     ]
     if not part_cols:
@@ -197,7 +209,7 @@ def compact_corpus(
     for d in dirs:
         src = os.path.normpath(os.path.join(path, d))
         df = read_corpus(spark, path) if d == "." else read_corpus_dir(spark, path, d)
-        tmp = tempfile.mkdtemp(prefix="compact_", dir=path)
+        tmp = tempfile.mkdtemp(prefix="_compact_", dir=path)
         # Re-shard through the canonical layout (the '' -> NULL partition
         # normalization is already applied on disk, so no re-normalize).
         _rewrite_dir(df, tmp, layout, part_cols, d)
@@ -205,7 +217,7 @@ def compact_corpus(
         if d == ".":
             for name in os.listdir(src):
                 p = os.path.join(src, name)
-                if name != _MANIFEST and not name.startswith("compact_"):
+                if name != _MANIFEST and not name.startswith("_compact_"):
                     shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
             target_dir = src
         else:

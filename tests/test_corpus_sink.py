@@ -199,6 +199,32 @@ def test_partial_compaction_is_incremental(spark, tmp_path):
     assert per_dir(inc, f"lang={langs[1]}") == before_other
 
 
+def test_crashed_compaction_leftover_is_invisible_and_reclaimed(spark, tmp_path):
+    """A compaction that died after its temp write leaves a _compact_*
+    dir: the leading underscore keeps Spark's source discovery from
+    ever reading it as data, and the next compaction reclaims it. The
+    corpus must read identically throughout."""
+    import os
+
+    from dionysus_rb_spark.sources.corpus_sink import compact_corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "corpus")
+    knobs = dict(
+        shard_key="doc_id", partition_by=("lang",), sort_by=("doc_id",),
+        target_rows_per_file=100, shards=5,
+    )
+    write_corpus_shards(docs, out, mode="overwrite", **knobs)
+    n = read_corpus(spark, out).count()
+    # simulate the crash: a temp dir holding a full copy of one slice
+    stale = os.path.join(out, "_compact_stale")
+    docs.filter(F.col("lang") == "en").drop("lang").write.parquet(stale)
+    assert read_corpus(spark, out).count() == n, "leftover visible to readers"
+    compact_corpus(spark, out)
+    assert not os.path.exists(stale), "stale temp dir not reclaimed"
+    assert read_corpus(spark, out).count() == n
+
+
 def test_hostile_partition_values_round_trip(spark, tmp_path):
     """Partition VALUES that fight the directory encoding: unicode, a
     path separator, a space, a numeric-looking string (type-inference
