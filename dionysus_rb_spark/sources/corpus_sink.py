@@ -101,6 +101,29 @@ def write_corpus_shards(
     if shards is None:
         shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
     shards = max(1, shards)
+    manifest_path = os.path.join(path, _MANIFEST)
+    existing_manifest = None
+    if mode == "append" and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            existing_manifest = json.load(f)
+        recorded = existing_manifest.get("layout")
+        if recorded is not None:
+            # Structural knobs must match the corpus or the landed
+            # directory tree itself diverges (a flat append into a
+            # partitioned corpus breaks partition discovery outright) —
+            # validated BEFORE any data lands. The physical knobs
+            # (target_rows_per_file, shards) may differ per delta;
+            # compaction normalizes them to the recorded layout.
+            for k, passed in (
+                ("shard_key", shard_key),
+                ("partition_by", list(partition_by)),
+                ("sort_by", list(sort_by)),
+            ):
+                if recorded[k] != passed:
+                    raise ValueError(
+                        f"append layout mismatch on {k!r}: corpus recorded "
+                        f"{recorded[k]!r}, append passed {passed!r}"
+                    )
     # The documented '' -> NULL normalization for string partition
     # values (Hive directory encoding conflates them; we make the
     # conflation explicit and engine-independent).
@@ -134,26 +157,42 @@ def write_corpus_shards(
         .partitionBy(*partition_by)
         .parquet(path)
     )
-    manifest_path = os.path.join(path, _MANIFEST)
-    if mode == "append" and os.path.exists(manifest_path):
-        # the FIRST write's layout governs the corpus; appends that pass
-        # different knobs land physically but compaction normalizes to
-        # the recorded layout
+    layout = {
+        "shard_key": shard_key,
+        "partition_by": list(partition_by),
+        "sort_by": list(sort_by),
+        "target_rows_per_file": target_rows_per_file,
+        "shards": shards,
+    }
+    if existing_manifest is not None:
+        if existing_manifest.get("layout") is None:
+            # pre-layout manifest (older sink): this append has every
+            # knob needed to make the corpus compactable — record them
+            existing_manifest["layout"] = layout
+            with open(manifest_path, "w") as f:
+                json.dump(existing_manifest, f)
+        # otherwise the FIRST write's layout stands
         return
     with open(manifest_path, "w") as f:
-        json.dump(
-            {
-                "partition_types": part_types,
-                "layout": {
-                    "shard_key": shard_key,
-                    "partition_by": list(partition_by),
-                    "sort_by": list(sort_by),
-                    "target_rows_per_file": target_rows_per_file,
-                    "shards": shards,
-                },
-            },
-            f,
-        )
+        json.dump({"partition_types": part_types, "layout": layout}, f)
+
+
+_TRASH = "_compact_old_"
+_PHASE_MARKER = "_compact_phase"
+
+
+def _trash_name(leafname: str) -> str:
+    """Encode a leaf dir name into its trash sibling's name. The '=' must
+    go: Spark's partition discovery parses any dir containing '=' as a
+    partition column (underscore prefix or not) and fails the read with
+    a conflict; an '='-free underscore name is fully ignored (probed).
+    Percent-encoding, '%' first, keeps it reversible even for values
+    Hive itself escaped (a literal '=' in a value is stored as %3D)."""
+    return _TRASH + leafname.replace("%", "%25").replace("=", "%3D")
+
+
+def _untrash_name(trashname: str) -> str:
+    return trashname[len(_TRASH):].replace("%3D", "=").replace("%25", "%")
 
 
 def compact_corpus(
@@ -171,69 +210,192 @@ def compact_corpus(
     a half-finished compaction (or compacting an already-compact
     corpus) is always safe and a no-op layout-wise.
 
-    ``partitions`` selects directory names (e.g. ``["lang=en"]``) to
-    compact incrementally — cost is bounded by the selected partitions'
-    size, which is how a 100 TB corpus compacts on a schedule instead
-    of in one job. The per-directory rewrite is replace-after-write on
-    the filesystem, not transactional: a reader racing the swap can see
-    a directory mid-replace (use a lakehouse table format when that
-    matters; this sink is the layout algebra, proven deterministic).
+    ``partitions`` selects LEAF partition directories by relative path
+    (e.g. ``["lang=en"]``, or ``["lang=en/source=web"]`` on a two-level
+    corpus — a prefix selects its whole subtree); unknown names raise
+    instead of silently compacting nothing. Cost is bounded by the
+    selected partitions' size, which is how a 100 TB corpus compacts on
+    a schedule instead of in one job.
+
+    Crash-safety (single compactor at a time, documented): each leaf
+    swap is rename-aside — old dir -> ``_compact_old_*`` sibling, new
+    dir renamed in, trash removed — so every crash point leaves a
+    recoverable state, and the next run's recovery pass restores or
+    reclaims before doing anything else. The unpartitioned root cannot
+    swap by directory rename, so it uses a phase-marker protocol with
+    the same property. Underscore-prefixed temp/trash names keep Spark
+    source discovery from ever reading in-flight state as data. A
+    reader racing the swap can still see a directory mid-replace (use a
+    lakehouse table format when that matters; this sink is the layout
+    algebra underneath, proven deterministic).
     """
     import shutil
     import tempfile
 
     with open(os.path.join(path, _MANIFEST)) as f:
         manifest = json.load(f)
-    layout = manifest["layout"]
+    layout = manifest.get("layout")
+    if layout is None:
+        raise ValueError(
+            f"{path}: manifest has no layout record — corpus written by a "
+            "pre-layout sink; re-land it with write_corpus_shards to compact"
+        )
     part_cols = layout["partition_by"]
-    # single-writer assumption (documented above): stale temp dirs from
-    # a crashed compaction are garbage — reclaim them up front. They
-    # were never visible to readers: the leading underscore keeps Spark's
-    # source discovery from treating them as data.
+    _recover_crashed_compaction(path, part_cols)
+    # stale temp dirs from a crashed compaction (post-recovery, they are
+    # guaranteed redundant copies) — reclaim
     for d in os.listdir(path):
-        if d.startswith("_compact_"):
-            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-    # only true partition directories (col=value): a crashed prior
-    # compaction's compact_* temp dir must never be read as data — its
-    # contents are already (or about to be) somewhere else
-    prefixes = tuple(f"{c}=" for c in part_cols)
-    dirs = [
-        d
-        for d in sorted(os.listdir(path))
-        if os.path.isdir(os.path.join(path, d))
-        and d.startswith(prefixes)
-        and (partitions is None or d in partitions)
-    ]
+        if d.startswith("_compact_") and not d.startswith(_TRASH):
+            p = os.path.join(path, d)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+
     if not part_cols:
-        dirs = ["."]  # unpartitioned corpus: compact the root
-    for d in dirs:
-        src = os.path.normpath(os.path.join(path, d))
-        df = read_corpus(spark, path) if d == "." else read_corpus_dir(spark, path, d)
+        if partitions is not None:
+            raise ValueError("partitions given but the corpus is unpartitioned")
+        _compact_root(spark, path, layout, part_cols)
+        return
+
+    leaves = _leaf_dirs(path, part_cols)
+    if partitions is not None:
+        chosen = []
+        for sel in partitions:
+            matched = [
+                leaf
+                for leaf in leaves
+                if leaf == sel or leaf.startswith(sel + os.sep)
+            ]
+            if not matched:
+                raise ValueError(
+                    f"unknown partition {sel!r}; available: {leaves}"
+                )
+            chosen.extend(matched)
+        leaves = sorted(set(chosen))
+    for rel in leaves:
+        src = os.path.join(path, rel)
+        df = spark.read.parquet(src)  # leaf: data files only
         tmp = tempfile.mkdtemp(prefix="_compact_", dir=path)
         # Re-shard through the canonical layout (the '' -> NULL partition
         # normalization is already applied on disk, so no re-normalize).
-        _rewrite_dir(df, tmp, layout, part_cols, d)
-        # swap: remove old contents, move new in
-        if d == ".":
-            for name in os.listdir(src):
-                p = os.path.join(src, name)
-                if name != _MANIFEST and not name.startswith("_compact_"):
+        _rewrite_dir(df, tmp, layout, part_cols)
+        # atomic-per-step swap: aside, in, reclaim
+        trash = os.path.join(
+            os.path.dirname(src), _trash_name(os.path.basename(src))
+        )
+        os.rename(src, trash)
+        os.rename(tmp, src)
+        shutil.rmtree(trash, ignore_errors=True)
+
+
+def _compact_root(spark, path: str, layout: dict, part_cols: Sequence[str]) -> None:
+    """Unpartitioned corpus: data files live at the root next to the
+    manifest, so the swap is file-level under a phase marker (see
+    _recover_crashed_compaction for the crash analysis)."""
+    import shutil
+    import tempfile
+
+    df = read_corpus(spark, path)
+    tmp = tempfile.mkdtemp(prefix="_compact_", dir=path)
+    _rewrite_dir(df, tmp, layout, part_cols)
+    trash = os.path.join(path, _TRASH + "root")
+    os.makedirs(trash)
+    for name in _root_data_entries(path):
+        os.rename(os.path.join(path, name), os.path.join(trash, name))
+    marker = os.path.join(path, _PHASE_MARKER)
+    open(marker, "w").close()  # phase 2: old is fully aside
+    for name in os.listdir(tmp):
+        os.replace(os.path.join(tmp, name), os.path.join(path, name))
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
+    os.remove(marker)  # marker outlives the trash: see recovery case (b2)
+
+
+def _root_data_entries(path: str) -> list[str]:
+    return [
+        n
+        for n in sorted(os.listdir(path))
+        if n != _MANIFEST and not n.startswith("_") and not n.startswith(".")
+    ]
+
+
+def _recover_crashed_compaction(path: str, part_cols: Sequence[str]) -> None:
+    """Restore a consistent corpus from any crash point of a prior run.
+
+    Leaf swaps are three atomic renames, so: trash present + target
+    missing -> crashed between renames, restore the old dir; trash
+    present + target present -> new data landed, trash is superseded,
+    reclaim it. The root protocol's phase marker disambiguates the
+    file-level cases: (a) no marker + trash -> crash while moving old
+    aside: move it back (names are unique, no conflicts); (b) marker +
+    trash -> crash while moving new in: root data entries are partial
+    new, delete them and restore the old set; (b2) marker + no trash ->
+    new data complete, trash already reclaimed: drop the marker.
+    """
+    import shutil
+
+    if not part_cols:
+        trash = os.path.join(path, _TRASH + "root")
+        marker = os.path.join(path, _PHASE_MARKER)
+        if os.path.exists(marker):
+            if os.path.isdir(trash):
+                for name in _root_data_entries(path):
+                    p = os.path.join(path, name)
                     shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
-            target_dir = src
-        else:
-            shutil.rmtree(src)
-            target_dir = src
-            os.makedirs(target_dir, exist_ok=True)
-        for name in os.listdir(tmp):
-            os.replace(os.path.join(tmp, name), os.path.join(target_dir, name))
-        shutil.rmtree(tmp, ignore_errors=True)
+                for name in os.listdir(trash):
+                    os.rename(os.path.join(trash, name), os.path.join(path, name))
+                shutil.rmtree(trash, ignore_errors=True)
+            os.remove(marker)
+        elif os.path.isdir(trash):
+            for name in os.listdir(trash):
+                dst = os.path.join(path, name)
+                if not os.path.exists(dst):
+                    os.rename(os.path.join(trash, name), dst)
+            shutil.rmtree(trash, ignore_errors=True)
+        return
+
+    bases = [path]
+    for col in part_cols:
+        nxt = []
+        for base in bases:
+            for name in sorted(os.listdir(base)):
+                if name.startswith(_TRASH):
+                    full = os.path.join(base, name)
+                    target = os.path.join(base, _untrash_name(name))
+                    if os.path.exists(target):
+                        shutil.rmtree(full, ignore_errors=True)
+                    else:
+                        os.rename(full, target)
+            for name in sorted(os.listdir(base)):
+                full = os.path.join(base, name)
+                if os.path.isdir(full) and name.startswith(f"{col}="):
+                    nxt.append(full)
+        bases = nxt
+
+
+def _leaf_dirs(path: str, part_cols: Sequence[str]) -> list[str]:
+    """Relative paths of the LEAF partition directories (full nesting
+    depth — compacting an intermediate level would partition-discover
+    the deeper columns into the data and destroy them)."""
+    rels = [""]
+    for col in part_cols:
+        nxt = []
+        for rel in rels:
+            base = os.path.join(path, rel) if rel else path
+            for name in sorted(os.listdir(base)):
+                if name.startswith(f"{col}=") and os.path.isdir(
+                    os.path.join(base, name)
+                ):
+                    nxt.append(os.path.join(rel, name) if rel else name)
+        rels = nxt
+    return rels
 
 
 def _rewrite_dir(
-    df: DataFrame, tmp: str, layout: dict, part_cols: Sequence[str], d: str
+    df: DataFrame, tmp: str, layout: dict, part_cols: Sequence[str]
 ) -> None:
-    """Write ``df`` (one partition directory's rows, partition columns
-    already dropped from the files) into ``tmp`` in canonical layout."""
+    """Write ``df`` (one leaf directory's rows — partition columns live
+    in the directory path, not the files) into ``tmp`` in canonical
+    layout."""
     shards = max(1, int(layout["shards"]))
     shard_key = layout["shard_key"]
     sort_by = layout["sort_by"]
@@ -251,12 +413,6 @@ def _rewrite_dir(
         .option("maxRecordsPerFile", layout["target_rows_per_file"])
         .parquet(tmp)
     )
-
-
-def read_corpus_dir(spark: SparkSession, path: str, d: str) -> DataFrame:
-    """Read ONE partition directory's rows (partition columns excluded —
-    they live in the directory name, which is preserved by compaction)."""
-    return spark.read.parquet(os.path.join(path, d))
 
 
 def read_corpus(spark: SparkSession, path: str) -> DataFrame:

@@ -97,25 +97,16 @@ def test_shard_membership_is_content_derived(spark, corpus_path, tmp_path):
         mode="overwrite",
     )
 
-    def file_sets(path):
-        rows = (
-            read_corpus(spark, path)
-            .withColumn("_f", F.input_file_name())
-            .groupBy("_f")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-            .collect()
-        )
-        return sorted(tuple(r["ids"]) for r in rows)
-
-    assert file_sets(corpus_path) == file_sets(out2)
+    assert _file_sets(spark, corpus_path) == _file_sets(spark, out2)
 
 
-def _file_sets(spark, path):
-    from dionysus_rb_spark.sources.corpus_sink import read_corpus as _rc
-
+def _file_sets(spark, path, sub=None):
+    """Per-file sorted doc_id tuples — the layout fingerprint every
+    determinism/convergence assertion compares. ``sub`` reads one
+    partition directory raw (no manifest cast)."""
+    df = spark.read.parquet(f"{path}/{sub}") if sub else read_corpus(spark, path)
     rows = (
-        _rc(spark, path)
-        .withColumn("_f", F.input_file_name())
+        df.withColumn("_f", F.input_file_name())
         .groupBy("_f")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .collect()
@@ -181,22 +172,103 @@ def test_partial_compaction_is_incremental(spark, tmp_path):
     )
     target = f"lang={langs[0]}"
 
-    def per_dir(path, d):
-        rows = (
-            spark.read.parquet(f"{path}/{d}")
-            .withColumn("_f", F.input_file_name())
-            .groupBy("_f")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-            .collect()
-        )
-        return sorted(tuple(r["ids"]) for r in rows)
-
-    before_other = per_dir(inc, f"lang={langs[1]}")
+    before_other = _file_sets(spark, inc, sub=f"lang={langs[1]}")
     compact_corpus(spark, inc, partitions=[target])
     # selected directory converged to the fresh layout
-    assert per_dir(inc, target) == per_dir(full, target)
+    assert _file_sets(spark, inc, sub=target) == _file_sets(spark, full, sub=target)
     # unselected directory byte-set untouched (still the append layout)
-    assert per_dir(inc, f"lang={langs[1]}") == before_other
+    assert _file_sets(spark, inc, sub=f"lang={langs[1]}") == before_other
+    # unknown selector names must raise, not silently compact nothing
+    with pytest.raises(ValueError, match="unknown partition"):
+        compact_corpus(spark, inc, partitions=["lang=nope"])
+
+
+def test_nested_partitions_compact_losslessly(spark, tmp_path):
+    """Multi-level partition_by: compaction must operate on LEAF
+    directories — rewriting an intermediate level would partition-
+    discover the deeper column into the files and destroy it."""
+    from dionysus_rb_spark.sources.corpus_sink import compact_corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    knobs = dict(
+        shard_key="doc_id",
+        partition_by=("lang", "source"),
+        sort_by=("doc_id",),
+        target_rows_per_file=100,
+        shards=3,
+    )
+    inc = str(tmp_path / "inc")
+    write_corpus_shards(docs.filter(F.col("doc_id") % 2 == 0), inc, mode="overwrite", **knobs)
+    write_corpus_shards(docs.filter(F.col("doc_id") % 2 == 1), inc, mode="append", **knobs)
+    full = str(tmp_path / "full")
+    write_corpus_shards(docs, full, mode="overwrite", **knobs)
+
+    compact_corpus(spark, inc)
+    assert _file_sets(spark, inc) == _file_sets(spark, full)
+    # both partition columns survived with their values
+    a = read_corpus(spark, inc).groupBy("lang", "source").count().collect()
+    b = docs.groupBy("lang", "source").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # a prefix selector compacts the whole subtree
+    langs = sorted(r["lang"] for r in docs.select("lang").distinct().collect())
+    compact_corpus(spark, inc, partitions=[f"lang={langs[0]}"])
+    assert _file_sets(spark, inc) == _file_sets(spark, full)
+
+
+def test_append_layout_mismatch_rejected_before_landing(spark, tmp_path):
+    """A structurally mismatched append must fail BEFORE any data lands
+    — a flat append into a partitioned corpus breaks partition
+    discovery outright."""
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "corpus")
+    write_corpus_shards(
+        docs, out, shard_key="doc_id", partition_by=("lang",),
+        sort_by=("doc_id",), target_rows_per_file=100, shards=5,
+        mode="overwrite",
+    )
+    n = read_corpus(spark, out).count()
+    with pytest.raises(ValueError, match="append layout mismatch"):
+        write_corpus_shards(
+            docs, out, shard_key="doc_id", partition_by=(),
+            sort_by=("doc_id",), mode="append",
+        )
+    assert read_corpus(spark, out).count() == n, "rejected append landed data"
+
+
+def test_crash_between_swap_renames_is_recovered(spark, tmp_path):
+    """The worst crash point: the old leaf dir is renamed aside and the
+    process dies before the new one is renamed in. The data exists only
+    in the _compact_old_* sibling; the next compaction must RESTORE it
+    before reclaiming anything (the naive reclaim-first order deletes
+    the sole copy)."""
+    import os
+    import shutil
+
+    from dionysus_rb_spark.sources.corpus_sink import _trash_name, compact_corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "corpus")
+    write_corpus_shards(
+        docs, out, shard_key="doc_id", partition_by=("lang",),
+        sort_by=("doc_id",), target_rows_per_file=100, shards=5,
+        mode="overwrite",
+    )
+    n = read_corpus(spark, out).count()
+    lang_dir = sorted(
+        d for d in os.listdir(out) if d.startswith("lang=")
+    )[0]
+    # simulate: old renamed aside ('='-free trash encoding, so the
+    # corpus stays readable mid-crash), a temp dir holds the (complete)
+    # new copy, crash before the rename-in
+    src = os.path.join(out, lang_dir)
+    trash = os.path.join(out, _trash_name(lang_dir))
+    os.rename(src, trash)
+    fake_tmp = os.path.join(out, "_compact_interrupted")
+    shutil.copytree(trash, fake_tmp)
+    assert read_corpus(spark, out).count() < n  # the dir really is gone
+    compact_corpus(spark, out)
+    assert read_corpus(spark, out).count() == n, "crash window lost data"
+    assert not os.path.exists(trash) and not os.path.exists(fake_tmp)
 
 
 def test_crashed_compaction_leftover_is_invisible_and_reclaimed(spark, tmp_path):
