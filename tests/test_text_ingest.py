@@ -1,0 +1,83 @@
+"""JSONL ingestion: every input line parsed or dead-lettered, never
+silently dropped; canonical schema enforced at the scan."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+
+from dionysus_rb_spark.sources.text_ingest import read_jsonl, split_corrupt
+
+GOOD = [
+    {"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11},
+    # missing field -> NULL (missing is not empty)
+    {"doc_id": 2, "text": "bonjour", "lang": "fr"},
+    # unicode payload
+    {"doc_id": 3, "text": "你好世界", "lang": "zh", "source": "web", "n_chars": 4},
+]
+BROKEN_SYNTAX = '{"doc_id": 4, "text": "trunca'
+BROKEN_TYPE = '{"doc_id": "not-a-number", "text": "x", "lang": "en"}'
+
+
+def _write(path, lines, compress=False):
+    data = "\n".join(lines) + "\n"
+    if compress:
+        with gzip.open(path, "wt") as f:
+            f.write(data)
+    else:
+        path.write_text(data)
+
+
+@pytest.mark.parametrize("compress", [False, True], ids=["plain", "gzip"])
+def test_every_line_parsed_or_dead_lettered(spark, tmp_path, compress):
+    name = "docs.jsonl.gz" if compress else "docs.jsonl"
+    _write(
+        tmp_path / name,
+        [json.dumps(g) for g in GOOD] + [BROKEN_SYNTAX, BROKEN_TYPE],
+        compress=compress,
+    )
+    df = read_jsonl(spark, str(tmp_path / name), table="documents")
+    clean, dead = split_corrupt(df)
+
+    rows = {r["doc_id"]: r for r in clean.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["source"] is None and rows[2]["n_chars"] is None
+    assert rows[3]["text"] == "你好世界"
+    # schema is the canonical one, not inferred
+    assert dict(clean.dtypes)["doc_id"] == "bigint"
+
+    dead_rows = dead.collect()
+    assert len(dead_rows) == 2, "a malformed line was silently dropped"
+    raws = {r["raw"] for r in dead_rows}
+    assert BROKEN_SYNTAX in raws and BROKEN_TYPE in raws
+    assert all(name in r["source_file"] for r in dead_rows)
+
+
+def test_ingest_to_sink_roundtrip(spark, tmp_path):
+    """The raw-to-parquet landing path: read_jsonl -> split -> sharded
+    sink -> read back equals the clean frame."""
+    from dionysus_rb_spark.sources.corpus_sink import read_corpus, write_corpus_shards
+
+    _write(tmp_path / "in.jsonl", [json.dumps(g) for g in GOOD] + [BROKEN_SYNTAX])
+    clean, dead = split_corrupt(
+        read_jsonl(spark, str(tmp_path / "in.jsonl"), table="documents")
+    )
+    out = str(tmp_path / "landed")
+    write_corpus_shards(
+        clean, out, shard_key="doc_id", partition_by=("lang",), mode="overwrite"
+    )
+    back = sorted(
+        (r["doc_id"], r["text"], r["lang"]) for r in read_corpus(spark, out).collect()
+    )
+    want = sorted((g["doc_id"], g["text"], g["lang"]) for g in GOOD)
+    assert back == want
+    assert dead.count() == 1
+
+
+def test_arg_validation(spark):
+    with pytest.raises(ValueError, match="exactly one"):
+        read_jsonl(spark, "/nonexistent")
+    with pytest.raises(ValueError, match="exactly one"):
+        read_jsonl(spark, "/nonexistent", table="documents", schema="a int")
