@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..tables import CANONICAL_SCHEMAS
 
-__all__ = ["read_jsonl", "split_corrupt"]
+__all__ = ["read_jsonl", "read_csv", "split_corrupt"]
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -54,6 +54,54 @@ def read_jsonl(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    table: str | None = None,
+    schema: str | None = None,
+    header: bool = True,
+    sep: str = ",",
+    quote: str = '"',
+    escape: str = "\\",
+    corrupt_col: str = CORRUPT_COL,
+) -> DataFrame:
+    """Read CSV/TSV under the canonical schema for ``table`` (or an
+    explicit DDL ``schema``), in PERMISSIVE mode with every anomalous
+    line captured in ``corrupt_col``. Same accounting contract as
+    :func:`read_jsonl`: parsed, or dead-lettered — never dropped.
+
+    CSV is positional, so its anomaly surface differs from JSON's
+    (probed on Spark 4.1, pinned in tests/test_text_ingest.py):
+
+    - under-length row (fewer fields than the schema): present fields
+      parse, the missing ones are NULL, AND the raw line is captured —
+      unlike JSON, where a missing *named* field is legal and clean,
+      a missing *positional* field is structurally anomalous;
+    - over-length row: the schema-width prefix parses, raw captured;
+    - type mismatch: that field is NULL, the rest parse, raw captured.
+
+    In all three cases the parse is best-effort but the row routes to
+    the dead-letter frame via :func:`split_corrupt` (the corrupt column
+    is non-NULL), so ``clean`` holds only rows whose every field
+    round-tripped. Columns bind to the schema by POSITION; with
+    ``header=True`` the first line is skipped, not validated (Spark's
+    ``enforceSchema`` default). Compression is codec-inferred (.gz).
+    """
+    if (table is None) == (schema is None):
+        raise ValueError("pass exactly one of table= or schema=")
+    ddl = schema if schema is not None else CANONICAL_SCHEMAS[table]
+    return (
+        spark.read.schema(f"{ddl}, {corrupt_col} string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .option("quote", quote)
+        .option("escape", escape)
+        .csv(path)
     )
 
 

@@ -8,7 +8,7 @@ import json
 
 import pytest
 
-from dionysus_rb_spark.sources.text_ingest import read_jsonl, split_corrupt
+from dionysus_rb_spark.sources.text_ingest import read_csv, read_jsonl, split_corrupt
 
 GOOD = [
     {"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11},
@@ -81,3 +81,53 @@ def test_arg_validation(spark):
         read_jsonl(spark, "/nonexistent")
     with pytest.raises(ValueError, match="exactly one"):
         read_jsonl(spark, "/nonexistent", table="documents", schema="a int")
+    with pytest.raises(ValueError, match="exactly one"):
+        read_csv(spark, "/nonexistent")
+
+
+CSV_SCHEMA = "doc_id bigint, text string, lang string"
+
+
+def test_csv_anomaly_surface(spark, tmp_path):
+    """Pins the probed Spark 4.1 PERMISSIVE CSV contract: under-length,
+    over-length, and type-mismatched rows all capture the raw line
+    (best-effort parse retained) and route to dead-letter; clean holds
+    only fully round-tripped rows. Quoted separators are legal."""
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        "doc_id,text,lang\n"
+        "1,hello,en\n"
+        "2,bye\n"  # under-length: positional absence is anomalous
+        "x,typo,en\n"  # type mismatch in doc_id
+        "3,a,b,EXTRA\n"  # over-length
+        '4,"q,uoted",fr\n'  # quoted separator: clean
+    )
+    clean, dead = split_corrupt(read_csv(spark, str(p), schema=CSV_SCHEMA))
+    rows = {r["doc_id"]: r for r in clean.collect()}
+    assert set(rows) == {1, 4}
+    assert rows[4]["text"] == "q,uoted" and rows[4]["lang"] == "fr"
+    dead_raws = {r["raw"] for r in dead.collect()}
+    assert dead_raws == {"2,bye", "x,typo,en", "3,a,b,EXTRA"}
+
+
+@pytest.mark.parametrize("compress", [False, True], ids=["plain", "gzip"])
+def test_csv_canonical_table_roundtrip(spark, tmp_path, compress):
+    """Canonical-schema CSV over the documents shape, gzip-transparent,
+    TSV via sep — the vendor-delivery ingestion path."""
+    lines = [
+        "doc_id\ttext\tlang\tsource\tn_chars",
+        "1\thello world\ten\tweb\t11",
+        "2\tbonjour\tfr\t\t",  # empty trailing fields -> NULL, clean
+        "3\t你好世界\tzh\tweb\t4",
+    ]
+    name = "docs.tsv.gz" if compress else "docs.tsv"
+    _write(tmp_path / name, lines, compress=compress)
+    clean, dead = split_corrupt(
+        read_csv(spark, str(tmp_path / name), table="documents", sep="\t")
+    )
+    rows = {r["doc_id"]: r for r in clean.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["source"] is None and rows[2]["n_chars"] is None
+    assert rows[3]["text"] == "你好世界"
+    assert dict(clean.dtypes)["doc_id"] == "bigint"
+    assert dead.count() == 0
