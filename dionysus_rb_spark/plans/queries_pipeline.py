@@ -506,3 +506,84 @@ def pipe_corpus_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+@query(
+    "pipe_jsonl_ingest_roundtrip",
+    refs="F4,T9",
+    # The oracle profiles the SOURCE table: every document row must
+    # come back clean (valid JSONL lines parse; a null field is omitted
+    # by to_json and reads back NULL — missing is not empty), and the
+    # deterministically injected corrupt lines (one per doc_id % 7 = 0
+    # row, 'CORRUPT|' || doc_id) must land in the dead-letter frame
+    # with their exact raw text, never be dropped. % is remainder with
+    # the dividend's sign on both engines, and NULL % 7 is NULL (not
+    # 0), so NULL doc_ids inject nothing on either side.
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(*) FILTER (WHERE text IS NULL) AS n_null_text
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT '__dead_letter__' AS lang,
+           count(*) AS n_docs,
+           CAST(sum(8 + length(CAST(doc_id AS VARCHAR))) AS BIGINT)
+             AS total_chars,
+           CAST(NULL AS BIGINT) AS n_null_text
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def pipe_jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/T9 ingestion accounting, oracle-checked through a real raw-text
+    landing: the documents corpus is serialized to JSON-lines (to_json
+    escapes control chars, so embedded newlines cannot break the line
+    framing), interleaved with one deterministic non-JSON line per
+    doc_id % 7 == 0 row, written as text files, and re-read via
+    sources/text_ingest.read_jsonl under the canonical schema. The
+    contract certified here is the F4 message-filter + T9 DLQ analogue
+    for batch ingestion (lib/dionysus/consumer — filters divert to a
+    DLQ, never drop; README.md:804-852): every input line is either
+    parsed clean or dead-lettered with its raw text, so the clean
+    per-lang profile equals the source profile exactly and the
+    dead-letter row accounts for every injected corruption
+    byte-for-byte (total_chars sums the raw line lengths). NULL
+    semantics: NULL lang groups like any other and '' stays distinct
+    from NULL (no Hive-directory conflation on this path — contrast
+    pipe_corpus_shard_roundtrip); an all-NULL n_chars group sums to
+    NULL; a zero-corruption corpus still yields the dead-letter row
+    with n_docs = 0 and NULL total_chars on both engines."""
+    import tempfile
+
+    from ..sources.text_ingest import read_jsonl, split_corrupt
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.to_json(
+            F.struct("doc_id", "text", "lang", "source", "n_chars")
+        ).alias("value")
+    ).unionAll(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.concat(F.lit("CORRUPT|"), F.col("doc_id").cast("string")).alias(
+                "value"
+            )
+        )
+    )
+    out = tempfile.mkdtemp(prefix="jsonl_ingest_") + "/docs"
+    lines.write.text(out)
+    clean, dead = split_corrupt(read_jsonl(spark, out, table="documents"))
+    clean_profile = clean.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count_if(F.col("text").isNull()).alias("n_null_text"),
+    )
+    dead_profile = dead.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("raw")).cast("long").alias("total_chars"),
+    ).select(
+        F.lit("__dead_letter__").alias("lang"),
+        "n_docs",
+        "total_chars",
+        F.lit(None).cast("long").alias("n_null_text"),
+    )
+    return clean_profile.unionAll(dead_profile)
