@@ -22,9 +22,13 @@ measured) resolves in tens of iterations. Typical near-dup components
 (duplicates of a common source) are already stars and converge in 1-2.
 
 Scale shape: per iteration two joins + two groupBys, all keyed on
-vertex id, with localCheckpoint between iterations so lineage stays
-flat; the fixpoint test rides the checkpoint's materialization job as
-two observed scalars (edge count + decimal endpoint sum — see the
+vertex id, with a RELIABLE checkpoint between iterations so lineage
+stays flat AND the run survives executor loss (operators/lineage.py —
+localCheckpoint's executor-resident blocks abort the whole query when
+any executor dies mid-run, measured by executor_loss_chaos.py; over
+tens of iterations on a 1000-executor spot fleet that abort is near
+certain). The fixpoint test rides the checkpoint's materialization job
+as two observed scalars (edge count + decimal endpoint sum — see the
 in-loop proof sketch), so no extra probe job ever runs. ``max_iter``
 bounds the loop and a non-convergence warning fires if it is ever hit.
 """
@@ -36,6 +40,8 @@ import logging
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
+from .lineage import truncate_lineage
+
 logger = logging.getLogger(__name__)
 
 
@@ -45,6 +51,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 50,
     dedup_edges: bool = False,
+    checkpoint: str = "reliable",
 ) -> DataFrame:
     """Return (vertex, component) where component = min vertex id in the
     connected component. Only vertices appearing in ``edges`` are
@@ -58,6 +65,11 @@ def connected_components(
     shuffle). Callers feeding heavily duplicated edge streams (e.g. raw
     multi-band LSH hits) should pass ``dedup_edges=True`` and pay that
     shuffle once, since duplicates otherwise ride along every iteration.
+
+    ``checkpoint`` selects the per-iteration lineage truncation:
+    ``"reliable"`` (default — survives executor loss) or ``"local"``
+    (executor-memory blocks, faster, aborts on any executor death; see
+    operators/lineage.py for the measured failure).
     """
     # Canonical orientation (lo, hi): the undirected edge set as sorted
     # pairs. Star emissions below always produce m < v, so orientation
@@ -68,7 +80,7 @@ def connected_components(
     ).where(F.col("lo") != F.col("hi"))
     if dedup_edges:
         ecur = ecur.distinct()
-    ecur = ecur.localCheckpoint(eager=True)
+    ecur = truncate_lineage(ecur, checkpoint)
 
     # Fixpoint detection without a comparison job: track (edge count,
     # decimal sum of lo+hi) per iteration. Large-star maps each
@@ -132,7 +144,7 @@ def connected_components(
             lambda x: x.isNotNull(),
         )
         obs = Observation()
-        e_ss = (
+        e_ss = truncate_lineage(
             wm.select(F.explode(emit).alias("e"))
             .select("e.lo", "e.hi")
             .observe(
@@ -141,8 +153,8 @@ def connected_components(
                 F.sum(
                     (F.col("lo") + F.col("hi")).cast("decimal(38,0)")
                 ).alias("s"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint,
         )
         got = obs.get
         cur = (got["n"], got["s"])

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .lineage import truncate_lineage
+
 
 def publishable_scan(
     outbox: DataFrame,
@@ -126,8 +128,10 @@ def drain_topic(
                 publish_fn(rows)
             outbox = mark_published(outbox, rows.select(pk), now, pk)
             # materialize the new state so the next scan sees it (and the
-            # lineage doesn't stack one join per cycle)
-            outbox = outbox.localCheckpoint(eager=True)
+            # lineage doesn't stack one join per cycle); reliable, so a
+            # mid-drain executor loss re-reads prior cycles' state from
+            # storage instead of aborting (operators/lineage.py)
+            outbox = truncate_lineage(outbox)
             cycles += 1
         finally:
             rows.unpersist()

@@ -1,0 +1,197 @@
+"""Executor-loss chaos: results must survive losing a whole executor.
+
+The task-retry chaos sweep (task_retry_chaos.py) proves per-task
+re-execution is safe; this harness proves the coarser failure that
+dominates real clusters — an EXECUTOR dies mid-query (spot reclamation,
+OOM kill, hardware loss), taking with it every running task, every
+shuffle block it wrote, and every cached partition it held. Spark's
+recovery path is categorically different from a task retry: shuffle
+fetches from the dead executor fail (FetchFailed), the scheduler
+resubmits the finished map stages that lost their output, and cached
+partitions are recomputed from lineage. At 1000 executors this is the
+steady state; a query is executor-loss-safe iff its result is
+bit-identical to the no-failure run afterward.
+
+Mechanics: a ``local-cluster[2,4,2048]`` session runs real executor
+JVMs (separate processes — unlike ``local[N]``, they can actually die).
+For each probed query we first time a clean run on the same cluster,
+then re-run it while a timer thread SIGKILLs one live
+CoarseGrainedExecutorBackend process ~40% into the measured duration
+(retrying at shorter delays if a run finishes before the kill lands —
+the kill must land DURING execution to count). The standalone worker
+respawns a replacement executor, so each probe starts from a healthy
+2-executor cluster. The chaos result must match the DuckDB oracle
+exactly (the driver's hash discipline).
+
+The probed set deliberately spans the recovery surfaces: multi-stage
+shuffle DAGs (dd_dedup_final's LSH -> connected components,
+samp_cluster_split), a persisted/cached staged frame whose partitions
+die with the executor (pipe_full_curation), a broadcast-model pipeline
+(t_lm_quality), and the two write-path roundtrips where the commit
+protocol must discard the dead executor's attempt files
+(pipe_corpus_shard_roundtrip, pipe_jsonl_ingest_roundtrip).
+
+Usage: python tools/validation/executor_loss_chaos.py [sf_dir]
+Exit 0 = every probed query had an executor killed mid-run and still
+matched its oracle exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import sys
+import threading
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+PROBED = (
+    "dd_dedup_final",
+    "samp_cluster_split",
+    "pipe_full_curation",
+    "t_lm_quality",
+    "pipe_corpus_shard_roundtrip",
+    "pipe_jsonl_ingest_roundtrip",
+)
+
+KILL_FRACTION = 0.4
+RETRY_FRACTIONS = (0.15, 0.05)  # if a run beats the timer, aim earlier
+
+
+def executor_pids() -> set[int]:
+    """PIDs of live CoarseGrainedExecutorBackend JVMs (never the driver)."""
+    pids = set()
+    for p in Path("/proc").iterdir():
+        if not p.name.isdigit():
+            continue
+        try:
+            cmd = (p / "cmdline").read_bytes()
+        except OSError:
+            continue
+        if b"CoarseGrainedExecutorBackend" in cmd:
+            pids.add(int(p.name))
+    return pids
+
+
+def wait_for_executors(n: int, timeout: float = 120.0) -> set[int]:
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        pids = executor_pids()
+        if len(pids) >= n:
+            return pids
+        time.sleep(0.5)
+    raise TimeoutError(f"cluster never reached {n} executors")
+
+
+class Killer(threading.Thread):
+    def __init__(self, delay: float):
+        super().__init__(daemon=True)
+        self.delay = delay
+        self.killed_pid: int | None = None
+        self.killed_at: float | None = None
+
+    def run(self) -> None:
+        time.sleep(self.delay)
+        pids = executor_pids()
+        if not pids:
+            return
+        pid = min(pids)  # deterministic victim
+        try:
+            os.kill(pid, signal.SIGKILL)
+        except OSError:
+            return
+        self.killed_pid = pid
+        self.killed_at = time.time()
+
+
+def main() -> None:
+    os.environ["PYSPARK_PYTHON"] = sys.executable
+    from pyspark.sql import SparkSession
+
+    from dionysus_rb_spark.plans import all_queries
+    from test_oracle_parity import _duck, _normalize, _values_equal
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local-cluster[2,4,2048]")
+        .appName("executor-loss-chaos")
+        .config(
+            "spark.executorEnv.PYTHONPATH", f"{REPO}:{REPO / 'tests'}"
+        )
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    qs = all_queries()
+    failures: list[tuple[str, str]] = []
+    for name in PROBED:
+        qd = qs[name]
+        wait_for_executors(2)
+        t0 = time.time()
+        qd.fn(spark, sf_dir).toPandas()  # clean timing run (same cluster)
+        clean_s = time.time() - t0
+        landed = False
+        crashed: str | None = None
+        for frac in (KILL_FRACTION, *RETRY_FRACTIONS):
+            wait_for_executors(2)
+            killer = Killer(delay=max(0.2, clean_s * frac))
+            t0 = time.time()
+            killer.start()
+            try:
+                got = qd.fn(spark, sf_dir).toPandas()
+            except Exception as exc:  # noqa: BLE001 — the find, not noise
+                # A crash after the kill landed IS the failure mode this
+                # harness exists to catch (localCheckpoint's
+                # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND surfaced here).
+                crashed = repr(exc)[:300]
+                landed = True
+                break
+            t1 = time.time()
+            killer.join(timeout=1.0)
+            if killer.killed_pid is not None and killer.killed_at < t1:
+                landed = True
+                break
+            print(f"{name}: kill missed at frac={frac} — retrying earlier")
+        if crashed is not None:
+            print(f"{name}: CRASHED after executor loss: {crashed}")
+            failures.append((name, f"crash: {crashed}"))
+            continue
+        if not landed:
+            failures.append((name, "kill never landed mid-run"))
+            continue
+        con = _duck(sf_dir)
+        want = con.execute(qd.oracle).df()
+        con.close()
+        ok = (
+            sorted(got.columns) == sorted(want.columns)
+            and len(got) == len(want)
+        )
+        if ok:
+            g, w = _normalize(got), _normalize(want)
+            ok = all(
+                _values_equal(x, y)
+                for col in g.columns
+                for x, y in zip(g[col].tolist(), w[col].tolist())
+            )
+        status = "EXACT" if ok else "MISMATCH"
+        print(
+            f"{name}: clean {clean_s:.1f}s, killed executor "
+            f"{killer.killed_pid} at +{killer.killed_at - t0:.1f}s, "
+            f"chaos run {t1 - t0:.1f}s -> {status}"
+        )
+        if not ok:
+            failures.append((name, "result mismatch after executor loss"))
+    spark.stop()
+    print(
+        f"executor-loss chaos: {len(PROBED)} queries; "
+        f"failures: {failures if failures else 'NONE (all green)'}"
+    )
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
