@@ -31,9 +31,20 @@ die with the executor (pipe_full_curation), a broadcast-model pipeline
 protocol must discard the dead executor's attempt files
 (pipe_corpus_shard_roundtrip, pipe_jsonl_ingest_roundtrip).
 
-Usage: python tools/validation/executor_loss_chaos.py [sf_dir]
-Exit 0 = every probed query had an executor killed mid-run and still
-matched its oracle exactly.
+A second mode sweeps BREADTH instead of depth: ``--rolling`` runs the
+ENTIRE oracle-bearing catalog once (batch + streaming twins) while a
+daemon thread SIGKILLs one executor every ROLLING_KILL_EVERY_S seconds
+for the whole sweep — the single-host analogue of a spot fleet where
+reclamation is uncorrelated with query boundaries. Every query must
+match its oracle exactly; the sweep also asserts a minimum number of
+kills actually happened so a quiet killer can't green it vacuously.
+
+Usage:
+    python tools/validation/executor_loss_chaos.py [sf_dir]
+    python tools/validation/executor_loss_chaos.py --rolling [sf_dir]
+Exit 0 = every probed query had an executor killed mid-run (targeted
+mode) / every catalog query stayed exact under continuous kills
+(rolling mode).
 """
 
 from __future__ import annotations
@@ -56,10 +67,18 @@ PROBED = (
     "t_lm_quality",
     "pipe_corpus_shard_roundtrip",
     "pipe_jsonl_ingest_roundtrip",
+    # Streaming: the kill lands mid-stream — applyInPandasWithState
+    # state must reload from the checkpoint's state store and the
+    # foreachBatch MERGE must stay idempotent across the retried batch.
+    "stream_t1_replay_dedup",
+    "stream_t4_sessionize",
+    "stream_t5_snapshot_merge",
 )
 
 KILL_FRACTION = 0.4
 RETRY_FRACTIONS = (0.15, 0.05)  # if a run beats the timer, aim earlier
+ROLLING_KILL_EVERY_S = 12.0
+ROLLING_MIN_KILLS = 10
 
 
 def executor_pids() -> set[int]:
@@ -108,15 +127,33 @@ class Killer(threading.Thread):
         self.killed_at = time.time()
 
 
-def main() -> None:
+class RollingKiller(threading.Thread):
+    """Kill one executor every ``every_s`` seconds while ``active``."""
+
+    def __init__(self, every_s: float):
+        super().__init__(daemon=True)
+        self.every_s = every_s
+        self.active = True
+        self.kills = 0
+
+    def run(self) -> None:
+        while self.active:
+            time.sleep(self.every_s)
+            pids = executor_pids()
+            if len(pids) < 2:  # never starve the cluster entirely
+                continue
+            try:
+                os.kill(min(pids), signal.SIGKILL)
+                self.kills += 1
+            except OSError:
+                pass
+
+
+def _build_session():
     os.environ["PYSPARK_PYTHON"] = sys.executable
     from pyspark.sql import SparkSession
 
-    from dionysus_rb_spark.plans import all_queries
-    from test_oracle_parity import _duck, _normalize, _values_equal
-
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = (
+    return (
         SparkSession.builder.master("local-cluster[2,4,2048]")
         .appName("executor-loss-chaos")
         .config(
@@ -126,6 +163,75 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def _oracle_matches(got, qd, sf_dir, _duck, _normalize, _values_equal) -> bool:
+    con = _duck(sf_dir)
+    want = con.execute(qd.oracle).df()
+    con.close()
+    ok = (
+        sorted(got.columns) == sorted(want.columns)
+        and len(got) == len(want)
+    )
+    if ok:
+        g, w = _normalize(got), _normalize(want)
+        ok = all(
+            _values_equal(x, y)
+            for col in g.columns
+            for x, y in zip(g[col].tolist(), w[col].tolist())
+        )
+    return ok
+
+
+def rolling_main(sf_dir: str) -> None:
+    from dionysus_rb_spark.plans import all_queries
+    from test_oracle_parity import _duck, _normalize, _values_equal
+
+    spark = _build_session()
+    killer = RollingKiller(ROLLING_KILL_EVERY_S)
+    killer.start()
+    failures: list[tuple[str, str]] = []
+    n_run = 0
+    t0 = time.time()
+    for name, qd in sorted(all_queries().items()):
+        if not qd.oracle:
+            continue
+        n_run += 1
+        try:
+            got = qd.fn(spark, sf_dir).toPandas()
+            if not _oracle_matches(
+                got, qd, sf_dir, _duck, _normalize, _values_equal
+            ):
+                failures.append((name, "mismatch"))
+        except Exception as exc:  # noqa: BLE001 — survey, report at end
+            failures.append((name, repr(exc)[:200]))
+    killer.active = False
+    elapsed = time.time() - t0
+    spark.stop()
+    print(
+        f"rolling executor-loss sweep: {n_run} queries in {elapsed:.0f}s, "
+        f"{killer.kills} executors killed; "
+        f"failures: {failures if failures else 'NONE (all green)'}"
+    )
+    if killer.kills < ROLLING_MIN_KILLS:
+        print(
+            f"VACUOUS: only {killer.kills} kills (< {ROLLING_MIN_KILLS}) — "
+            "sweep too fast or killer starved; not a valid pass"
+        )
+        sys.exit(1)
+    sys.exit(1 if failures else 0)
+
+
+def main() -> None:
+    from dionysus_rb_spark.plans import all_queries
+    from test_oracle_parity import _duck, _normalize, _values_equal
+
+    args = [a for a in sys.argv[1:] if a != "--rolling"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    if "--rolling" in sys.argv[1:]:
+        rolling_main(args[0] if args else "/root/testdata/sf0.001")
+        return
+    spark = _build_session()
     qs = all_queries()
     failures: list[tuple[str, str]] = []
     for name in PROBED:
@@ -163,20 +269,9 @@ def main() -> None:
         if not landed:
             failures.append((name, "kill never landed mid-run"))
             continue
-        con = _duck(sf_dir)
-        want = con.execute(qd.oracle).df()
-        con.close()
-        ok = (
-            sorted(got.columns) == sorted(want.columns)
-            and len(got) == len(want)
+        ok = _oracle_matches(
+            got, qd, sf_dir, _duck, _normalize, _values_equal
         )
-        if ok:
-            g, w = _normalize(got), _normalize(want)
-            ok = all(
-                _values_equal(x, y)
-                for col in g.columns
-                for x, y in zip(g[col].tolist(), w[col].tolist())
-            )
         status = "EXACT" if ok else "MISMATCH"
         print(
             f"{name}: clean {clean_s:.1f}s, killed executor "
