@@ -34,6 +34,13 @@ discipline — under each:
 - ``aqe_off``           spark.sql.adaptive.enabled=false
                         Static planning only (re-run of the round-7
                         one-off, now a standing profile).
+- ``tiny_split``        spark.sql.files.maxPartitionBytes=65536 (+
+                        openCostInBytes=0): every parquet file shatters
+                        into many input splits — the 100 TB scan shape
+                        where a table is thousands of splits per
+                        executor. Results must be split-count
+                        invariant (catches per-split logic that
+                        assumes file == partition).
 
 Confs are set per-profile on the shared session and restored after, so
 profiles compose into one process. Exit non-zero on any divergence.
@@ -66,6 +73,10 @@ PROFILES: dict[str, dict[str, str]] = {
     "shuffle_1": {"spark.sql.shuffle.partitions": "1"},
     "broadcast_off": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     "aqe_off": {"spark.sql.adaptive.enabled": "false"},
+    "tiny_split": {
+        "spark.sql.files.maxPartitionBytes": "65536",
+        "spark.sql.files.openCostInBytes": "0",
+    },
 }
 
 
