@@ -155,6 +155,7 @@ def connected_components(
                 ).alias("s"),
             ),
             checkpoint,
+            supersedes=ecur,  # loop holds <= 2 materialized copies
         )
         got = obs.get
         cur = (got["n"], got["s"])

@@ -126,12 +126,14 @@ def drain_topic(
                 break
             if publish_fn is not None:
                 publish_fn(rows)
+            prev_state = outbox
             outbox = mark_published(outbox, rows.select(pk), now, pk)
             # materialize the new state so the next scan sees it (and the
             # lineage doesn't stack one join per cycle); reliable, so a
             # mid-drain executor loss re-reads prior cycles' state from
-            # storage instead of aborting (operators/lineage.py)
-            outbox = truncate_lineage(outbox)
+            # storage instead of aborting, and each cycle's files replace
+            # the previous cycle's (operators/lineage.py)
+            outbox = truncate_lineage(outbox, supersedes=prev_state)
             cycles += 1
         finally:
             rows.unpersist()

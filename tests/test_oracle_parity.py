@@ -39,6 +39,22 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(key, na_position="first").reset_index(drop=True)
 
 
+def frames_match(got: pd.DataFrame, want: pd.DataFrame) -> bool:
+    """Boolean form of the parity discipline, for the tools/validation
+    harnesses (chaos, starvation, conf sweeps): same column set, same
+    row count, order-insensitive exact values. THE single definition —
+    any change to the comparison rules lands here and in
+    test_oracle_parity's assert-with-detail twin below together."""
+    if sorted(got.columns) != sorted(want.columns) or len(got) != len(want):
+        return False
+    g, w = _normalize(got), _normalize(want)
+    return all(
+        _values_equal(x, y)
+        for col in g.columns
+        for x, y in zip(g[col].tolist(), w[col].tolist())
+    )
+
+
 def _values_equal(a, b) -> bool:
     if a is None and b is None:
         return True

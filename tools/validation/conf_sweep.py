@@ -81,7 +81,7 @@ PROFILES: dict[str, dict[str, str]] = {
 
 
 def run_profile(spark, name: str, confs: dict[str, str]) -> list[tuple[str, str]]:
-    from test_oracle_parity import _duck, _normalize, _values_equal
+    from test_oracle_parity import _duck, frames_match
 
     saved = {k: spark.conf.get(k, None) for k in confs}
     for k, v in confs.items():
@@ -99,20 +99,7 @@ def run_profile(spark, name: str, confs: dict[str, str]) -> list[tuple[str, str]
                 con = _duck(SF_DIR)
                 want = con.execute(qd.oracle).df()
                 con.close()
-                ok = (
-                    sorted(got.columns) == sorted(want.columns)
-                    and len(got) == len(want)
-                )
-                if ok:
-                    g, w = _normalize(got), _normalize(want)
-                    for col in g.columns:
-                        for x, y in zip(g[col].tolist(), w[col].tolist()):
-                            if not _values_equal(x, y):
-                                ok = False
-                                break
-                        if not ok:
-                            break
-                if not ok:
+                if not frames_match(got, want):
                     failures.append((qname, "mismatch"))
             except Exception as exc:  # noqa: BLE001 — survey, report at end
                 failures.append((qname, repr(exc)[:200]))

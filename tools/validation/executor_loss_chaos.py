@@ -81,8 +81,26 @@ ROLLING_KILL_EVERY_S = 12.0
 ROLLING_MIN_KILLS = 10
 
 
+def _is_descendant(pid: int) -> bool:
+    """Walk the ppid chain: only this process's executors are targets —
+    a concurrent Spark app on the host must never be collateral."""
+    me = os.getpid()
+    for _ in range(32):
+        if pid == me:
+            return True
+        try:
+            stat = Path(f"/proc/{pid}/stat").read_text()
+        except OSError:
+            return False
+        pid = int(stat.rsplit(")", 1)[1].split()[1])  # field 4 = ppid
+        if pid <= 1:
+            return False
+    return False
+
+
 def executor_pids() -> set[int]:
-    """PIDs of live CoarseGrainedExecutorBackend JVMs (never the driver)."""
+    """PIDs of live CoarseGrainedExecutorBackend JVMs spawned by THIS
+    process (never the driver, never another app's executors)."""
     pids = set()
     for p in Path("/proc").iterdir():
         if not p.name.isdigit():
@@ -91,7 +109,9 @@ def executor_pids() -> set[int]:
             cmd = (p / "cmdline").read_bytes()
         except OSError:
             continue
-        if b"CoarseGrainedExecutorBackend" in cmd:
+        if b"CoarseGrainedExecutorBackend" in cmd and _is_descendant(
+            int(p.name)
+        ):
             pids.add(int(p.name))
     return pids
 
@@ -112,9 +132,16 @@ class Killer(threading.Thread):
         self.delay = delay
         self.killed_pid: int | None = None
         self.killed_at: float | None = None
+        self._cancel = threading.Event()
+
+    def cancel(self) -> None:
+        """Disarm: a killer whose window was missed must never fire into
+        a later run's measurement (or starve the respawning cluster)."""
+        self._cancel.set()
 
     def run(self) -> None:
-        time.sleep(self.delay)
+        if self._cancel.wait(self.delay):
+            return
         pids = executor_pids()
         if not pids:
             return
@@ -165,27 +192,16 @@ def _build_session():
     )
 
 
-def _oracle_matches(got, qd, sf_dir, _duck, _normalize, _values_equal) -> bool:
+def _oracle_matches(got, qd, sf_dir, _duck, frames_match) -> bool:
     con = _duck(sf_dir)
     want = con.execute(qd.oracle).df()
     con.close()
-    ok = (
-        sorted(got.columns) == sorted(want.columns)
-        and len(got) == len(want)
-    )
-    if ok:
-        g, w = _normalize(got), _normalize(want)
-        ok = all(
-            _values_equal(x, y)
-            for col in g.columns
-            for x, y in zip(g[col].tolist(), w[col].tolist())
-        )
-    return ok
+    return frames_match(got, want)
 
 
 def rolling_main(sf_dir: str) -> None:
     from dionysus_rb_spark.plans import all_queries
-    from test_oracle_parity import _duck, _normalize, _values_equal
+    from test_oracle_parity import _duck, frames_match
 
     spark = _build_session()
     killer = RollingKiller(ROLLING_KILL_EVERY_S)
@@ -199,9 +215,7 @@ def rolling_main(sf_dir: str) -> None:
         n_run += 1
         try:
             got = qd.fn(spark, sf_dir).toPandas()
-            if not _oracle_matches(
-                got, qd, sf_dir, _duck, _normalize, _values_equal
-            ):
+            if not _oracle_matches(got, qd, sf_dir, _duck, frames_match):
                 failures.append((name, "mismatch"))
         except Exception as exc:  # noqa: BLE001 — survey, report at end
             failures.append((name, repr(exc)[:200]))
@@ -224,7 +238,7 @@ def rolling_main(sf_dir: str) -> None:
 
 def main() -> None:
     from dionysus_rb_spark.plans import all_queries
-    from test_oracle_parity import _duck, _normalize, _values_equal
+    from test_oracle_parity import _duck, frames_match
 
     args = [a for a in sys.argv[1:] if a != "--rolling"]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -250,13 +264,20 @@ def main() -> None:
             try:
                 got = qd.fn(spark, sf_dir).toPandas()
             except Exception as exc:  # noqa: BLE001 — the find, not noise
-                # A crash after the kill landed IS the failure mode this
-                # harness exists to catch (localCheckpoint's
-                # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND surfaced here).
-                crashed = repr(exc)[:300]
+                killer.cancel()
+                if killer.killed_pid is None:
+                    # died before the kill fired: an environment problem,
+                    # not the executor-loss verdict — report it as such
+                    crashed = f"pre-kill crash: {repr(exc)[:280]}"
+                else:
+                    # A crash after the kill landed IS the failure mode
+                    # this harness exists to catch (localCheckpoint's
+                    # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND surfaced here).
+                    crashed = repr(exc)[:300]
                 landed = True
                 break
             t1 = time.time()
+            killer.cancel()  # disarm a still-pending timer before retrying
             killer.join(timeout=1.0)
             if killer.killed_pid is not None and killer.killed_at < t1:
                 landed = True
@@ -269,9 +290,7 @@ def main() -> None:
         if not landed:
             failures.append((name, "kill never landed mid-run"))
             continue
-        ok = _oracle_matches(
-            got, qd, sf_dir, _duck, _normalize, _values_equal
-        )
+        ok = _oracle_matches(got, qd, sf_dir, _duck, frames_match)
         status = "EXACT" if ok else "MISMATCH"
         print(
             f"{name}: clean {clean_s:.1f}s, killed executor "

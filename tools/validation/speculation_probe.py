@@ -128,8 +128,10 @@ def probe_local_cluster() -> tuple[bool, int]:
         print(f"local-cluster: speculation threads = {names}")
         thread_runs = names == ["task-scheduler-speculation"]
         _straggler_job(sc)
+        # uiWebUrl, not a hardcoded port: Spark silently walks to 4445+
+        # when 4444 is taken (spark.port.maxRetries)
         url = (
-            f"http://localhost:4444/api/v1/applications/{sc.applicationId}"
+            f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
             "/stages/0/0/taskList?length=100"
         )
         tasks = json.load(urllib.request.urlopen(url))

@@ -59,7 +59,7 @@ def chaos_wrap(df: DataFrame) -> DataFrame:
 
 
 def main() -> None:
-    from test_oracle_parity import _duck, _normalize, _values_equal
+    from test_oracle_parity import _duck, frames_match
 
     spark = get_spark("task-retry-chaos", task_retries=3)
     # Seed the load_table memo with chaos twins: every query's scan now
@@ -82,17 +82,7 @@ def main() -> None:
             con = _duck(SF_DIR)
             want = con.execute(qd.oracle).df()
             con.close()
-            ok = sorted(got.columns) == sorted(want.columns) and len(got) == len(want)
-            if ok:
-                g, w = _normalize(got), _normalize(want)
-                for col in g.columns:
-                    for x, y in zip(g[col].tolist(), w[col].tolist()):
-                        if not _values_equal(x, y):
-                            ok = False
-                            break
-                    if not ok:
-                        break
-            if not ok:
+            if not frames_match(got, want):
                 failures.append((name, "mismatch"))
         except Exception as exc:  # noqa: BLE001 — survey, report at end
             failures.append((name, repr(exc)[:200]))
