@@ -72,7 +72,15 @@ def _cleanup_root() -> None:
 def _root_dir(spark) -> str:
     ckpt = spark.sparkContext.getCheckpointDir()
     if ckpt is not None:
-        return ckpt
+        # app-scoped subdir: a loop's FINAL truncation outlives the loop
+        # (the returned frame reads it lazily), so on shared storage the
+        # leftovers must be attributable — a janitor can reap
+        # dionysus-trunc-<appId> dirs of dead applications, which a flat
+        # root of uuid dirs would make impossible
+        return (
+            f"{ckpt.rstrip('/')}/dionysus-trunc-"
+            f"{spark.sparkContext.applicationId}"
+        )
     global _local_root
     if _local_root is None:
         if not _is_single_host_master(spark.sparkContext.master):
@@ -116,7 +124,23 @@ def truncate_lineage(
     materialization is on storage, the superseded frame's truncation
     directory is deleted, bounding an N-iteration loop at two resident
     copies instead of N. Only frames returned by this function carry a
-    directory; passing anything else is a harmless no-op.
+    directory; passing anything else is a harmless no-op. NEVER pass a
+    frame the loop did not itself materialize — deleting a
+    caller-owned frame's backing files invalidates the caller's
+    reference (drain_topic's ``owned`` pattern is the template).
+
+    Schema contract (parquet, stricter than localCheckpoint): every
+    column must have a storable type — an un-cast null literal
+    (``lit(None)`` without ``.cast``) is VOID and raises at the write;
+    cast it first. Nullability is widened to nullable on read-back
+    (file-source semantics); names and types round-trip exactly.
+
+    Lifetime: superseded directories are deleted eagerly; the LAST
+    truncation of a loop backs the returned frame and lives until the
+    auto-provisioned root's exit cleanup (single-host) or, under a
+    configured cluster checkpoint dir, until the app-scoped
+    ``dionysus-trunc-<applicationId>`` subdir is reaped after the
+    application ends.
     """
     if mode == "local":
         return df.localCheckpoint(eager=True)

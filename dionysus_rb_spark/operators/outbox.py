@@ -116,6 +116,9 @@ def drain_topic(
     the streaming path, where the checkpoint replaces all of it.
     """
     cycles = 0
+    owned = None  # only frames THIS loop materialized may be superseded:
+    # the caller's input (even one that came from truncate_lineage) is
+    # not ours to delete
     for _ in range(max_cycles):
         batch = publishable_scan(
             outbox, topic, batch_size, now, order_tiebreak=pk
@@ -126,14 +129,14 @@ def drain_topic(
                 break
             if publish_fn is not None:
                 publish_fn(rows)
-            prev_state = outbox
             outbox = mark_published(outbox, rows.select(pk), now, pk)
             # materialize the new state so the next scan sees it (and the
             # lineage doesn't stack one join per cycle); reliable, so a
             # mid-drain executor loss re-reads prior cycles' state from
             # storage instead of aborting, and each cycle's files replace
             # the previous cycle's (operators/lineage.py)
-            outbox = truncate_lineage(outbox, supersedes=prev_state)
+            outbox = truncate_lineage(outbox, supersedes=owned)
+            owned = outbox
             cycles += 1
         finally:
             rows.unpersist()

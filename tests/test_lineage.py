@@ -69,3 +69,33 @@ def test_cc_checkpoint_modes_agree(spark):
     assert got == want == [
         (1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (10, 10), (11, 10)
     ]
+
+
+def test_drain_never_deletes_caller_frames(spark):
+    """drain_topic supersedes only frames it materialized itself: the
+    result of one drain stays readable after a second drain consumes it
+    (the first drain's final truncation backs it on disk)."""
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from dionysus_rb_spark.operators.outbox import drain_topic
+
+    rows = [
+        (i, t, datetime(2024, 1, 1, 10, 0, i % 60), None, None)
+        for i, t in [(1, "a"), (2, "a"), (3, "b"), (4, "b")]
+    ]
+    ob = spark.createDataFrame(
+        rows,
+        "event_id LONG, topic STRING, created_at TIMESTAMP, "
+        "published_at TIMESTAMP, retry_at TIMESTAMP",
+    )
+    now = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    state1, c1 = drain_topic(ob, "a", 1, now, "event_id")
+    state2, c2 = drain_topic(state1, "b", 1, now, "event_id")
+    assert (c1, c2) == (2, 2)
+    # state1 must still be fully usable after the second drain ran
+    got1 = {r["event_id"]: r["published_at"] for r in state1.collect()}
+    assert got1[1] is not None and got1[3] is None
+    got2 = {r["event_id"]: r["published_at"] for r in state2.collect()}
+    assert all(got2[i] is not None for i in (1, 2, 3, 4))

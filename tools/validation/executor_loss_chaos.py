@@ -143,7 +143,10 @@ class Killer(threading.Thread):
         if self._cancel.wait(self.delay):
             return
         pids = executor_pids()
-        if not pids:
+        # re-check after the /proc scan: cancel() during the scan must
+        # win (a microsecond race between this check and the kill
+        # remains; the generous post-cancel join below absorbs it)
+        if self._cancel.is_set() or not pids:
             return
         pid = min(pids)  # deterministic victim
         try:
@@ -192,7 +195,9 @@ def _build_session():
     )
 
 
-def _oracle_matches(got, qd, sf_dir, _duck, frames_match) -> bool:
+def _oracle_matches(got, qd, sf_dir) -> bool:
+    from test_oracle_parity import _duck, frames_match
+
     con = _duck(sf_dir)
     want = con.execute(qd.oracle).df()
     con.close()
@@ -201,7 +206,6 @@ def _oracle_matches(got, qd, sf_dir, _duck, frames_match) -> bool:
 
 def rolling_main(sf_dir: str) -> None:
     from dionysus_rb_spark.plans import all_queries
-    from test_oracle_parity import _duck, frames_match
 
     spark = _build_session()
     killer = RollingKiller(ROLLING_KILL_EVERY_S)
@@ -215,7 +219,7 @@ def rolling_main(sf_dir: str) -> None:
         n_run += 1
         try:
             got = qd.fn(spark, sf_dir).toPandas()
-            if not _oracle_matches(got, qd, sf_dir, _duck, frames_match):
+            if not _oracle_matches(got, qd, sf_dir):
                 failures.append((name, "mismatch"))
         except Exception as exc:  # noqa: BLE001 — survey, report at end
             failures.append((name, repr(exc)[:200]))
@@ -238,7 +242,6 @@ def rolling_main(sf_dir: str) -> None:
 
 def main() -> None:
     from dionysus_rb_spark.plans import all_queries
-    from test_oracle_parity import _duck, frames_match
 
     args = [a for a in sys.argv[1:] if a != "--rolling"]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -278,7 +281,10 @@ def main() -> None:
                 break
             t1 = time.time()
             killer.cancel()  # disarm a still-pending timer before retrying
-            killer.join(timeout=1.0)
+            # generous join: the thread must be fully finished (not mid
+            # /proc-scan, able to fire a stray kill) before the next
+            # attempt's measurement starts
+            killer.join(timeout=10.0)
             if killer.killed_pid is not None and killer.killed_at < t1:
                 landed = True
                 break
@@ -290,7 +296,7 @@ def main() -> None:
         if not landed:
             failures.append((name, "kill never landed mid-run"))
             continue
-        ok = _oracle_matches(got, qd, sf_dir, _duck, frames_match)
+        ok = _oracle_matches(got, qd, sf_dir)
         status = "EXACT" if ok else "MISMATCH"
         print(
             f"{name}: clean {clean_s:.1f}s, killed executor "

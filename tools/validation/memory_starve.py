@@ -59,7 +59,6 @@ def main() -> None:
 
     from dionysus_rb_spark.plans import all_queries
     from executor_loss_chaos import _oracle_matches
-    from test_oracle_parity import _duck, frames_match
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = (
@@ -82,7 +81,7 @@ def main() -> None:
             print(f"{name}: DIED on the starved cluster: {repr(exc)[:300]}")
             failures.append((name, repr(exc)[:200]))
             continue
-        ok = _oracle_matches(got, qd, sf_dir, _duck, frames_match)
+        ok = _oracle_matches(got, qd, sf_dir)
         print(
             f"{name}: {time.time() - t0:.1f}s on 2x700MB -> "
             f"{'EXACT' if ok else 'MISMATCH'}"
