@@ -112,6 +112,15 @@ _PLAN_CHANGED: dict[str, int] = {
     "stream_t1_replay_dedup": 7,
     "stream_t4_sessionize": 7,
     "stream_t5_snapshot_merge": 7,
+    # ...(ADVICE r7, applied r8): four more r7 ORACLE-side NULL-ordering
+    # edits the r7 overlay missed — keep-latest windows gained NULLS
+    # FIRST (j4/j8/s5) and the per-key batch window NULLS LAST (g4).
+    # Their pre-r7 green rows certified a different oracle expression,
+    # so by this file's own rule they re-enter the uncertified front:
+    "j4_to_many_reconciliation": 7,
+    "j8_asof_join": 7,
+    "s5_genesis_topic_fanout": 7,
+    "g4_per_key_batches": 7,
     # ...and the NULL-input fuzz (tests/test_edge_null_inputs.py):
     # NULL text keeps NULL stats (the oracles' coalesce(...,0) forced
     # zeros), NULL-length docs get no packed-stream position, NULL
