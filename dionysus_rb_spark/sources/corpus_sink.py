@@ -179,6 +179,13 @@ def write_corpus_shards(
 
 _TRASH = "_compact_old_"
 _PHASE_MARKER = "_compact_phase"
+# Root-protocol commit point (ADVICE r7): the trash dir is renamed to
+# this name ONLY once the new data is completely moved in, so recovery
+# can distinguish "crashed while moving new in" (trash name: restore
+# old) from "crashed while reclaiming" (deleting name: new is complete,
+# reclaim). Without it, a crash mid-rmtree left marker+partial-trash and
+# recovery deleted the COMPLETE new data to restore a PARTIAL old set.
+_DELETING = "_compact_deleting_root"
 
 
 def _trash_name(leafname: str) -> str:
@@ -305,9 +312,15 @@ def _compact_root(spark, path: str, layout: dict, part_cols: Sequence[str]) -> N
     open(marker, "w").close()  # phase 2: old is fully aside
     for name in os.listdir(tmp):
         os.replace(os.path.join(tmp, name), os.path.join(path, name))
+    # COMMIT POINT: one atomic rename records "new data is complete".
+    # From here recovery always reclaims the old set, never restores it
+    # — rmtree below may die or partially fail without risking the
+    # marker+partial-trash ambiguity (see _recover_crashed_compaction).
+    deleting = os.path.join(path, _DELETING)
+    os.rename(trash, deleting)
     shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(trash, ignore_errors=True)
-    os.remove(marker)  # marker outlives the trash: see recovery case (b2)
+    shutil.rmtree(deleting, ignore_errors=True)
+    os.remove(marker)  # marker outlives the reclaim: see recovery (b2)
 
 
 def _root_data_entries(path: str) -> list[str]:
@@ -324,28 +337,40 @@ def _recover_crashed_compaction(path: str, part_cols: Sequence[str]) -> None:
     Leaf swaps are three atomic renames, so: trash present + target
     missing -> crashed between renames, restore the old dir; trash
     present + target present -> new data landed, trash is superseded,
-    reclaim it. The root protocol's phase marker disambiguates the
+    reclaim it. The root protocol's phase marker + the commit-point
+    rename (trash -> _DELETING once the new data is fully in) split the
     file-level cases: (a) no marker + trash -> crash while moving old
     aside: move it back (names are unique, no conflicts); (b) marker +
     trash -> crash while moving new in: root data entries are partial
-    new, delete them and restore the old set; (b2) marker + no trash ->
-    new data complete, trash already reclaimed: drop the marker.
+    new, delete them and restore the old (complete) set; (c) _DELETING
+    present (marker or not) -> the commit rename happened, so the new
+    data is complete and the old set is superseded: reclaim it, NEVER
+    restore — this is the case that used to be ambiguous with (b) when
+    a crash or silent partial failure interrupted the trash rmtree,
+    and restoring there deleted complete new data / resurrected old
+    part-files alongside it (ADVICE r7); (b2) marker + neither dir ->
+    new data complete, reclaim done: drop the marker.
     """
     import shutil
 
     if not part_cols:
         trash = os.path.join(path, _TRASH + "root")
+        deleting = os.path.join(path, _DELETING)
         marker = os.path.join(path, _PHASE_MARKER)
-        if os.path.exists(marker):
-            if os.path.isdir(trash):
+        if os.path.isdir(deleting):  # (c) committed: reclaim only
+            shutil.rmtree(deleting, ignore_errors=True)
+            if os.path.exists(marker):
+                os.remove(marker)
+        elif os.path.exists(marker):
+            if os.path.isdir(trash):  # (b) partial new: restore old
                 for name in _root_data_entries(path):
                     p = os.path.join(path, name)
                     shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
                 for name in os.listdir(trash):
                     os.rename(os.path.join(trash, name), os.path.join(path, name))
                 shutil.rmtree(trash, ignore_errors=True)
-            os.remove(marker)
-        elif os.path.isdir(trash):
+            os.remove(marker)  # (b2) when no trash
+        elif os.path.isdir(trash):  # (a) move the old set back
             for name in os.listdir(trash):
                 dst = os.path.join(path, name)
                 if not os.path.exists(dst):

@@ -297,6 +297,126 @@ def test_crashed_compaction_leftover_is_invisible_and_reclaimed(spark, tmp_path)
     assert read_corpus(spark, out).count() == n
 
 
+def _unpartitioned_corpus(spark, tmp_path):
+    import os
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "root_corpus")
+    write_corpus_shards(
+        docs, out, shard_key="doc_id", partition_by=(), sort_by=("doc_id",),
+        target_rows_per_file=100, shards=5, mode="overwrite",
+    )
+    return out, read_corpus(spark, out).count(), os
+
+
+def test_root_compaction_converges_unpartitioned(spark, tmp_path):
+    """The convergence law holds for an UNPARTITIONED corpus too — the
+    root swap goes through the phase-marker protocol rather than a
+    directory rename, and must land the fresh-write layout."""
+    from dionysus_rb_spark.sources.corpus_sink import compact_corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    knobs = dict(
+        shard_key="doc_id", partition_by=(), sort_by=("doc_id",),
+        target_rows_per_file=100, shards=5,
+    )
+    inc = str(tmp_path / "inc")
+    write_corpus_shards(docs.filter(F.col("doc_id") % 2 == 0), inc, mode="overwrite", **knobs)
+    write_corpus_shards(docs.filter(F.col("doc_id") % 2 == 1), inc, mode="append", **knobs)
+    full = str(tmp_path / "full")
+    write_corpus_shards(docs, full, mode="overwrite", **knobs)
+
+    assert _file_sets(spark, inc) != _file_sets(spark, full)
+    compact_corpus(spark, inc)
+    assert _file_sets(spark, inc) == _file_sets(spark, full)
+    compact_corpus(spark, inc)  # idempotent
+    assert _file_sets(spark, inc) == _file_sets(spark, full)
+
+
+def test_root_compaction_commit_point_never_restores_old(spark, tmp_path):
+    """ADVICE r7 (medium): a crash during the trash reclaim used to be
+    indistinguishable from a crash during move-in, so recovery deleted
+    the COMPLETE new data and restored a PARTIALLY-reclaimed old set —
+    permanent row loss. The commit-point rename (trash ->
+    _compact_deleting_root, done only after every new file is in) pins
+    the distinction: once that name exists, recovery only ever reclaims."""
+    import shutil
+
+    from dionysus_rb_spark.sources.corpus_sink import (
+        _DELETING,
+        _PHASE_MARKER,
+        compact_corpus,
+    )
+
+    out, n, os = _unpartitioned_corpus(spark, tmp_path)
+    # construct the post-commit crash state: complete new data at the
+    # root, the superseded old set renamed to _DELETING and PARTIALLY
+    # reclaimed (one stale file left), phase marker still present
+    deleting = os.path.join(out, _DELETING)
+    os.makedirs(deleting)
+    stale = sorted(
+        f for f in os.listdir(out) if not f.startswith(("_", "."))
+    )[0]
+    shutil.copy(os.path.join(out, stale), os.path.join(deleting, stale))
+    open(os.path.join(out, _PHASE_MARKER), "w").close()
+
+    compact_corpus(spark, out)
+    assert read_corpus(spark, out).count() == n, "recovery dropped new data"
+    assert not os.path.exists(deleting), "superseded old set not reclaimed"
+    assert not os.path.exists(os.path.join(out, _PHASE_MARKER))
+
+
+def test_root_compaction_crash_mid_movein_restores_old(spark, tmp_path):
+    """Marker + trash (no commit rename) = the new data at the root is
+    partial; recovery must discard it and restore the complete old set."""
+    import shutil
+
+    from dionysus_rb_spark.sources.corpus_sink import (
+        _PHASE_MARKER,
+        _TRASH,
+        _root_data_entries,
+        compact_corpus,
+    )
+
+    out, n, os = _unpartitioned_corpus(spark, tmp_path)
+    trash = os.path.join(out, _TRASH + "root")
+    os.makedirs(trash)
+    entries = _root_data_entries(out)
+    for name in entries:  # complete old set aside
+        os.rename(os.path.join(out, name), os.path.join(trash, name))
+    open(os.path.join(out, _PHASE_MARKER), "w").close()
+    # partial new: exactly one file made it in before the crash
+    shutil.copy(
+        os.path.join(trash, entries[0]), os.path.join(out, "part-partial-new")
+    )
+
+    compact_corpus(spark, out)
+    assert read_corpus(spark, out).count() == n, "old set not restored"
+    assert not os.path.exists(trash)
+    assert not os.path.exists(os.path.join(out, "part-partial-new"))
+
+
+def test_root_compaction_crash_before_marker_moves_old_back(spark, tmp_path):
+    """No marker + trash = crash while moving the old set aside; the
+    trash holds the only (possibly partial-in-trash) copy — move it back."""
+    from dionysus_rb_spark.sources.corpus_sink import (
+        _TRASH,
+        _root_data_entries,
+        compact_corpus,
+    )
+
+    out, n, os = _unpartitioned_corpus(spark, tmp_path)
+    trash = os.path.join(out, _TRASH + "root")
+    os.makedirs(trash)
+    entries = _root_data_entries(out)
+    for name in entries[: len(entries) // 2 or 1]:  # some already aside
+        os.rename(os.path.join(out, name), os.path.join(trash, name))
+
+    compact_corpus(spark, out)
+    assert read_corpus(spark, out).count() == n, "aside files lost"
+    assert not os.path.exists(trash)
+
+
 def test_hostile_partition_values_round_trip(spark, tmp_path):
     """Partition VALUES that fight the directory encoding: unicode, a
     path separator, a space, a numeric-looking string (type-inference
