@@ -54,15 +54,126 @@ from __future__ import annotations
 
 import json
 import os
+from contextlib import contextmanager, nullcontext
 from typing import Sequence
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_corpus_shards", "read_corpus", "compact_corpus"]
+__all__ = [
+    "write_corpus_shards",
+    "read_corpus",
+    "compact_corpus",
+    "CorpusLockHeld",
+]
 
 _SHARD_COL = "_shard"
 _MANIFEST = "_corpus_manifest.json"  # leading '_': ignored by parquet scans
+_LOCK_FILE = "_corpus_lock"  # leading '_': ignored by parquet scans
+
+
+class CorpusLockHeld(RuntimeError):
+    """Another live writer holds this corpus's advisory lock."""
+
+
+def _is_local(path: str) -> bool:
+    return urlparse(path).scheme in ("", "file")
+
+
+def _as_local_path(path: str, what: str) -> str:
+    """Normalize ``path`` to a plain local filesystem path, raising a
+    clear error for remote schemes: the compaction/locking algebra below
+    is directory-rename + flock, which needs POSIX semantics. The WRITE
+    and READ paths do work on any Hadoop-supported scheme (data via
+    Spark's writer, manifest via the Hadoop FS — see _fs_write_text);
+    only compaction is local-by-design, because on an object store the
+    right compaction substrate is a lakehouse table format, not rename."""
+    parsed = urlparse(path)
+    if parsed.scheme == "file":
+        return parsed.path
+    if parsed.scheme == "":
+        return path
+    raise ValueError(
+        f"{what} requires a local filesystem path, got {path!r}: its "
+        "rename-aside swap and flock coordination need POSIX directory "
+        "semantics. Compact object-store/HDFS corpora with a lakehouse "
+        "table format instead, and coordinate writers externally."
+    )
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _hadoop_fs(spark, path)
+    return fs.exists(jpath)
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    """Manifest reads go through the Hadoop FileSystem, not open():
+    the data path accepts hdfs://s3a:// URIs, so the manifest must too
+    (ADVICE r7 — a corpus landed on a cluster FS previously crashed at
+    the metadata step)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        jvm = spark.sparkContext._jvm
+        out = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 65536, False)
+        return out.toString("UTF-8")
+    finally:
+        stream.close()
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, jpath = _hadoop_fs(spark, path)
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+@contextmanager
+def _corpus_lock(local_path: str, *, exclusive: bool, action: str):
+    """Advisory writer coordination for a LOCAL corpus directory.
+
+    compact_corpus takes the lock EXCLUSIVE; append-mode writes take it
+    SHARED: appends may run concurrently (Spark's commit protocol gives
+    their part files unique names and the layout validation is
+    order-independent), but a compaction must never overlap any other
+    writer — its rename-aside swap would capture an in-flight appender's
+    files into the trash set and reclaim them (data loss). flock gives
+    crash-release for free: the kernel drops the lock when the holder
+    dies, so there are no stale-pid files to janitor. Non-blocking by
+    design — a second compactor is a scheduling bug the caller should
+    see, not silently queue behind. Non-local corpora skip locking
+    (flock is only meaningful on a local FS; see _as_local_path)."""
+    import fcntl
+
+    os.makedirs(local_path, exist_ok=True)
+    fd = os.open(
+        os.path.join(local_path, _LOCK_FILE), os.O_CREAT | os.O_RDWR, 0o644
+    )
+    try:
+        try:
+            fcntl.flock(
+                fd,
+                (fcntl.LOCK_EX if exclusive else fcntl.LOCK_SH) | fcntl.LOCK_NB,
+            )
+        except OSError:
+            raise CorpusLockHeld(
+                f"{action} needs the "
+                f"{'exclusive' if exclusive else 'shared'} corpus lock on "
+                f"{local_path!r} but a live compaction or append holds it"
+            ) from None
+        yield
+    finally:
+        os.close(fd)  # releases the flock
 
 
 def write_corpus_shards(
@@ -101,11 +212,52 @@ def write_corpus_shards(
     if shards is None:
         shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
     shards = max(1, shards)
-    manifest_path = os.path.join(path, _MANIFEST)
+    # String join, not os.path/pathlib: the path may be a URI
+    # (hdfs://, s3a://) whose double slash pathlib would collapse.
+    manifest_path = f"{path.rstrip('/')}/{_MANIFEST}"
+    # Appends coordinate with compaction via the shared corpus lock
+    # (local corpora only — see _corpus_lock); initial overwrite/error
+    # writes are the documented single-writer bootstrap.
+    lock = (
+        _corpus_lock(
+            _as_local_path(path, "append write"),
+            exclusive=False,
+            action="append write",
+        )
+        if mode == "append" and _is_local(path)
+        else nullcontext()
+    )
+    with lock:
+        _write_corpus_shards_locked(
+            df,
+            spark,
+            path,
+            manifest_path,
+            shard_key=shard_key,
+            partition_by=partition_by,
+            sort_by=sort_by,
+            target_rows_per_file=target_rows_per_file,
+            shards=shards,
+            mode=mode,
+        )
+
+
+def _write_corpus_shards_locked(
+    df: DataFrame,
+    spark: SparkSession,
+    path: str,
+    manifest_path: str,
+    *,
+    shard_key: str,
+    partition_by: Sequence[str],
+    sort_by: Sequence[str],
+    target_rows_per_file: int,
+    shards: int,
+    mode: str,
+) -> None:
     existing_manifest = None
-    if mode == "append" and os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            existing_manifest = json.load(f)
+    if mode == "append" and _fs_exists(spark, manifest_path):
+        existing_manifest = json.loads(_fs_read_text(spark, manifest_path))
         recorded = existing_manifest.get("layout")
         if recorded is not None:
             # Structural knobs must match the corpus or the landed
@@ -169,12 +321,14 @@ def write_corpus_shards(
             # pre-layout manifest (older sink): this append has every
             # knob needed to make the corpus compactable — record them
             existing_manifest["layout"] = layout
-            with open(manifest_path, "w") as f:
-                json.dump(existing_manifest, f)
+            _fs_write_text(spark, manifest_path, json.dumps(existing_manifest))
         # otherwise the FIRST write's layout stands
         return
-    with open(manifest_path, "w") as f:
-        json.dump({"partition_types": part_types, "layout": layout}, f)
+    _fs_write_text(
+        spark,
+        manifest_path,
+        json.dumps({"partition_types": part_types, "layout": layout}),
+    )
 
 
 _TRASH = "_compact_old_"
@@ -224,29 +378,41 @@ def compact_corpus(
     selected partitions' size, which is how a 100 TB corpus compacts on
     a schedule instead of in one job.
 
-    Crash-safety (single compactor at a time, documented): each leaf
-    swap is rename-aside — old dir -> ``_compact_old_*`` sibling, new
-    dir renamed in, trash removed — so every crash point leaves a
-    recoverable state, and the next run's recovery pass restores or
-    reclaims before doing anything else. The unpartitioned root cannot
-    swap by directory rename, so it uses a phase-marker protocol with
-    the same property. Underscore-prefixed temp/trash names keep Spark
-    source discovery from ever reading in-flight state as data. A
-    reader racing the swap can still see a directory mid-replace (use a
-    lakehouse table format when that matters; this sink is the layout
-    algebra underneath, proven deterministic).
+    Crash-safety: each leaf swap is rename-aside — old dir ->
+    ``_compact_old_*`` sibling, new dir renamed in, trash removed — so
+    every crash point leaves a recoverable state, and the next run's
+    recovery pass restores or reclaims before doing anything else. The
+    unpartitioned root cannot swap by directory rename, so it uses a
+    phase-marker + commit-rename protocol with the same property.
+    Underscore-prefixed temp/trash names keep Spark source discovery
+    from ever reading in-flight state as data. LIVE-writer safety: the
+    exclusive corpus flock makes a second compactor (or a racing
+    append, which takes the shared lock) fail fast with
+    :class:`CorpusLockHeld` instead of having its in-flight files swept
+    into the trash set — the kernel releases a dead holder's lock, so a
+    crashed run never wedges the corpus. A reader racing the swap can
+    still see a directory mid-replace (use a lakehouse table format
+    when that matters; this sink is the layout algebra underneath,
+    proven deterministic). Local filesystems only — see _as_local_path.
     """
+    path = _as_local_path(path, "compact_corpus")
+    with _corpus_lock(path, exclusive=True, action="compact_corpus"):
+        with open(os.path.join(path, _MANIFEST)) as f:
+            manifest = json.load(f)
+        layout = manifest.get("layout")
+        if layout is None:
+            raise ValueError(
+                f"{path}: manifest has no layout record — corpus written by "
+                "a pre-layout sink; re-land it with write_corpus_shards to "
+                "compact"
+            )
+        _compact_corpus_locked(spark, path, layout, partitions)
+
+
+def _compact_corpus_locked(spark, path, layout, partitions) -> None:
     import shutil
     import tempfile
 
-    with open(os.path.join(path, _MANIFEST)) as f:
-        manifest = json.load(f)
-    layout = manifest.get("layout")
-    if layout is None:
-        raise ValueError(
-            f"{path}: manifest has no layout record — corpus written by a "
-            "pre-layout sink; re-land it with write_corpus_shards to compact"
-        )
     part_cols = layout["partition_by"]
     _recover_crashed_compaction(path, part_cols)
     # stale temp dirs from a crashed compaction (post-recovery, they are
@@ -447,10 +613,11 @@ def read_corpus(spark: SparkSession, path: str) -> DataFrame:
     re-type a numeric-looking string slice value. Filters on them still
     prune before the scan (the cast sits above the partition filter)."""
     df = spark.read.parquet(path)
-    manifest = os.path.join(path, _MANIFEST)
-    if os.path.exists(manifest):
-        with open(manifest) as f:
-            part_types = json.load(f).get("partition_types", {})
+    manifest = f"{path.rstrip('/')}/{_MANIFEST}"
+    if _fs_exists(spark, manifest):
+        part_types = json.loads(_fs_read_text(spark, manifest)).get(
+            "partition_types", {}
+        )
         for col, ddl in part_types.items():
             if col in df.columns and dict(df.dtypes)[col] != ddl:
                 df = df.withColumn(col, F.col(col).cast(ddl))

@@ -449,3 +449,111 @@ def test_shard_col_collision_rejected(spark, tmp_path):
     df = spark.createDataFrame([(1, 2)], "doc_id long, _shard long")
     with pytest.raises(ValueError, match="_shard"):
         write_corpus_shards(df, str(tmp_path / "x"), shard_key="doc_id")
+
+
+def test_file_uri_corpus_roundtrips_manifest(spark, tmp_path):
+    """The data path accepts URIs, so the manifest path must too (it
+    goes through the Hadoop FS now): a file:// corpus round-trips with
+    its partition-type manifest intact."""
+    df = spark.createDataFrame([(1, "7"), (2, None)], "doc_id long, lang string")
+    out = f"file://{tmp_path}/uri_corpus"
+    write_corpus_shards(
+        df, out, shard_key="doc_id", partition_by=("lang",), mode="overwrite"
+    )
+    back = read_corpus(spark, out)
+    # the manifest was found at the URI and applied: '7' stays a string
+    assert dict(back.dtypes)["lang"] == "string"
+    assert {r["doc_id"] for r in back.collect()} == {1, 2}
+    # ...and an append through the URI validates layout + takes the lock
+    write_corpus_shards(
+        df.withColumn("doc_id", F.col("doc_id") + 10),
+        out, shard_key="doc_id", partition_by=("lang",), mode="append",
+    )
+    assert read_corpus(spark, out).count() == 4
+
+
+def test_compact_rejects_remote_scheme(spark):
+    """Compaction's rename/flock algebra is local-by-design; a remote
+    URI must fail fast with guidance, not half-run with os.* calls."""
+    from dionysus_rb_spark.sources.corpus_sink import compact_corpus
+
+    with pytest.raises(ValueError, match="local filesystem"):
+        compact_corpus(spark, "s3a://bucket/corpus")
+
+
+def _flock(path, exclusive):
+    import fcntl
+    import os
+
+    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+    fcntl.flock(
+        fd, (fcntl.LOCK_EX if exclusive else fcntl.LOCK_SH) | fcntl.LOCK_NB
+    )
+    return fd
+
+
+def test_concurrent_writers_excluded_by_corpus_lock(spark, tmp_path):
+    """VERDICT r7 item 6 — two LIVE writers on one corpus directory:
+    compaction takes the corpus flock exclusive, appends take it shared,
+    so compact-vs-compact, compact-vs-append and append-vs-compact all
+    fail fast with CorpusLockHeld (never interleave renames with an
+    in-flight write), while append-vs-append still runs concurrently."""
+    import os
+
+    from dionysus_rb_spark.sources.corpus_sink import (
+        _LOCK_FILE,
+        CorpusLockHeld,
+        compact_corpus,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "corpus")
+    knobs = dict(
+        shard_key="doc_id", partition_by=("lang",), sort_by=("doc_id",),
+        target_rows_per_file=100, shards=3,
+    )
+    write_corpus_shards(docs, out, mode="overwrite", **knobs)
+    lock_path = os.path.join(out, _LOCK_FILE)
+
+    # a live compactor (exclusive holder) excludes both a second
+    # compaction and an append...
+    fd = _flock(lock_path, exclusive=True)
+    try:
+        with pytest.raises(CorpusLockHeld):
+            compact_corpus(spark, out)
+        with pytest.raises(CorpusLockHeld):
+            write_corpus_shards(docs, out, mode="append", **knobs)
+    finally:
+        os.close(fd)
+
+    # a live appender (shared holder) excludes compaction but NOT a
+    # concurrent append
+    n = read_corpus(spark, out).count()
+    fd = _flock(lock_path, exclusive=False)
+    try:
+        with pytest.raises(CorpusLockHeld):
+            compact_corpus(spark, out)
+        write_corpus_shards(docs, out, mode="append", **knobs)
+    finally:
+        os.close(fd)
+    assert read_corpus(spark, out).count() == 2 * n
+
+    # crash-release: a dead holder's lock evaporates with its process,
+    # so the corpus is never wedged by a crashed compactor
+    import subprocess
+    import sys
+
+    subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import fcntl, os, sys;"
+                f"fd = os.open({lock_path!r}, os.O_CREAT | os.O_RDWR);"
+                "fcntl.flock(fd, fcntl.LOCK_EX)"
+            ),
+        ],
+        check=True,
+    )
+    compact_corpus(spark, out)  # must not raise
+    assert read_corpus(spark, out).count() == 2 * n
