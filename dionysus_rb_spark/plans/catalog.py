@@ -130,6 +130,11 @@ _PLAN_CHANGED: dict[str, int] = {
     "t_bpe_token_count": 7,
     "t_repetition_quality": 7,
     "mm_decode_features": 7,
+    # round 8: split_corrupt's default materialization moved from a
+    # session-lifetime cache to the managed parquet landing
+    # (sources/text_ingest.py mode="land" — ADVICE r7 footprint fix),
+    # which changes the ingest query's physical plan:
+    "pipe_jsonl_ingest_roundtrip": 8,
 }
 
 

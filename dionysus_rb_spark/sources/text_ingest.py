@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..tables import CANONICAL_SCHEMAS
 
-__all__ = ["read_jsonl", "read_csv", "split_corrupt"]
+__all__ = ["read_jsonl", "read_csv", "split_corrupt", "release_split"]
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -105,8 +105,11 @@ def read_csv(
     )
 
 
+_SPLIT_CACHE_ATTR = "_dionysus_split_cache"
+
+
 def split_corrupt(
-    df: DataFrame, corrupt_col: str = CORRUPT_COL
+    df: DataFrame, corrupt_col: str = CORRUPT_COL, *, mode: str = "land"
 ) -> tuple[DataFrame, DataFrame]:
     """Split an ingested frame into (clean, dead_letter).
 
@@ -114,18 +117,59 @@ def split_corrupt(
     line plus its source file — enough to replay after a fix, exactly
     what the reference's DLQ stores (event + raw value).
 
-    The frame is cached first: Spark refuses to evaluate a query that
-    references ONLY the corrupt column against the live JSON relation
-    (the parser prunes columns, so the corrupt flag would be computed
-    from nothing), and the split reads the frame twice anyway — the
-    cache is both the documented requirement and the right plan.
+    The split cannot run against the live text relation: Spark refuses
+    to evaluate a query that references ONLY the corrupt column (the
+    parser prunes columns, so the corrupt flag would be computed from
+    nothing), and both halves read the parse result anyway, so it must
+    be materialized once. HOW it is materialized is the 100 TB question
+    (ADVICE r7: a cache of the entire raw input, pinned for the
+    session's lifetime, is the wrong footprint at corpus scale):
+
+    - ``mode="land"`` (default): one managed parquet roundtrip via
+      :func:`~..operators.lineage.truncate_lineage` — the parse runs
+      exactly once, the split reads the landed copy with zero executor
+      memory pinned, repeated ingests accumulate nothing in memory, and
+      the landing directory is reclaimed at interpreter exit (or lives
+      under the session's checkpoint dir on a cluster). Eager: the
+      parse job runs inside this call.
+    - ``mode="cache"``: the small-frame fast path (MEMORY_AND_DISK,
+      lazy). Ownership contract: BOTH returned frames depend on one
+      cached relation, which stays pinned until the session ends or the
+      caller releases it with :func:`release_split` after consuming
+      clean/dead.
     """
-    # input_file_name() must be captured BEFORE the cache: over the
-    # cached InMemoryRelation it evaluates to '' (no file underneath)
-    df = df.withColumn("_src_file", F.input_file_name()).cache()
+    # input_file_name() must be captured BEFORE materializing: over the
+    # cached/landed relation it evaluates to '' (no file underneath)
+    df = df.withColumn("_src_file", F.input_file_name())
+    cached = None
+    if mode == "land":
+        from ..operators.lineage import truncate_lineage
+
+        df = truncate_lineage(df)
+    elif mode == "cache":
+        df = cached = df.cache()
+    else:
+        raise ValueError(f"mode must be 'land' or 'cache', got {mode!r}")
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col, "_src_file")
     dead = df.filter(F.col(corrupt_col).isNotNull()).select(
         F.col(corrupt_col).alias("raw"),
         F.col("_src_file").alias("source_file"),
     )
+    if cached is not None:
+        setattr(clean, _SPLIT_CACHE_ATTR, cached)
+        setattr(dead, _SPLIT_CACHE_ATTR, cached)
     return clean, dead
+
+
+def release_split(frame: DataFrame) -> bool:
+    """Unpersist the cached relation backing a ``split_corrupt(mode=
+    "cache")`` result. Pass either returned frame once both are fully
+    consumed (an un-consumed sibling recomputes from source afterwards
+    — correct, just slower). Returns False for frames that carry no
+    cache (e.g. the default ``mode="land"`` results, which have nothing
+    to release)."""
+    cached = getattr(frame, _SPLIT_CACHE_ATTR, None)
+    if cached is None:
+        return False
+    cached.unpersist()
+    return True

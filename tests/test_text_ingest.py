@@ -110,6 +110,50 @@ def test_csv_anomaly_surface(spark, tmp_path):
     assert dead_raws == {"2,bye", "x,typo,en", "3,a,b,EXTRA"}
 
 
+def test_split_modes_agree_and_land_pins_no_cache(spark, tmp_path):
+    """ADVICE r7: the default split must not pin the whole raw input in
+    executor memory for the session's lifetime. mode='land' (parquet
+    roundtrip) and mode='cache' return identical clean/dead content;
+    land leaves the Spark cache untouched; release_split frees the
+    cache-mode relation and is a documented no-op on land-mode frames."""
+    from dionysus_rb_spark.sources.text_ingest import release_split
+
+    _write(
+        tmp_path / "in.jsonl",
+        [json.dumps(g) for g in GOOD] + [BROKEN_SYNTAX, BROKEN_TYPE],
+    )
+    src = str(tmp_path / "in.jsonl")
+
+    def snap(clean, dead):
+        return (
+            sorted(map(tuple, clean.collect())),
+            sorted(r["raw"] for r in dead.collect()),
+        )
+
+    jsc = spark.sparkContext._jsc.sc()
+    cached_before = jsc.getRDDStorageInfo()
+
+    land = split_corrupt(read_jsonl(spark, src, table="documents"))
+    land_snap = snap(*land)
+    assert len(jsc.getRDDStorageInfo()) == len(cached_before), (
+        "mode='land' pinned a cached relation"
+    )
+    assert release_split(land[0]) is False  # nothing to release
+
+    cache = split_corrupt(read_jsonl(spark, src, table="documents"), mode="cache")
+    assert snap(*cache) == land_snap
+    assert len(jsc.getRDDStorageInfo()) == len(cached_before) + 1, (
+        "mode='cache' should hold exactly one cached relation"
+    )
+    assert release_split(cache[1]) is True
+    assert len(jsc.getRDDStorageInfo()) == len(cached_before), (
+        "release_split did not unpersist"
+    )
+
+    with pytest.raises(ValueError, match="mode"):
+        split_corrupt(read_jsonl(spark, src, table="documents"), mode="nope")
+
+
 @pytest.mark.parametrize("compress", [False, True], ids=["plain", "gzip"])
 def test_csv_canonical_table_roundtrip(spark, tmp_path, compress):
     """Canonical-schema CSV over the documents shape, gzip-transparent,
