@@ -451,6 +451,7 @@ def stream_t5_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipe_corpus_shard_roundtrip",
+    bench=True,  # the I/O path is the 100 TB cost center (VERDICT r7 item 3)
     refs="S8",
     # nullif mirrors the sink's documented '' -> NULL partition-value
     # normalization (Hive directory encoding conflates the two; the
@@ -510,6 +511,7 @@ def pipe_corpus_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipe_jsonl_ingest_roundtrip",
+    bench=True,  # the I/O path is the 100 TB cost center (VERDICT r7 item 3)
     refs="F4,T9",
     # The oracle profiles the SOURCE table: every document row must
     # come back clean (valid JSONL lines parse; a null field is omitted
@@ -585,5 +587,120 @@ def pipe_jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "total_chars",
         F.lit(None).cast("long").alias("n_null_text"),
+    )
+    return clean_profile.unionAll(dead_profile)
+
+
+@query(
+    "pipe_csv_ingest_roundtrip",
+    refs="F4,T9",
+    # The oracle profiles the SOURCE table (the CSV encoding is a
+    # Spark-side roundtrip it never sees): every document row must come
+    # back clean, and the three deterministically injected positional
+    # anomalies — one per doc_id % 11 in (3,4,5) — must land in the
+    # dead-letter frame with their exact raw text. Byte accounting: an
+    # under-length line is just the doc_id rendering; the over-length
+    # and type-mismatch lines append a fixed 14-char suffix. % keeps
+    # the dividend's sign on both engines, so negative doc_ids inject
+    # nothing on either side, and NULL % 11 is NULL (no injection).
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(*) FILTER (WHERE n_chars IS NULL) AS n_null_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT '__dead_letter__' AS lang,
+           count(*) AS n_docs,
+           CAST(sum(length(CAST(doc_id AS VARCHAR))
+                    + CASE WHEN doc_id % 11 = 3 THEN 0 ELSE 14 END)
+                AS BIGINT) AS total_chars,
+           CAST(NULL AS BIGINT) AS n_null_chars
+    FROM documents WHERE doc_id % 11 IN (3, 4, 5)
+    """,
+)
+def pipe_csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/T9 ingestion accounting for the OTHER common raw-corpus shape
+    (VERDICT r7 item 1): CSV/TSV vendor deliveries, re-read via
+    sources/text_ingest.read_csv. CSV is positional, so the anomaly
+    surface this query certifies end-to-end is structural, not
+    syntactic: an under-length row (doc_id % 11 = 3: one field), an
+    over-length row (% 11 = 4: a fourth field appended), and a
+    type-mismatched row (% 11 = 5: 'notanum' in the bigint slot) must
+    each best-effort parse AND route to the dead-letter frame with
+    their raw line — never be dropped (lib/dionysus/consumer — F4
+    filters divert to a DLQ; README.md:804-852) — while every source
+    row round-trips clean, so the clean per-lang profile equals the
+    source profile exactly and the dead-letter row accounts for every
+    anomalous line byte-for-byte.
+
+    Encoding choices, each engine-independent: lang travels
+    hex-armored with an 'L' prefix ('L' + hex(utf8(lang))) so free-form
+    values cannot collide with the delimiter and '' stays distinct
+    from NULL (an empty field reads back NULL on this path — missing
+    is not empty, so '' must not serialize to the same bytes); NULL
+    fields serialize to empty and read back NULL for every column.
+    Framing-hostile FREE TEXT (embedded newlines) is deliberately not
+    on this path: line-framed CSV cannot carry it without multiLine
+    parsing, which is the JSONL reader's job
+    (pipe_jsonl_ingest_roundtrip certifies the text column; the quoted
+    -separator and quoting shapes are pinned in
+    tests/test_text_ingest.py)."""
+    import tempfile
+
+    from ..sources.text_ingest import read_csv, split_corrupt
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang_enc = F.concat(F.lit("L"), F.hex(F.encode(F.col("lang"), "UTF-8")))
+    doc_str = F.col("doc_id").cast("string")
+    clean_line = F.concat(
+        F.coalesce(doc_str, F.lit("")),
+        F.lit(","),
+        F.coalesce(lang_enc, F.lit("")),
+        F.lit(","),
+        F.coalesce(F.col("n_chars").cast("string"), F.lit("")),
+    )
+    m = F.col("doc_id") % 11
+    lines = docs.select(clean_line.alias("value")).unionAll(
+        docs.filter(m.isin(3, 4, 5)).select(
+            F.when(m == 3, doc_str)  # under-length: positional absence
+            .when(m == 4, F.concat(doc_str, F.lit(",L656E,7,extra")))
+            .otherwise(F.concat(doc_str, F.lit(",L656E,notanum")))
+            .alias("value")
+        )
+    )
+    out = tempfile.mkdtemp(prefix="csv_ingest_") + "/docs"
+    lines.write.text(out)
+    clean, dead = split_corrupt(
+        read_csv(
+            spark,
+            out,
+            schema="doc_id bigint, lang_enc string, n_chars bigint",
+            header=False,
+        )
+    )
+    clean_profile = (
+        clean.withColumn(
+            "lang",
+            F.when(
+                F.col("lang_enc").isNotNull(),
+                F.decode(F.unhex(F.expr("substring(lang_enc, 2)")), "UTF-8"),
+            ),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.count_if(F.col("n_chars").isNull()).alias("n_null_chars"),
+        )
+    )
+    dead_profile = dead.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("raw")).cast("long").alias("total_chars"),
+    ).select(
+        F.lit("__dead_letter__").alias("lang"),
+        "n_docs",
+        "total_chars",
+        F.lit(None).cast("long").alias("n_null_chars"),
     )
     return clean_profile.unionAll(dead_profile)
