@@ -14,7 +14,13 @@ Runs and times:
 - pipe_full_curation — staged scoring gates -> language rebalance ->
                       exact dedup -> hierarchical sequence packing
 
-Usage: python tools/validation/corpus500k.py
+Usage: python tools/validation/corpus500k.py [n_docs] [--curation]
+
+n_docs defaults to 500k (which also runs curation); larger sizes run
+the dedup spine only unless --curation is passed, and report the
+process-subtree RSS high-water alongside wall time and docs/s. Run
+FOREGROUND: background-launched runs are CPU-throttled in this sandbox
+and read ~2.5x slow (measured r7).
 """
 
 from __future__ import annotations
@@ -100,31 +106,88 @@ def build_corpus(spark, out: Path, n_docs: int = N_DOCS) -> None:
     assert n == n_docs
 
 
+class _RssHighWater:
+    """Max resident-set high-water of this process's whole subtree
+    (python driver + the launched JVM + pyspark workers), sampled every
+    2 s in a daemon thread — the memory number a cluster capacity plan
+    needs from a local run."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self.max_bytes = 0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _descendants(self) -> list[int]:
+        import os
+
+        pids, out = {os.getpid()}, [os.getpid()]
+        try:
+            for entry in os.listdir("/proc"):
+                if not entry.isdigit():
+                    continue
+                try:
+                    with open(f"/proc/{entry}/status") as f:
+                        status = f.read()
+                    ppid = int(status.split("PPid:\t", 1)[1].split("\n", 1)[0])
+                except (OSError, IndexError, ValueError):
+                    continue
+                if ppid in pids:
+                    pids.add(int(entry))
+                    out.append(int(entry))
+        except OSError:
+            pass
+        return out
+
+    def _run(self) -> None:
+        while not self._stop.wait(2.0):
+            total = 0
+            for pid in self._descendants():
+                try:
+                    with open(f"/proc/{pid}/statm") as f:
+                        total += int(f.read().split()[1]) * 4096
+                except (OSError, IndexError, ValueError):
+                    continue
+            self.max_bytes = max(self.max_bytes, total)
+
+    def stop_gb(self) -> float:
+        self._stop.set()
+        self._t.join(timeout=5)
+        return self.max_bytes / 2**30
+
+
 def main() -> None:
-    out = REPO / ".scratch" / "corpus500k"
+    n_docs = int(float(sys.argv[1])) if len(sys.argv) > 1 else N_DOCS
+    run_curation = "--curation" in sys.argv or n_docs == N_DOCS
+    out = REPO / ".scratch" / f"corpus{n_docs // 1000}k"
     out.mkdir(parents=True, exist_ok=True)
     spark = get_spark()  # local[$SPARK_GRAFT_CPUS], default 32
-    build_corpus(spark, out)
-    n = N_DOCS
+    build_corpus(spark, out, n_docs)
+    n = n_docs
 
     qs = all_queries()
+    rss = _RssHighWater()
     t0 = time.time()
     kept = qs["dd_dedup_final"].fn(spark, str(out)).count()
     t_dedup = time.time() - t0
     print(
         f"dd_dedup_final: {t_dedup:.1f}s ({n / t_dedup:,.0f} docs/s), "
-        f"kept {kept}"
+        f"kept {kept}, subtree RSS high-water {rss.stop_gb():.1f} GiB"
     )
     # each 10-variant group collapses to 1: ceiling on the kept count
-    assert kept <= N_DOCS - N_DUP_GROUPS * (GROUP - 1) + 1000
+    # (the r5-r8 runs all land EXACTLY on n - N_DUP_GROUPS*(GROUP-1))
+    assert kept <= n - N_DUP_GROUPS * (GROUP - 1) + 1000
 
-    t0 = time.time()
-    packed = qs["pipe_full_curation"].fn(spark, str(out)).count()
-    t_cur = time.time() - t0
-    print(
-        f"pipe_full_curation: {t_cur:.1f}s ({n / t_cur:,.0f} docs/s), "
-        f"{packed} rows"
-    )
+    if run_curation:
+        t0 = time.time()
+        packed = qs["pipe_full_curation"].fn(spark, str(out)).count()
+        t_cur = time.time() - t0
+        print(
+            f"pipe_full_curation: {t_cur:.1f}s ({n / t_cur:,.0f} docs/s), "
+            f"{packed} rows"
+        )
 
 
 if __name__ == "__main__":
