@@ -176,8 +176,12 @@ def main() -> None:
         f"dd_dedup_final: {t_dedup:.1f}s ({n / t_dedup:,.0f} docs/s), "
         f"kept {kept}, subtree RSS high-water {rss.stop_gb():.1f} GiB"
     )
-    # each 10-variant group collapses to 1: ceiling on the kept count
-    # (the r5-r8 runs all land EXACTLY on n - N_DUP_GROUPS*(GROUP-1))
+    # each 10-variant group collapses to 1: ceiling on the kept count.
+    # NOT an exactness claim — 34 members (30 groups) sit at the
+    # J≈0.5 banding boundary and never band with their group at ANY
+    # corpus size, and at 10M the 32-word vocab starts producing
+    # accidental true near-dups between "unique" docs (measured: kept
+    # = floor + 34 − 3 at 1e7; recall10m.py is the exact census)
     assert kept <= n - N_DUP_GROUPS * (GROUP - 1) + 1000
 
     if run_curation:
