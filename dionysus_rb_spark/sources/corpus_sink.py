@@ -340,6 +340,7 @@ _PHASE_MARKER = "_compact_phase"
 # reclaim). Without it, a crash mid-rmtree left marker+partial-trash and
 # recovery deleted the COMPLETE new data to restore a PARTIAL old set.
 _DELETING = "_compact_deleting_root"
+_RESTORING = "_compact_restoring_root"
 
 
 def _trash_name(leafname: str) -> str:
@@ -508,13 +509,22 @@ def _recover_crashed_compaction(path: str, part_cols: Sequence[str]) -> None:
     file-level cases: (a) no marker + trash -> crash while moving old
     aside: move it back (names are unique, no conflicts); (b) marker +
     trash -> crash while moving new in: root data entries are partial
-    new, delete them and restore the old (complete) set; (c) _DELETING
+    new — delete them, then COMMIT the purge by renaming trash to
+    _RESTORING before moving anything back. Recovery itself must be
+    re-entrant (a crash-looping compactor re-enters it mid-flight —
+    the exhaustive double-crash enumeration in
+    test_compaction_crash_enum.py found the unrenamed variant deleting
+    already-restored old files as "partial new" on its second pass);
+    with the commit rename, a re-entry sees either marker+trash (purge
+    not committed: root entries are still all partial-new, purge again)
+    or marker+_RESTORING (purge done: root entries are restored OLD
+    files — never delete, just move the remainder back); (c) _DELETING
     present (marker or not) -> the commit rename happened, so the new
     data is complete and the old set is superseded: reclaim it, NEVER
     restore — this is the case that used to be ambiguous with (b) when
     a crash or silent partial failure interrupted the trash rmtree,
     and restoring there deleted complete new data / resurrected old
-    part-files alongside it (ADVICE r7); (b2) marker + neither dir ->
+    part-files alongside it (ADVICE r7); (b2) marker + no dirs ->
     new data complete, reclaim done: drop the marker.
     """
     import shutil
@@ -522,20 +532,26 @@ def _recover_crashed_compaction(path: str, part_cols: Sequence[str]) -> None:
     if not part_cols:
         trash = os.path.join(path, _TRASH + "root")
         deleting = os.path.join(path, _DELETING)
+        restoring = os.path.join(path, _RESTORING)
         marker = os.path.join(path, _PHASE_MARKER)
         if os.path.isdir(deleting):  # (c) committed: reclaim only
             shutil.rmtree(deleting, ignore_errors=True)
             if os.path.exists(marker):
                 os.remove(marker)
-        elif os.path.exists(marker):
-            if os.path.isdir(trash):  # (b) partial new: restore old
+        elif os.path.exists(marker) or os.path.isdir(restoring):
+            if os.path.isdir(trash):  # (b) purge partial new, then commit
                 for name in _root_data_entries(path):
                     p = os.path.join(path, name)
                     shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
-                for name in os.listdir(trash):
-                    os.rename(os.path.join(trash, name), os.path.join(path, name))
-                shutil.rmtree(trash, ignore_errors=True)
-            os.remove(marker)  # (b2) when no trash
+                os.rename(trash, restoring)
+            if os.path.isdir(restoring):  # restore is re-enterable
+                for name in os.listdir(restoring):
+                    dst = os.path.join(path, name)
+                    if not os.path.exists(dst):
+                        os.rename(os.path.join(restoring, name), dst)
+                shutil.rmtree(restoring, ignore_errors=True)
+            if os.path.exists(marker):
+                os.remove(marker)  # (b2) when no dirs
         elif os.path.isdir(trash):  # (a) move the old set back
             for name in os.listdir(trash):
                 dst = os.path.join(path, name)
