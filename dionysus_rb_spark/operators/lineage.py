@@ -50,7 +50,7 @@ import uuid
 
 from pyspark.sql import DataFrame
 
-__all__ = ["truncate_lineage"]
+__all__ = ["truncate_lineage", "scratch_dir"]
 
 _DIR_ATTR = "_dionysus_truncation_dir"
 _local_root: str | None = None
@@ -108,6 +108,22 @@ def _delete_dir(spark, path: str) -> None:
         fs.delete(jpath, True)
     except Exception:  # noqa: BLE001 — cleanup must never fail the query
         pass
+
+
+def scratch_dir(spark, prefix: str = "scratch-") -> str:
+    """Allocate a unique path for intermediate files under the session's
+    RECLAIMED storage root — the same root truncation uses: the
+    configured cluster checkpoint dir (app-scoped, janitor-reapable) or
+    the auto-provisioned local temp root removed at interpreter exit.
+
+    For any query that must land helper files (rendered test corpora,
+    export staging), this replaces bare ``tempfile.mkdtemp`` — whose
+    directories nothing ever reclaims, so repeated runs accumulate
+    orphans under /tmp (ADVICE r8 item 4). The returned path does NOT
+    exist yet (Spark writers create their target); uniqueness comes
+    from the uuid suffix.
+    """
+    return f"{_root_dir(spark).rstrip('/')}/{prefix}{uuid.uuid4().hex}"
 
 
 def truncate_lineage(

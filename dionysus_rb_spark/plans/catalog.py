@@ -133,8 +133,24 @@ _PLAN_CHANGED: dict[str, int] = {
     # round 8: split_corrupt's default materialization moved from a
     # session-lifetime cache to the managed parquet landing
     # (sources/text_ingest.py mode="land" — ADVICE r7 footprint fix),
-    # which changes the ingest query's physical plan:
-    "pipe_jsonl_ingest_roundtrip": 8,
+    # which changed the ingest query's physical plan. Superseded by the
+    # round-9 entry below (r9 > r8), kept as the audit trail:
+    # "pipe_jsonl_ingest_roundtrip": 8.
+    #
+    # round 9 (VERDICT r8 item 1 + ADVICE r8 item 4): corpus_sink.py's
+    # write path changed materially in r8 (manifest I/O via Hadoop FS,
+    # shared-flock append coordination) AFTER pipe_corpus_shard_
+    # roundtrip's r7 green row — the r8 overlay missed it — and in r9
+    # all three I/O roundtrips moved their landing/rendering from bare
+    # tempfile.mkdtemp to the session-reclaimed scratch root plus the
+    # SplitResult ingest handle, shared-helper changes on their
+    # execution paths. Audit of the other sink-dependent candidates:
+    # pipe_corpus_filter and pipe_full_curation never import
+    # corpus_sink or text_ingest (grepped r9 — the only plans-side
+    # callers are these three), so their certs stand.
+    "pipe_corpus_shard_roundtrip": 9,
+    "pipe_jsonl_ingest_roundtrip": 9,
+    "pipe_csv_ingest_roundtrip": 9,
 }
 
 

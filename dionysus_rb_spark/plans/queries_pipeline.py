@@ -481,12 +481,11 @@ def pipe_corpus_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     group like any other, and an EMPTY lang joins it via the sink's
     documented '' -> NULL partition normalization (mirrored by the
     oracle's nullif)."""
-    import tempfile
-
+    from ..operators.lineage import scratch_dir
     from ..sources.corpus_sink import read_corpus, write_corpus_shards
 
     docs = load_table(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="corpus_shards_") + "/docs"
+    out = scratch_dir(spark, "corpus_shards-")
     write_corpus_shards(
         docs,
         out,
@@ -555,8 +554,7 @@ def pipe_jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe_corpus_shard_roundtrip); an all-NULL n_chars group sums to
     NULL; a zero-corruption corpus still yields the dead-letter row
     with n_docs = 0 and NULL total_chars on both engines."""
-    import tempfile
-
+    from ..operators.lineage import scratch_dir
     from ..sources.text_ingest import read_jsonl, split_corrupt
 
     docs = load_table(spark, sf_dir, "documents")
@@ -571,7 +569,7 @@ def pipe_jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    out = tempfile.mkdtemp(prefix="jsonl_ingest_") + "/docs"
+    out = scratch_dir(spark, "jsonl_ingest-")
     lines.write.text(out)
     clean, dead = split_corrupt(read_jsonl(spark, out, table="documents"))
     clean_profile = clean.groupBy("lang").agg(
@@ -646,8 +644,7 @@ def pipe_csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pipe_jsonl_ingest_roundtrip certifies the text column; the quoted
     -separator and quoting shapes are pinned in
     tests/test_text_ingest.py)."""
-    import tempfile
-
+    from ..operators.lineage import scratch_dir
     from ..sources.text_ingest import read_csv, split_corrupt
 
     docs = load_table(spark, sf_dir, "documents")
@@ -669,7 +666,7 @@ def pipe_csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value")
         )
     )
-    out = tempfile.mkdtemp(prefix="csv_ingest_") + "/docs"
+    out = scratch_dir(spark, "csv_ingest-")
     lines.write.text(out)
     clean, dead = split_corrupt(
         read_csv(

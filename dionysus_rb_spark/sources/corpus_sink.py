@@ -52,8 +52,10 @@ This sink is part of the beyond-reference LLM-pipeline family.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
+import time
 from contextlib import contextmanager, nullcontext
 from typing import Sequence
 from urllib.parse import urlparse
@@ -70,7 +72,6 @@ __all__ = [
 
 _SHARD_COL = "_shard"
 _MANIFEST = "_corpus_manifest.json"  # leading '_': ignored by parquet scans
-_LOCK_FILE = "_corpus_lock"  # leading '_': ignored by parquet scans
 
 
 class CorpusLockHeld(RuntimeError):
@@ -138,8 +139,34 @@ def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
         stream.close()
 
 
+# flock(LOCK_NB) reports CONTENTION as EAGAIN/EWOULDBLOCK (POSIX allows
+# EACCES too); anything else — ENOLCK (lock table exhausted / FS without
+# lock support), EBADF, EINTR-adjacent failures — is a real I/O error
+# that must surface as itself, not masquerade as "a writer holds it"
+# (ADVICE r8 item 1).
+_CONTENTION_ERRNOS = frozenset(
+    {errno.EAGAIN, errno.EWOULDBLOCK, errno.EACCES}
+)
+
+
+def _lock_path(local_path: str) -> str:
+    """The corpus's advisory lock file — a SIBLING of the corpus
+    directory, never inside it: Spark's ``mode="overwrite"`` deletes the
+    target directory before rewriting, and an in-directory lock file
+    would be unlinked mid-hold, leaving later writers flocking a fresh
+    inode nobody else watches (the lock would silently stop excluding
+    anyone the moment an overwrite ran). The sibling inode is stable
+    across every write mode, so the flock protocol stays sound for
+    overwrite/error writes too (ADVICE r8 item 2)."""
+    local_path = local_path.rstrip("/") or "/"
+    parent = os.path.dirname(local_path) or "."
+    return os.path.join(parent, f"._{os.path.basename(local_path)}.corpus_lock")
+
+
 @contextmanager
-def _corpus_lock(local_path: str, *, exclusive: bool, action: str):
+def _corpus_lock(
+    local_path: str, *, exclusive: bool, action: str, timeout: float = 0.0
+):
     """Advisory writer coordination for a LOCAL corpus directory.
 
     compact_corpus takes the lock EXCLUSIVE; append-mode writes take it
@@ -147,30 +174,52 @@ def _corpus_lock(local_path: str, *, exclusive: bool, action: str):
     their part files unique names and the layout validation is
     order-independent), but a compaction must never overlap any other
     writer — its rename-aside swap would capture an in-flight appender's
-    files into the trash set and reclaim them (data loss). flock gives
-    crash-release for free: the kernel drops the lock when the holder
-    dies, so there are no stale-pid files to janitor. Non-blocking by
-    design — a second compactor is a scheduling bug the caller should
-    see, not silently queue behind. Non-local corpora skip locking
-    (flock is only meaningful on a local FS; see _as_local_path)."""
+    files into the trash set and reclaim them (data loss). Overwrite and
+    error writes take it EXCLUSIVE: an overwrite re-land racing a live
+    compaction would interleave its directory deletion with the swap's
+    renames. flock gives crash-release for free: the kernel drops the
+    lock when the holder dies, so there are no stale-pid files to
+    janitor.
+
+    ``timeout`` bounds how long acquisition retries before raising
+    :class:`CorpusLockHeld` (VERDICT r8 item 4): routine appends queued
+    behind a short compaction should complete, not die. ``timeout=0``
+    is fail-fast — compact_corpus always uses it, because a SECOND
+    compactor is a scheduling bug the caller should see, not silently
+    queue behind. Non-local corpora skip locking entirely (flock is
+    only meaningful on a local FS; see _as_local_path)."""
     import fcntl
 
-    os.makedirs(local_path, exist_ok=True)
-    fd = os.open(
-        os.path.join(local_path, _LOCK_FILE), os.O_CREAT | os.O_RDWR, 0o644
-    )
+    # Only the PARENT must exist (the lock is a sibling — see
+    # _lock_path); creating the corpus directory itself here would
+    # break mode="error" semantics, which must see a missing target.
+    parent = os.path.dirname(local_path.rstrip("/") or "/") or "."
+    os.makedirs(parent, exist_ok=True)
+    fd = os.open(_lock_path(local_path), os.O_CREAT | os.O_RDWR, 0o644)
     try:
-        try:
-            fcntl.flock(
-                fd,
-                (fcntl.LOCK_EX if exclusive else fcntl.LOCK_SH) | fcntl.LOCK_NB,
-            )
-        except OSError:
-            raise CorpusLockHeld(
-                f"{action} needs the "
-                f"{'exclusive' if exclusive else 'shared'} corpus lock on "
-                f"{local_path!r} but a live compaction or append holds it"
-            ) from None
+        op = (fcntl.LOCK_EX if exclusive else fcntl.LOCK_SH) | fcntl.LOCK_NB
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fcntl.flock(fd, op)
+                break
+            except OSError as e:
+                if e.errno not in _CONTENTION_ERRNOS:
+                    raise  # real I/O failure, not a live writer
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    raise CorpusLockHeld(
+                        f"{action} needs the "
+                        f"{'exclusive' if exclusive else 'shared'} corpus "
+                        f"lock on {local_path!r} but a live compaction or "
+                        "append holds it"
+                        + (
+                            f" (waited {timeout:g}s)"
+                            if timeout > 0
+                            else ""
+                        )
+                    ) from None
+                time.sleep(min(0.05, remaining))
         yield
     finally:
         os.close(fd)  # releases the flock
@@ -186,6 +235,7 @@ def write_corpus_shards(
     target_rows_per_file: int = 1_000_000,
     shards: int | None = None,
     mode: str = "error",
+    lock_timeout: float = 60.0,
 ) -> None:
     """Write ``df`` as a partitioned, size-bounded, sorted shard layout.
 
@@ -200,6 +250,14 @@ def write_corpus_shards(
     ``shard_key`` is unique per row. With duplicate full sort keys the
     landed corpus is still content-exact as a multiset; only which side
     of a file-split boundary a tied row lands on is unpinned.
+
+    Writer coordination (local corpora): appends take the corpus flock
+    SHARED, overwrite/error writes take it EXCLUSIVE, and acquisition
+    waits up to ``lock_timeout`` seconds before raising
+    :class:`CorpusLockHeld` — so a routine append queued behind a short
+    compaction completes instead of dying, while a genuinely wedged
+    corpus still surfaces in bounded time. Pass ``lock_timeout=0`` for
+    fail-fast semantics (compaction itself is always fail-fast).
     """
     if shard_key in partition_by:
         raise ValueError("shard_key must not be a partition column")
@@ -215,16 +273,19 @@ def write_corpus_shards(
     # String join, not os.path/pathlib: the path may be a URI
     # (hdfs://, s3a://) whose double slash pathlib would collapse.
     manifest_path = f"{path.rstrip('/')}/{_MANIFEST}"
-    # Appends coordinate with compaction via the shared corpus lock
-    # (local corpora only — see _corpus_lock); initial overwrite/error
-    # writes are the documented single-writer bootstrap.
+    # Every local mutating entry point participates in the flock
+    # protocol (ADVICE r8 item 2): appends share, overwrite/error
+    # writes are exclusive — a re-land racing a live compaction would
+    # otherwise interleave its directory deletion with the swap's
+    # renames. Non-local paths coordinate externally (see _corpus_lock).
     lock = (
         _corpus_lock(
-            _as_local_path(path, "append write"),
-            exclusive=False,
-            action="append write",
+            _as_local_path(path, f"{mode} write"),
+            exclusive=mode != "append",
+            action=f"{mode} write",
+            timeout=lock_timeout,
         )
-        if mode == "append" and _is_local(path)
+        if _is_local(path)
         else nullcontext()
     )
     with lock:

@@ -495,14 +495,18 @@ def _flock(path, exclusive):
 def test_concurrent_writers_excluded_by_corpus_lock(spark, tmp_path):
     """VERDICT r7 item 6 — two LIVE writers on one corpus directory:
     compaction takes the corpus flock exclusive, appends take it shared,
-    so compact-vs-compact, compact-vs-append and append-vs-compact all
-    fail fast with CorpusLockHeld (never interleave renames with an
-    in-flight write), while append-vs-append still runs concurrently."""
+    overwrite re-lands take it exclusive (ADVICE r8 item 2), so
+    compact-vs-compact, compact-vs-append, append-vs-compact and
+    overwrite-vs-compact all raise CorpusLockHeld (never interleave
+    renames with an in-flight write), while append-vs-append still runs
+    concurrently. The lock file is a SIBLING of the corpus directory —
+    an in-directory lock would be unlinked by Spark's own overwrite,
+    silently orphaning every later writer's flock."""
     import os
 
     from dionysus_rb_spark.sources.corpus_sink import (
-        _LOCK_FILE,
         CorpusLockHeld,
+        _lock_path,
         compact_corpus,
     )
 
@@ -513,16 +517,23 @@ def test_concurrent_writers_excluded_by_corpus_lock(spark, tmp_path):
         target_rows_per_file=100, shards=3,
     )
     write_corpus_shards(docs, out, mode="overwrite", **knobs)
-    lock_path = os.path.join(out, _LOCK_FILE)
+    lock_path = _lock_path(out)
+    assert os.path.dirname(lock_path) == str(tmp_path), (
+        "lock must live beside the corpus dir, not inside it"
+    )
 
-    # a live compactor (exclusive holder) excludes both a second
-    # compaction and an append...
+    # a live compactor (exclusive holder) excludes a second compaction,
+    # an append, and an overwrite re-land (all fail-fast at timeout=0)
     fd = _flock(lock_path, exclusive=True)
     try:
         with pytest.raises(CorpusLockHeld):
             compact_corpus(spark, out)
         with pytest.raises(CorpusLockHeld):
-            write_corpus_shards(docs, out, mode="append", **knobs)
+            write_corpus_shards(docs, out, mode="append", lock_timeout=0, **knobs)
+        with pytest.raises(CorpusLockHeld):
+            write_corpus_shards(
+                docs, out, mode="overwrite", lock_timeout=0, **knobs
+            )
     finally:
         os.close(fd)
 
@@ -533,7 +544,7 @@ def test_concurrent_writers_excluded_by_corpus_lock(spark, tmp_path):
     try:
         with pytest.raises(CorpusLockHeld):
             compact_corpus(spark, out)
-        write_corpus_shards(docs, out, mode="append", **knobs)
+        write_corpus_shards(docs, out, mode="append", lock_timeout=0, **knobs)
     finally:
         os.close(fd)
     assert read_corpus(spark, out).count() == 2 * n
@@ -557,3 +568,86 @@ def test_concurrent_writers_excluded_by_corpus_lock(spark, tmp_path):
     )
     compact_corpus(spark, out)  # must not raise
     assert read_corpus(spark, out).count() == 2 * n
+
+
+def test_append_queued_behind_short_compaction_completes(spark, tmp_path):
+    """VERDICT r8 item 4 — at production cadence (continuous appenders +
+    periodic compaction) a routine append that loses the lock race must
+    WAIT, not die: the default bounded lock_timeout retries the shared
+    acquisition until the compactor's exclusive hold ends, so the append
+    completes without caller-side retry loops. Fail-fast stays available
+    via lock_timeout=0 (previous test)."""
+    import os
+    import threading
+    import time
+
+    from dionysus_rb_spark.sources.corpus_sink import _lock_path
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "corpus")
+    knobs = dict(
+        shard_key="doc_id", partition_by=("lang",), sort_by=("doc_id",),
+        target_rows_per_file=100, shards=3,
+    )
+    write_corpus_shards(docs, out, mode="overwrite", **knobs)
+    n = read_corpus(spark, out).count()
+
+    held = threading.Event()
+
+    def short_compaction_hold():
+        # stands in for a passing compaction: exclusive hold, then gone
+        fd = _flock(_lock_path(out), exclusive=True)
+        held.set()
+        time.sleep(1.0)
+        os.close(fd)
+
+    t = threading.Thread(target=short_compaction_hold)
+    t.start()
+    held.wait(5)
+    start = time.monotonic()
+    write_corpus_shards(docs, out, mode="append", lock_timeout=30, **knobs)
+    waited = time.monotonic() - start
+    t.join()
+    assert read_corpus(spark, out).count() == 2 * n
+    assert waited >= 0.5, "append should have actually queued behind the hold"
+
+
+def test_lock_io_errors_are_not_reported_as_contention(tmp_path):
+    """ADVICE r8 item 1 — a real I/O failure from flock (ENOLCK on a
+    lock-table-exhausted or lockless filesystem, EBADF) must surface as
+    itself; only the contention errnos (EAGAIN/EWOULDBLOCK/EACCES) mean
+    'a live writer holds it' and map to CorpusLockHeld."""
+    import errno
+    import fcntl
+
+    from dionysus_rb_spark.sources.corpus_sink import (
+        CorpusLockHeld,
+        _corpus_lock,
+    )
+
+    corpus = str(tmp_path / "corpus")
+
+    real_flock = fcntl.flock
+
+    def fail(kind):
+        def _flock_stub(fd, op):
+            raise OSError(kind, os.strerror(kind))
+
+        return _flock_stub
+
+    import os
+
+    try:
+        fcntl.flock = fail(errno.ENOLCK)
+        with pytest.raises(OSError) as exc:
+            with _corpus_lock(corpus, exclusive=True, action="test"):
+                pass
+        assert exc.value.errno == errno.ENOLCK
+        assert not isinstance(exc.value, CorpusLockHeld)
+
+        fcntl.flock = fail(errno.EAGAIN)
+        with pytest.raises(CorpusLockHeld):
+            with _corpus_lock(corpus, exclusive=True, action="test"):
+                pass
+    finally:
+        fcntl.flock = real_flock

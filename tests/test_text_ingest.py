@@ -110,12 +110,18 @@ def test_csv_anomaly_surface(spark, tmp_path):
     assert dead_raws == {"2,bye", "x,typo,en", "3,a,b,EXTRA"}
 
 
-def test_split_modes_agree_and_land_pins_no_cache(spark, tmp_path):
-    """ADVICE r7: the default split must not pin the whole raw input in
-    executor memory for the session's lifetime. mode='land' (parquet
-    roundtrip) and mode='cache' return identical clean/dead content;
-    land leaves the Spark cache untouched; release_split frees the
-    cache-mode relation and is a documented no-op on land-mode frames."""
+def test_split_modes_agree_and_release_frees_both_kinds(spark, tmp_path):
+    """ADVICE r7 + VERDICT r8 item 3 + ADVICE r8 item 3: the default
+    split must not pin the whole raw input in executor memory for the
+    session's lifetime, AND every materialization must be releasable
+    through the SplitResult handle — cache mode unpersists the relation,
+    land mode deletes the parquet landing directory (so a long-running
+    ingest loop holds O(one batch) of scratch disk, not O(history)).
+    The handle lives on the SplitResult, not the frames: a transformed
+    frame carries nothing, and release_split on a bare frame raises
+    instead of silently leaving the input pinned."""
+    import os
+
     from dionysus_rb_spark.sources.text_ingest import release_split
 
     _write(
@@ -134,24 +140,72 @@ def test_split_modes_agree_and_land_pins_no_cache(spark, tmp_path):
     cached_before = jsc.getRDDStorageInfo()
 
     land = split_corrupt(read_jsonl(spark, src, table="documents"))
-    land_snap = snap(*land)
+    clean, dead = land  # tuple-compatible unpacking still works
+    land_snap = snap(clean, dead)
     assert len(jsc.getRDDStorageInfo()) == len(cached_before), (
         "mode='land' pinned a cached relation"
     )
-    assert release_split(land[0]) is False  # nothing to release
+    kind, (_, landing_dir) = land._state
+    assert kind == "land" and os.path.isdir(landing_dir)
+    assert land.release() is True
+    assert not os.path.exists(landing_dir), (
+        "release must delete the landing directory"
+    )
+    assert land.release() is False  # idempotent
 
     cache = split_corrupt(read_jsonl(spark, src, table="documents"), mode="cache")
-    assert snap(*cache) == land_snap
+    assert snap(cache.clean, cache.dead) == land_snap
     assert len(jsc.getRDDStorageInfo()) == len(cached_before) + 1, (
         "mode='cache' should hold exactly one cached relation"
     )
-    assert release_split(cache[1]) is True
+    assert release_split(cache) is True
     assert len(jsc.getRDDStorageInfo()) == len(cached_before), (
-        "release_split did not unpersist"
+        "release did not unpersist"
     )
+    assert release_split(cache) is False
+
+    # the old footgun now fails loudly: frames carry no handle
+    with pytest.raises(TypeError, match="SplitResult"):
+        release_split(cache.clean)
 
     with pytest.raises(ValueError, match="mode"):
         split_corrupt(read_jsonl(spark, src, table="documents"), mode="nope")
+
+
+def test_repeated_ingest_disk_is_bounded_with_release(spark, tmp_path):
+    """VERDICT r8 item 3 steady-state check: an ingest loop that releases
+    each batch's SplitResult keeps exactly zero landings resident between
+    batches; without release, landings accumulate one per batch until
+    interpreter exit. (The 500k-scale A/B lives in
+    tools/validation/ingest500k.py; this pins the mechanism.)"""
+    import os
+
+    from dionysus_rb_spark.operators import lineage
+
+    _write(tmp_path / "in.jsonl", [json.dumps(g) for g in GOOD])
+    src = str(tmp_path / "in.jsonl")
+
+    root = lineage._root_dir(spark)
+
+    def n_dirs():
+        return len(os.listdir(root)) if os.path.isdir(root) else 0
+
+    base = n_dirs()
+    unreleased = []
+    for _ in range(3):
+        res = split_corrupt(read_jsonl(spark, src, table="documents"))
+        res.clean.collect()
+        unreleased.append(res)
+    assert n_dirs() == base + 3, "each un-released ingest lands once"
+    for res in unreleased:
+        assert res.release() is True
+    assert n_dirs() == base, "release reclaims every landing"
+
+    for _ in range(3):
+        res = split_corrupt(read_jsonl(spark, src, table="documents"))
+        res.clean.collect()
+        res.release()
+        assert n_dirs() == base, "released loop holds zero resident landings"
 
 
 @pytest.mark.parametrize("compress", [False, True], ids=["plain", "gzip"])

@@ -17,7 +17,11 @@ materialization policies and reports, per mode:
   mode="land" (reclaimed at interpreter exit);
 * three back-to-back re-ingests proving repeated calls accumulate
   nothing under "land" (the session-lifetime-accumulation failure mode
-  ADVICE r7 flagged on the old always-cache design).
+  ADVICE r7 flagged on the old always-cache design);
+* steady-state DISK under a released ingest loop (VERDICT r8 item 3):
+  with SplitResult.release() per batch the landing root returns to its
+  pre-loop size after every iteration, vs one landing per batch
+  (~55 MiB each at 500k) accumulating without release.
 
 Foreground runs only (background execution is CPU-throttled in this
 sandbox — SCALING.md round-7 methodology note).
@@ -80,16 +84,16 @@ def dir_bytes(path: Path) -> int:
 
 def run_mode(spark, jsonl_dir: str, mode: str, n: int, n_bad: int):
     t0 = time.time()
-    clean, dead = split_corrupt(
+    result = split_corrupt(
         read_jsonl(spark, jsonl_dir, table="documents"), mode=mode
     )
-    nc, nd = clean.count(), dead.count()
+    nc, nd = result.clean.count(), result.dead.count()
     dt = time.time() - t0
     assert nc + nd == n, (nc, nd, n)
     assert nd == n_bad, (nd, n_bad)
     print(f"mode={mode}: split {n:,} lines in {dt:.1f}s "
           f"({n / dt:,.0f} docs/s), clean={nc:,} dead={nd:,}")
-    return clean, dead, dt
+    return result, dt
 
 
 def main() -> None:
@@ -105,9 +109,9 @@ def main() -> None:
           f"{dir_bytes(jsonl_dir) / 2**20:,.0f} MiB) -> {jsonl_dir}")
 
     # -- mode="cache": measure what stays pinned, then release it
-    clean, dead, _ = run_mode(spark, str(jsonl_dir), "cache", n, n_bad)
+    result, _ = run_mode(spark, str(jsonl_dir), "cache", n, n_bad)
     pinned = pinned_storage_bytes(spark)
-    released = release_split(clean)
+    released = release_split(result)
     # unpersist is async-ish; poll briefly for the storage drop
     for _ in range(20):
         if pinned_storage_bytes(spark) == 0:
@@ -119,18 +123,38 @@ def main() -> None:
           f"{after / 2**20:,.0f} MiB pinned after")
     assert released and after == 0
 
-    # -- mode="land" (default): nothing pinned, footprint is disk-only
-    for _ in range(3):  # repeated ingests must not accumulate in memory
-        clean, dead, dt = run_mode(spark, str(jsonl_dir), "land", n, n_bad)
-        assert pinned_storage_bytes(spark) == 0
-    # the landing dirs live under the session's truncation root
+    # -- mode="land" (default): nothing pinned, footprint is disk-only.
+    # Un-released batches accumulate one landing each...
     from dionysus_rb_spark.operators import lineage
 
-    root = lineage._local_root
-    if root is not None and Path(root).exists():
-        print(f"mode=land: 0 MiB pinned; landing root holds "
-              f"{dir_bytes(Path(root)) / 2**20:,.0f} MiB on disk "
-              f"across the 3 re-ingests (reclaimed at exit)")
+    root = Path(lineage._root_dir(spark))
+    unreleased = []
+    for _ in range(3):
+        result, dt = run_mode(spark, str(jsonl_dir), "land", n, n_bad)
+        assert pinned_storage_bytes(spark) == 0
+        unreleased.append(result)
+    accumulated = dir_bytes(root)
+    print(f"mode=land (no release): 0 MiB pinned; landing root holds "
+          f"{accumulated / 2**20:,.0f} MiB on disk across 3 un-released "
+          f"ingests (reclaimed at exit)")
+    for r in unreleased:
+        assert r.release()
+    floor = dir_bytes(root)
+
+    # ...while a RELEASED loop holds O(one batch) at steady state
+    # (VERDICT r8 item 3): the root returns to its pre-loop size after
+    # every iteration.
+    peak_resident = 0
+    for _ in range(3):
+        result, dt = run_mode(spark, str(jsonl_dir), "land", n, n_bad)
+        peak_resident = max(peak_resident, dir_bytes(root) - floor)
+        assert result.release()
+        assert dir_bytes(root) == floor, "release left landing files behind"
+    per_batch = accumulated / 3
+    print(f"mode=land (released loop): steady-state landing root = "
+          f"{floor / 2**20:,.0f} MiB between batches "
+          f"(peak {peak_resident / 2**20:,.0f} MiB in flight, "
+          f"~{per_batch / 2**20:,.0f} MiB per un-released batch avoided)")
     spark.stop()
 
 
