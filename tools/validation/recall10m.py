@@ -1,5 +1,14 @@
 """Exact recall census of the dedup spine at 10M docs (SCALING.md r8).
 
+HISTORICAL ARTIFACT (r8): this census ran against the r8-era corpus
+generator (32-word vocabulary, single-variant-word groups) and its
+numbers — kept 9,982,031 = floor + 34 banding misses − 3 birthday
+merges — document that corpus. The r9 generator (corpus500k.py) uses a
+10,240-token vocabulary with exact tiered Jaccard, making both the +34
+and the −3 structurally impossible; the live model-vs-census harness
+is tools/validation/recall_model.py. To reproduce THIS file's numbers,
+regenerate the corpus with the r8 corpus500k.py (git history).
+
 The 10M corpus500k run kept 9,982,031 docs — 31 above the naive floor
 (1e7 − 2,000×9 = 9,982,000). This harness decomposes that gap EXACTLY,
 with an independent driver-side connected-components over the
