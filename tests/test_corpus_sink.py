@@ -445,6 +445,66 @@ def test_hostile_partition_values_round_trip(spark, tmp_path):
     assert dict(read_corpus(spark, out).dtypes)["lang"] == "string"
 
 
+def test_hostile_partition_values_survive_compaction(spark, tmp_path):
+    """Round-9 adversarial-shape extension: hostile partition values
+    through the FULL append -> compact -> crash-recover cycle, including
+    the two characters the trash-name encoding must keep reversible —
+    '=' (Hive escapes it to %3D in the dir name; a literal '=' in a
+    trash dir would be parsed as a partition column by Spark's
+    discovery) and '%' (the escape character itself, encoded FIRST so
+    un-escaping is unambiguous). The write->read half is pinned above;
+    this pins that compaction's rename-aside swap and its recovery pass
+    restore exactly the Hive-escaped leaf names Spark wrote."""
+    import os
+
+    from dionysus_rb_spark.sources.corpus_sink import (
+        _trash_name,
+        _untrash_name,
+        compact_corpus,
+    )
+
+    rows = [
+        (1, "a=b"),       # Hive-escapes to lang=a%3Db
+        (2, "%"),         # the escape char itself: lang=%25
+        (3, "x=1=2"),     # repeated '='
+        (4, "%3D"),       # PRE-escaped-looking value (must not double-decode)
+        (5, "en"),
+        (6, None),        # __HIVE_DEFAULT_PARTITION__
+        (7, "7"),         # type-inference bait (manifest cast)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = str(tmp_path / "hostile")
+    knobs = dict(shard_key="doc_id", partition_by=("lang",), shards=2)
+    write_corpus_shards(df, out, mode="overwrite", **knobs)
+    more = spark.createDataFrame([(r[0] + 100, r[1]) for r in rows],
+                                 "doc_id long, lang string")
+    write_corpus_shards(more, out, mode="append", **knobs)
+
+    # every Hive-escaped leaf name must round-trip the trash encoding
+    leaves = [d for d in os.listdir(out) if d.startswith("lang=")]
+    assert len(leaves) == 7
+    for leaf in leaves:
+        assert _untrash_name(_trash_name(leaf)) == leaf
+        assert "=" not in _trash_name(leaf)  # never partition-discoverable
+
+    compact_corpus(spark, out)
+    back = {r["doc_id"]: r["lang"] for r in read_corpus(spark, out).collect()}
+    want = {r[0]: r[1] for r in rows} | {r[0] + 100: r[1] for r in rows}
+    assert back == want
+    assert dict(read_corpus(spark, out).dtypes)["lang"] == "string"
+
+    # crash-recovery over a hostile-named trash dir: simulate a crash
+    # between the two swap renames (old moved aside, new never moved
+    # in) for the nastiest leaf, then let the next compaction recover
+    victim = "lang=a%3Db"
+    os.rename(os.path.join(out, victim),
+              os.path.join(out, _trash_name(victim)))
+    assert not os.path.exists(os.path.join(out, victim))
+    compact_corpus(spark, out)  # recovery pass restores, then compacts
+    back = {r["doc_id"]: r["lang"] for r in read_corpus(spark, out).collect()}
+    assert back == want
+
+
 def test_shard_col_collision_rejected(spark, tmp_path):
     df = spark.createDataFrame([(1, 2)], "doc_id long, _shard long")
     with pytest.raises(ValueError, match="_shard"):
