@@ -89,6 +89,24 @@ def minhash_signature(
     return sh.withColumn("signature", F.expr(sig_sql))
 
 
+def band_keys_expr(bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND) -> str:
+    """SQL expression string for a signature's band keys — one
+    "<band_idx>,<sig values>" string per band (shared by the batch
+    pipeline, the delta gate, and the validation harnesses so every
+    consumer banding-joins on byte-identical keys)."""
+    return "array(%s)" % ", ".join(
+        "concat_ws(',', '%d', %s)"
+        % (
+            b,
+            ", ".join(
+                f"cast(signature[{i}] as string)"
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+
+
 def lsh_candidate_pairs(
     signed: DataFrame,
     bands: int = BANDS,
@@ -103,19 +121,8 @@ def lsh_candidate_pairs(
     is free — a degenerate bucket is just a long collected list, dropped
     by size before expansion.
     """
-    bands_sql = "array(%s)" % ", ".join(
-        "concat_ws(',', '%d', %s)"
-        % (
-            b,
-            ", ".join(
-                f"cast(signature[{i}] as string)"
-                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-            ),
-        )
-        for b in range(bands)
-    )
     band_rows = signed.select(
-        "doc_id", F.explode(F.expr(bands_sql)).alias("band_key")
+        "doc_id", F.explode(F.expr(band_keys_expr(bands, rows_per_band))).alias("band_key")
     )
     buckets = band_rows.groupBy("band_key").agg(
         F.array_sort(F.collect_set("doc_id")).alias("ids")
@@ -184,6 +191,105 @@ def minhash_lsh_dedup(
     signed = minhash_signature(sh, num_perm, seed)
     pairs = lsh_candidate_pairs(signed, bands, num_perm // bands, max_bucket)
     return verify_jaccard(pairs, sh, threshold)
+
+
+def delta_dedup_gate(
+    delta: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Incremental dedup: admit a NEW batch (``delta``) against an
+    EXISTING corpus (``index``) without re-deduping the corpus.
+
+    At 100 TB nobody re-runs whole-corpus dedup per arriving batch —
+    the corpus side becomes a PERSISTED band-key index table
+    ``(band_key, doc_id)`` bucketed on band_key (plus the shingle-set
+    store for verification), and each delta batch pays one
+    band-key join against it plus one verify join: cost is
+    O(delta + matched buckets), never O(corpus). This operator is that
+    gate with the index side computed inline (so the whole thing stays
+    oracle-checkable on one table); the banding/verify semantics are
+    byte-identical to the batch pipeline (band_keys_expr /
+    verify-Jaccard with the same rounding), so a doc rejected here is
+    exactly a doc the full pipeline would have paired.
+
+    Returns one row per delta doc: ``doc_id``, ``n_dup_matches`` (the
+    count of DISTINCT index docs with verified Jaccard >= threshold),
+    and ``kept`` (1 when n_dup_matches = 0). Within-delta duplicates
+    are NOT resolved here — that is the normal batch pipeline's job on
+    the admitted batch; this gate answers only "is it already in the
+    corpus". Zero-token delta docs have no shingles, band with nothing,
+    and are admitted (consistent with the pipeline's zero-token
+    exclusion); ``max_bucket`` caps the INDEX side — a degenerate index
+    bucket (> max_bucket docs sharing a band key) emits no candidates,
+    mirroring the batch pipeline's bucket drop.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sh_d = doc_shingles(delta, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh_i = doc_shingles(index, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    rows = num_perm // bands
+    keys = band_keys_expr(bands, rows)
+    bd = minhash_signature(sh_d, num_perm, seed).select(
+        F.col("doc_id").alias("delta_id"),
+        F.explode(F.expr(keys)).alias("band_key"),
+    )
+    bi = minhash_signature(sh_i, num_perm, seed).select(
+        F.col("doc_id").alias("index_id"),
+        F.explode(F.expr(keys)).alias("band_key"),
+    )
+    if max_bucket is not None:
+        # window, not agg+join: the width count rides the same band_key
+        # partitioning the bucket join needs, so the cap costs no extra
+        # shuffle (the exchange is reused)
+        from pyspark.sql import Window
+
+        bi = bi.withColumn(
+            "__w", F.count("*").over(Window.partitionBy("band_key"))
+        ).filter(F.col("__w") <= max_bucket).drop("__w")
+    # no distinct() on candidates: a pair banding in several bands
+    # verifies identically each time, and the final count is DISTINCT
+    # over index ids — same result, one less corpus-sized shuffle
+    cand = bd.join(bi, "band_key").select("delta_id", "index_id")
+    sa = sh_d.select(
+        F.col("doc_id").alias("delta_id"), F.col("shingle_set").alias("__sa")
+    )
+    sb = sh_i.select(
+        F.col("doc_id").alias("index_id"), F.col("shingle_set").alias("__sb")
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size(F.array_union("__sa", "__sb"))
+    matches = (
+        cand.join(sa, "delta_id")
+        .join(sb, "index_id")
+        .filter(F.round(inter / union, 6) >= threshold)
+        .groupBy("delta_id")
+        .agg(F.count_distinct("index_id").alias("__n"))
+    )
+    return (
+        delta.select(F.col(id_col).alias("doc_id"))
+        .join(matches.withColumnRenamed("delta_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias(
+                "n_dup_matches"
+            ),
+            (F.coalesce(F.col("__n"), F.lit(0)) == 0)
+            .cast("long")
+            .alias("kept"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -263,4 +369,92 @@ def minhash_lsh_dedup_sql(
     JOIN hashed sb ON sb.doc_id = p.doc_b
     WHERE round(CAST(len(list_intersect(sa.shingle_set, sb.shingle_set)) AS DOUBLE)
                 / len(list_distinct(sa.shingle_set || sb.shingle_set)), 6) >= {threshold}
+    """
+
+def delta_dedup_gate_sql(
+    delta_pred: str,
+    index_pred: str,
+    k: int = 3,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket: int | None = 1000,
+) -> str:
+    """DuckDB mirror of :func:`delta_dedup_gate` over the ``documents``
+    view, with the delta/index membership given as SQL predicates on
+    its columns. Same inlined permutation constants, band-key shape,
+    INDEX-side bucket cap, and verify rounding as the Spark side, so
+    the admit/reject decision is cross-engine exact."""
+    from ..functions.hashing import h32_sql, shingles_sql, tokenize_sql
+
+    params = perm_params(num_perm, seed)
+    rows = num_perm // bands
+    sig_exprs = ",\n      ".join(
+        f"list_aggregate(list_transform(shingle_hashes,"
+        f" h -> (h * {a} + {b}) % {MERSENNE_PRIME}), 'min') AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_keys = ", ".join(
+        "concat_ws(',', '%d', %s)"
+        % (b, ", ".join(f"CAST(s{i} AS VARCHAR)" for i in range(b * rows, (b + 1) * rows)))
+        for b in range(bands)
+    )
+
+    def side(name: str, pred: str) -> str:
+        return f"""
+    sh_{name} AS (
+      SELECT doc_id,
+             {shingles_sql(tokenize_sql('text'), k)} AS shingle_set
+      FROM documents
+      WHERE ({pred}) AND regexp_matches(lower(text), '[a-z0-9]')
+    ),
+    hashed_{name} AS (
+      SELECT doc_id, shingle_set,
+             list_transform(shingle_set, s -> {h32_sql('s')}) AS shingle_hashes
+      FROM sh_{name}
+    ),
+    signed_{name} AS (
+      SELECT doc_id, shingle_set,
+      {sig_exprs}
+      FROM hashed_{name}
+    ),
+    band_{name} AS (
+      SELECT doc_id, unnest([{band_keys}]) AS band_key FROM signed_{name}
+    )"""
+
+    cap = (
+        f"HAVING count(*) <= {max_bucket}" if max_bucket is not None else ""
+    )
+    jac = (
+        "round(CAST(len(list_intersect(sa.shingle_set, sb.shingle_set))"
+        " AS DOUBLE)"
+        " / len(list_distinct(sa.shingle_set || sb.shingle_set)), 6)"
+    )
+    return f"""
+    WITH {side('d', delta_pred)},
+    {side('i', index_pred)},
+    kept_buckets AS (
+      SELECT band_key FROM band_i GROUP BY band_key {cap}
+    ),
+    cand AS (
+      SELECT DISTINCT bd.doc_id AS delta_id, bi.doc_id AS index_id
+      FROM band_d bd
+      JOIN kept_buckets kb ON kb.band_key = bd.band_key
+      JOIN band_i bi ON bi.band_key = bd.band_key
+    ),
+    matches AS (
+      SELECT c.delta_id, count(*) AS n
+      FROM cand c
+      JOIN hashed_d sa ON sa.doc_id = c.delta_id
+      JOIN hashed_i sb ON sb.doc_id = c.index_id
+      WHERE {jac} >= {threshold}
+      GROUP BY c.delta_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(m.n, 0) AS BIGINT) AS n_dup_matches,
+           CAST(CASE WHEN coalesce(m.n, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS kept
+    FROM (SELECT doc_id FROM documents WHERE ({delta_pred})) d
+    LEFT JOIN matches m ON m.delta_id = d.doc_id
     """

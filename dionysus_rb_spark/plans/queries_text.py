@@ -358,6 +358,42 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_delta_gate",
+    refs="beyond:dedup",
+    oracle=minhash.delta_dedup_gate_sql(
+        "doc_id % 4 = 0", "doc_id % 4 <> 0", k=3, threshold=0.5
+    ),
+)
+def dd_delta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: gate a NEW batch (doc_id % 4 = 0) against the
+    EXISTING corpus (the rest) — the operation a 100 TB pipeline
+    actually runs per arriving delivery, where whole-corpus re-dedup is
+    off the table and the corpus side is a persisted band-key index
+    (operators/minhash.delta_dedup_gate — cost O(delta + matched
+    buckets), one band-key join + one verify join, never O(corpus)).
+    Banding and verify are byte-identical to the batch pipeline, so an
+    admit/reject decision here equals the full pipeline's pairing
+    verdict. Emits every delta doc with its verified-match count and
+    the 0/1 admit decision. NULL doc_ids satisfy neither predicate on
+    either engine (NULL % 4 is NULL), negative doc_ids keep the
+    dividend's sign on both, zero-token delta docs band with nothing
+    and are admitted, and the index-side bucket cap mirrors the batch
+    pipeline's degenerate-bucket drop. The reference has no dedup
+    surface at all (SURVEY §2 'beyond' family); within-delta duplicates
+    are deliberately NOT resolved here — that is dd_dedup_final's job
+    on the admitted batch."""
+    docs = _docs(spark, sf_dir)
+    return minhash.delta_dedup_gate(
+        docs.filter(F.col("doc_id") % 4 == 0),
+        docs.filter(F.col("doc_id") % 4 != 0),
+        "text",
+        "doc_id",
+        k=3,
+        threshold=0.5,
+    )
+
+
+@query(
     "dd_dup_clusters",
     refs="beyond:dedup",
     oracle=f"""

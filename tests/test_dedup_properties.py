@@ -482,3 +482,52 @@ def test_simhash_narrow_width_cross_engine_parity(spark, tmp_path):
     assert got == want
     # identical-text pairs are hamming-0 at any width
     assert {(2 * g, 2 * g + 1, 0) for g in range(40) if g % 3 != 0} <= got
+
+
+def test_delta_gate_semantics_pinned(spark):
+    """Pinned contracts of the incremental dedup gate
+    (minhash.delta_dedup_gate): an exact index dup is rejected with the
+    right match count, a sub-threshold neighbor is admitted, zero-token
+    docs are admitted, within-delta duplicates are NOT resolved (both
+    admitted — dd_dedup_final's job), and the index-side bucket cap
+    silences a degenerate bucket exactly like the batch pipeline."""
+    from dionysus_rb_spark.operators.minhash import delta_dedup_gate
+
+    base = "alpha0 beta1 gamma2 delta3 epsilon4 zeta5 eta6 theta7 iota8"
+    rows_index = [
+        (100, base),                     # exact content also in delta
+        (101, base),                     # a second identical index doc
+        (102, "totally different words here nothing shared at all ok"),
+    ]
+    rows_delta = [
+        (1, base),                       # dup of 100 AND 101 -> rejected, 2 matches
+        (2, "unrelated fresh document content goes right here friends"),
+        (3, ""),                         # zero tokens -> admitted
+        (4, "中文のみ"),                  # zero ASCII tokens -> admitted
+        (5, "unrelated fresh document content goes right here friends"),
+        # ^ within-delta dup of 2: BOTH admitted (not this gate's job)
+    ]
+    index = spark.createDataFrame(rows_index, "doc_id long, text string")
+    delta = spark.createDataFrame(rows_delta, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_dup_matches"], r["kept"])
+        for r in delta_dedup_gate(delta, index, threshold=0.5).collect()
+    }
+    assert got == {
+        1: (2, 0),
+        2: (0, 1),
+        3: (0, 1),
+        4: (0, 1),
+        5: (0, 1),
+    }
+
+    # index-side bucket cap: shrink the cap below the identical-doc
+    # bucket width and the dup sails through (the degenerate bucket
+    # emits no candidates — mirroring the batch pipeline's drop)
+    capped = {
+        r["doc_id"]: r["kept"]
+        for r in delta_dedup_gate(
+            delta, index, threshold=0.5, max_bucket=1
+        ).collect()
+    }
+    assert capped[1] == 1
