@@ -1,0 +1,89 @@
+"""Incremental delta-gate throughput at corpus scale (SCALING.md r9).
+
+Splits the tiered corpus (corpus500k.build_corpus) into a 25% delta
+(doc_id % 4 = 0) and a 75% index, runs
+operators/minhash.delta_dedup_gate (threshold 0.5), and reports wall
+time, delta docs/s, and the admit/reject census. The decision contract
+is checkable against the corpus construction: a delta member of a
+J >= 0.5 tier group is rejected iff it BANDS with a group-mate on the
+index side (its 10-doc group has 7-8 index members), a tier-0.45
+member must always be admitted (verify gate), and unique docs must
+always be admitted (10,240-token vocab — no accidental near-dups).
+
+Usage: python tools/validation/delta_gate_scale.py [n_docs]
+Foreground runs only (background execution is CPU-throttled in this
+sandbox — SCALING.md round-7 methodology note).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F
+
+from dionysus_rb_spark.operators.minhash import delta_dedup_gate
+from dionysus_rb_spark.session import get_spark
+from tools.validation.corpus500k import (
+    GROUP,
+    N_DUP_GROUPS,
+    N_TIERS,
+    build_corpus,
+)
+
+N_MEMBERS = N_DUP_GROUPS * GROUP
+
+
+def main() -> None:
+    n_docs = int(float(sys.argv[1])) if len(sys.argv) > 1 else 1_000_000
+    out = REPO / ".scratch" / f"deltagate{n_docs // 1000}k"
+    out.mkdir(parents=True, exist_ok=True)
+    spark = get_spark()
+    build_corpus(spark, out, n_docs)
+    docs = spark.read.parquet(str(out / "documents.parquet"))
+
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    index = docs.filter(F.col("doc_id") % 4 != 0)
+    n_delta = delta.count()
+
+    t0 = time.time()
+    result = delta_dedup_gate(delta, index, "text", "doc_id", threshold=0.5)
+    rows = result.collect()
+    dt = time.time() - t0
+    rejected = sum(1 for r in rows if r["kept"] == 0)
+    print(
+        f"delta gate at {n_docs:,} docs ({n_delta:,} delta vs "
+        f"{n_docs - n_delta:,} index): {dt:.1f}s "
+        f"({n_delta / dt:,.0f} delta docs/s), "
+        f"admitted {len(rows) - rejected:,}, rejected {rejected:,}"
+    )
+    assert len(rows) == n_delta
+
+    # contract census against the corpus construction
+    bad_unique = [r for r in rows if r["doc_id"] >= N_MEMBERS and r["kept"] == 0]
+    assert not bad_unique, f"unique docs must be admitted: {bad_unique[:5]}"
+    bad_ctrl = [
+        r
+        for r in rows
+        if r["doc_id"] < N_MEMBERS
+        and (r["doc_id"] // GROUP) % N_TIERS == 0
+        and r["kept"] == 0
+    ]
+    assert not bad_ctrl, f"J=0.45 tier must be admitted: {bad_ctrl[:5]}"
+    member_rows = [r for r in rows if r["doc_id"] < N_MEMBERS]
+    member_rejects = sum(1 for r in member_rows if r["kept"] == 0)
+    print(
+        f"member census: {len(member_rows):,} delta members, "
+        f"{member_rejects:,} rejected as already-in-corpus "
+        f"(banding recall at each tier per COVERAGE.md model), "
+        f"0 unique/control false rejects"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
