@@ -360,6 +360,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dd_delta_gate",
     refs="beyond:dedup",
+    bench=True,  # new surface gets round-over-round numbers (r8 policy)
     oracle=minhash.delta_dedup_gate_sql(
         "doc_id % 4 = 0", "doc_id % 4 <> 0", k=3, threshold=0.5
     ),
