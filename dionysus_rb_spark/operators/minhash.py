@@ -23,6 +23,7 @@ handle residual skew.
 
 from __future__ import annotations
 
+import json
 import random
 
 from pyspark.sql import DataFrame
@@ -239,8 +240,7 @@ def delta_dedup_gate(
     sh_i = doc_shingles(index, text_col, id_col, k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    rows = num_perm // bands
-    keys = band_keys_expr(bands, rows)
+    keys = band_keys_expr(bands, num_perm // bands)
     bd = minhash_signature(sh_d, num_perm, seed).select(
         F.col("doc_id").alias("delta_id"),
         F.explode(F.expr(keys)).alias("band_key"),
@@ -249,10 +249,33 @@ def delta_dedup_gate(
         F.col("doc_id").alias("index_id"),
         F.explode(F.expr(keys)).alias("band_key"),
     )
+    sb = sh_i.select(
+        F.col("doc_id").alias("index_id"), F.col("shingle_set").alias("__sb")
+    )
+    return _gate_against(delta, id_col, sh_d, bd, bi, sb, threshold, max_bucket)
+
+
+def _gate_against(
+    delta: DataFrame,
+    id_col: str,
+    sh_d: DataFrame,
+    bd: DataFrame,
+    bi: DataFrame,
+    sb: DataFrame,
+    threshold: float,
+    max_bucket: int | None,
+) -> DataFrame:
+    """The join half of the delta gate, shared by the inline and the
+    persisted-index paths: band-bucket join -> exact-Jaccard verify ->
+    distinct-match count -> per-delta-doc decision. ``bd``/``bi`` are
+    (delta_id|index_id, band_key) rows; ``sb`` is (index_id, __sb
+    shingle_set); ``sh_d`` is the delta shingle frame."""
     if max_bucket is not None:
         # window, not agg+join: the width count rides the same band_key
         # partitioning the bucket join needs, so the cap costs no extra
-        # shuffle (the exchange is reused)
+        # shuffle (the exchange is reused). Applied at GATE time, so a
+        # persisted index stores uncapped band rows and the cap stays a
+        # query-time knob.
         from pyspark.sql import Window
 
         bi = bi.withColumn(
@@ -264,9 +287,6 @@ def delta_dedup_gate(
     cand = bd.join(bi, "band_key").select("delta_id", "index_id")
     sa = sh_d.select(
         F.col("doc_id").alias("delta_id"), F.col("shingle_set").alias("__sa")
-    )
-    sb = sh_i.select(
-        F.col("doc_id").alias("index_id"), F.col("shingle_set").alias("__sb")
     )
     inter = F.size(F.array_intersect("__sa", "__sb"))
     union = F.size(F.array_union("__sa", "__sb"))
@@ -290,6 +310,107 @@ def delta_dedup_gate(
             .alias("kept"),
         )
     )
+
+
+_INDEX_MANIFEST = "_dedup_index_manifest.json"
+
+
+def build_dedup_index(
+    index: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    seed: int = 42,
+) -> None:
+    """Persist the corpus side of the delta gate as a reusable artifact:
+    ``<path>/bands`` — (index_id, band_key) rows repartitioned on
+    band_key — ``<path>/shingles`` — (index_id, shingle_set) — and a
+    manifest recording the signature parameters (k, num_perm, bands,
+    seed), which are INDEX properties: every future gate call reads
+    them from the manifest, so a delta can never be signed with
+    different constants than the corpus it is gated against.
+
+    This is the production shape the inline :func:`delta_dedup_gate`
+    docstring promises: the corpus pays its shingle+signature cost
+    once, and each arriving delta pays O(delta + matched buckets). On a
+    cluster the bands relation belongs in a band_key-bucketed table so
+    the gate join co-locates without a shuffle; plain parquet (this
+    function) still confines the per-delta cost to one keyed shuffle
+    per side. Appending new admitted docs to the index is
+    ``mode="append"`` on both directories plus the same manifest —
+    band rows are per-doc independent.
+    """
+    from ..sources.corpus_sink import _fs_write_text
+
+    spark = index.sparkSession
+    sh_i = doc_shingles(index, text_col, id_col, k)
+    signed = minhash_signature(sh_i, num_perm, seed)
+    keys = band_keys_expr(bands, num_perm // bands)
+    (
+        signed.select(
+            F.col("doc_id").alias("index_id"),
+            F.explode(F.expr(keys)).alias("band_key"),
+        )
+        .repartition("band_key")
+        .write.mode("overwrite")
+        .parquet(f"{path.rstrip('/')}/bands")
+    )
+    (
+        sh_i.select(
+            F.col("doc_id").alias("index_id"),
+            F.col("shingle_set").alias("__sb"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path.rstrip('/')}/shingles")
+    )
+    _fs_write_text(
+        spark,
+        f"{path.rstrip('/')}/{_INDEX_MANIFEST}",
+        json.dumps(
+            {"k": k, "num_perm": num_perm, "bands": bands, "seed": seed}
+        ),
+    )
+
+
+def delta_dedup_gate_indexed(
+    delta: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Gate a delta batch against a PERSISTED dedup index
+    (:func:`build_dedup_index`) — result-identical to
+    :func:`delta_dedup_gate` over the same corpus (pinned by test), but
+    the corpus-side shingle/signature work is amortized into the index
+    build instead of re-run per batch. Signature parameters come from
+    the index manifest; ``threshold`` and ``max_bucket`` remain
+    query-time knobs (the index stores uncapped band rows)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..sources.corpus_sink import _fs_read_text
+
+    spark = delta.sparkSession
+    manifest = json.loads(
+        _fs_read_text(spark, f"{index_path.rstrip('/')}/{_INDEX_MANIFEST}")
+    )
+    k, num_perm = manifest["k"], manifest["num_perm"]
+    bands, seed = manifest["bands"], manifest["seed"]
+    sh_d = doc_shingles(delta, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    keys = band_keys_expr(bands, num_perm // bands)
+    bd = minhash_signature(sh_d, num_perm, seed).select(
+        F.col("doc_id").alias("delta_id"),
+        F.explode(F.expr(keys)).alias("band_key"),
+    )
+    bi = spark.read.parquet(f"{index_path.rstrip('/')}/bands")
+    sb = spark.read.parquet(f"{index_path.rstrip('/')}/shingles")
+    return _gate_against(delta, id_col, sh_d, bd, bi, sb, threshold, max_bucket)
 
 
 # ---------------------------------------------------------------------------

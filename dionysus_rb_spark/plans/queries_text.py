@@ -395,6 +395,45 @@ def dd_delta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_delta_gate_indexed",
+    refs="beyond:dedup",
+    # SAME oracle as dd_delta_gate: the persisted-index path must be
+    # decision-identical to the inline gate — the index is an execution
+    # strategy, not a semantic.
+    oracle=minhash.delta_dedup_gate_sql(
+        "doc_id % 4 = 0", "doc_id % 4 <> 0", k=3, threshold=0.5
+    ),
+)
+def dd_delta_gate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delta gate's PRODUCTION shape, certified end-to-end through
+    real files: the corpus side is built once into a persisted dedup
+    index (minhash.build_dedup_index — band rows repartitioned on
+    band_key + shingle store + a manifest pinning the signature
+    constants as index properties), then the delta batch is gated
+    against the files (minhash.delta_dedup_gate_indexed). The oracle is
+    byte-identical to dd_delta_gate's, so this query certifies that
+    amortizing the corpus-side cost into an index artifact changes
+    NOTHING about the admit/reject decision — which is the whole
+    contract: at 100 TB the index is built once (and appended as
+    batches are admitted), and each delivery pays O(delta + matched
+    buckets) against it."""
+    from ..operators.lineage import scratch_dir
+
+    docs = _docs(spark, sf_dir)
+    idx = scratch_dir(spark, "dedup_index-")
+    minhash.build_dedup_index(
+        docs.filter(F.col("doc_id") % 4 != 0), idx, "text", "doc_id", k=3
+    )
+    return minhash.delta_dedup_gate_indexed(
+        docs.filter(F.col("doc_id") % 4 == 0),
+        idx,
+        "text",
+        "doc_id",
+        threshold=0.5,
+    )
+
+
+@query(
     "dd_dup_clusters",
     refs="beyond:dedup",
     oracle=f"""

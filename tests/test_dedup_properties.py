@@ -531,3 +531,53 @@ def test_delta_gate_semantics_pinned(spark):
         ).collect()
     }
     assert capped[1] == 1
+
+
+def test_delta_gate_indexed_equals_inline(spark, tmp_path):
+    """The persisted-index gate must be DECISION-IDENTICAL to the
+    inline gate over the same corpus split — the index is an execution
+    strategy, not a semantic — and the manifest owns the signature
+    constants (a delta is always signed with the index's k/perms/seed)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dionysus_rb_spark.operators.minhash import (
+        _INDEX_MANIFEST,
+        build_dedup_index,
+        delta_dedup_gate,
+        delta_dedup_gate_indexed,
+    )
+    from conftest import SF_DIR
+
+    from dionysus_rb_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    index = docs.filter(F.col("doc_id") % 4 != 0)
+
+    idx = str(tmp_path / "idx")
+    build_dedup_index(index, idx, "text", "doc_id", k=3)
+    manifest = _json.loads((tmp_path / "idx" / _INDEX_MANIFEST).read_text())
+    assert manifest == {"k": 3, "num_perm": 16, "bands": 4, "seed": 42}
+
+    inline = {
+        r["doc_id"]: (r["n_dup_matches"], r["kept"])
+        for r in delta_dedup_gate(
+            delta, index, "text", "doc_id", k=3, threshold=0.5
+        ).collect()
+    }
+    indexed = {
+        r["doc_id"]: (r["n_dup_matches"], r["kept"])
+        for r in delta_dedup_gate_indexed(
+            delta, idx, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert indexed == inline
+    # the query-time cap applies identically on the file-backed path
+    capped = delta_dedup_gate_indexed(
+        delta, idx, "text", "doc_id", threshold=0.5, max_bucket=1
+    )
+    assert capped.filter(F.col("kept") == 0).count() <= sum(
+        1 for v in inline.values() if v[1] == 0
+    )
