@@ -82,6 +82,35 @@ def main() -> None:
         f"(banding recall at each tier per COVERAGE.md model), "
         f"0 unique/control false rejects"
     )
+
+    # -- amortization A/B: build the persisted index once, then gate
+    # repeated batches against the files (the production cadence) and
+    # compare per-batch cost with the inline gate that re-signs the
+    # corpus every time
+    from dionysus_rb_spark.operators.minhash import (
+        build_dedup_index,
+        delta_dedup_gate_indexed,
+    )
+
+    idx = str(out / "dedup_index")
+    t0 = time.time()
+    build_dedup_index(index, idx, "text", "doc_id", k=3)
+    t_build = time.time() - t0
+    per_batch = []
+    for _ in range(3):
+        t0 = time.time()
+        got = delta_dedup_gate_indexed(
+            delta, idx, "text", "doc_id", threshold=0.5
+        ).collect()
+        per_batch.append(time.time() - t0)
+    assert {r["doc_id"]: (r["n_dup_matches"], r["kept"]) for r in got} == {
+        r["doc_id"]: (r["n_dup_matches"], r["kept"]) for r in rows
+    }, "indexed gate must be decision-identical to the inline gate"
+    print(
+        f"indexed path: build once {t_build:.1f}s, then per-batch "
+        f"{min(per_batch):.1f}s ({n_delta / min(per_batch):,.0f} delta "
+        f"docs/s) vs {dt:.1f}s inline — decisions identical"
+    )
     spark.stop()
 
 
