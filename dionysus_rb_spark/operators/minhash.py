@@ -324,6 +324,7 @@ def build_dedup_index(
     num_perm: int = NUM_PERM,
     bands: int = BANDS,
     seed: int = 42,
+    mode: str = "overwrite",
 ) -> None:
     """Persist the corpus side of the delta gate as a reusable artifact:
     ``<path>/bands`` — (index_id, band_key) rows repartitioned on
@@ -339,13 +340,39 @@ def build_dedup_index(
     cluster the bands relation belongs in a band_key-bucketed table so
     the gate join co-locates without a shuffle; plain parquet (this
     function) still confines the per-delta cost to one keyed shuffle
-    per side. Appending new admitted docs to the index is
-    ``mode="append"`` on both directories plus the same manifest —
-    band rows are per-doc independent.
-    """
-    from ..sources.corpus_sink import _fs_write_text
+    per side.
 
+    ``mode="append"`` adds newly admitted docs to an existing index
+    (band rows are per-doc independent, so growth is incremental) —
+    but ONLY under the recorded signature constants: band keys signed
+    with a different (k, num_perm, bands, seed) never collide with the
+    corpus's keys, so a mismatched append would make every future
+    delta silently sail past the appended docs. Validated against the
+    manifest BEFORE any data lands, like the corpus sink's layout
+    check. Caller supplies only NEW docs — the index does not dedup
+    itself (gate first, then append the admitted batch).
+    """
+    from ..sources.corpus_sink import _fs_exists, _fs_read_text, _fs_write_text
+
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
     spark = index.sparkSession
+    params = {"k": k, "num_perm": num_perm, "bands": bands, "seed": seed}
+    manifest_path = f"{path.rstrip('/')}/{_INDEX_MANIFEST}"
+    if mode == "append":
+        if not _fs_exists(spark, manifest_path):
+            raise ValueError(
+                f"append into {path!r}: no index manifest — build the "
+                "index with mode='overwrite' first"
+            )
+        recorded = json.loads(_fs_read_text(spark, manifest_path))
+        if recorded != params:
+            raise ValueError(
+                "append signature-parameter mismatch: index recorded "
+                f"{recorded!r}, append passed {params!r} — mismatched "
+                "band keys never collide, so the appended docs would be "
+                "invisible to every future gate"
+            )
     sh_i = doc_shingles(index, text_col, id_col, k)
     signed = minhash_signature(sh_i, num_perm, seed)
     keys = band_keys_expr(bands, num_perm // bands)
@@ -355,7 +382,7 @@ def build_dedup_index(
             F.explode(F.expr(keys)).alias("band_key"),
         )
         .repartition("band_key")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(f"{path.rstrip('/')}/bands")
     )
     (
@@ -363,16 +390,11 @@ def build_dedup_index(
             F.col("doc_id").alias("index_id"),
             F.col("shingle_set").alias("__sb"),
         )
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(f"{path.rstrip('/')}/shingles")
     )
-    _fs_write_text(
-        spark,
-        f"{path.rstrip('/')}/{_INDEX_MANIFEST}",
-        json.dumps(
-            {"k": k, "num_perm": num_perm, "bands": bands, "seed": seed}
-        ),
-    )
+    if mode == "overwrite":
+        _fs_write_text(spark, manifest_path, json.dumps(params))
 
 
 def delta_dedup_gate_indexed(

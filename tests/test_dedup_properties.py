@@ -581,3 +581,51 @@ def test_delta_gate_indexed_equals_inline(spark, tmp_path):
     assert capped.filter(F.col("kept") == 0).count() <= sum(
         1 for v in inline.values() if v[1] == 0
     )
+
+
+def test_dedup_index_append_grows_and_validates(spark, tmp_path):
+    """Index growth is incremental (gate -> admit -> append): appended
+    docs are visible to the NEXT delta's gate, and an append signed
+    with different constants is rejected BEFORE landing (mismatched
+    band keys never collide, so it would silently blind every future
+    gate to the appended docs)."""
+    import pytest as _pytest
+
+    from dionysus_rb_spark.operators.minhash import (
+        build_dedup_index,
+        delta_dedup_gate_indexed,
+    )
+
+    text = "alpha0 beta1 gamma2 delta3 epsilon4 zeta5 eta6 theta7 iota8"
+    corpus = spark.createDataFrame(
+        [(1, text), (2, "other words entirely unrelated to that one yes")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, idx, "text", "doc_id", k=3)
+
+    batch = spark.createDataFrame(
+        [(10, "completely fresh content never indexed before today")],
+        "doc_id long, text string",
+    )
+    gated = delta_dedup_gate_indexed(batch, idx, "text", "doc_id", threshold=0.5)
+    assert [r["kept"] for r in gated.collect()] == [1]  # admitted...
+    build_dedup_index(batch, idx, "text", "doc_id", k=3, mode="append")
+
+    # ...and now a re-delivery of the same content is rejected
+    redelivery = spark.createDataFrame(
+        [(20, "completely fresh content never indexed before today")],
+        "doc_id long, text string",
+    )
+    again = delta_dedup_gate_indexed(
+        redelivery, idx, "text", "doc_id", threshold=0.5
+    )
+    assert [(r["n_dup_matches"], r["kept"]) for r in again.collect()] == [(1, 0)]
+
+    # mismatched constants are rejected before any data lands
+    with _pytest.raises(ValueError, match="signature-parameter mismatch"):
+        build_dedup_index(batch, idx, "text", "doc_id", k=4, mode="append")
+    with _pytest.raises(ValueError, match="no index manifest"):
+        build_dedup_index(
+            batch, str(tmp_path / "nothere"), "text", "doc_id", mode="append"
+        )
