@@ -50,35 +50,50 @@ def main() -> None:
     index = docs.filter(F.col("doc_id") % 4 != 0)
     n_delta = delta.count()
 
+    # the contract census is computed DISTRIBUTIVELY (groupBy over a
+    # derived class column, collect 3 aggregate rows) — a full collect
+    # of the decision frame would be driver-sized at 1e7 delta rows,
+    # exactly the anti-pattern the plan-collect lint bans in plans/
+    cls = (
+        F.when(F.col("doc_id") >= N_MEMBERS, F.lit("unique"))
+        .when(
+            F.pmod((F.col("doc_id") / GROUP).cast("long"), F.lit(N_TIERS))
+            == 0,
+            F.lit("control"),
+        )
+        .otherwise(F.lit("member"))
+    )
+
+    def census(decisions):
+        rows = (
+            decisions.groupBy(cls.alias("cls"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("kept") == 0).cast("long")).alias("rejected"),
+            )
+            .collect()
+        )
+        return {r["cls"]: (r["n"], r["rejected"]) for r in rows}
+
     t0 = time.time()
-    result = delta_dedup_gate(delta, index, "text", "doc_id", threshold=0.5)
-    rows = result.collect()
+    inline = census(
+        delta_dedup_gate(delta, index, "text", "doc_id", threshold=0.5)
+    )
     dt = time.time() - t0
-    rejected = sum(1 for r in rows if r["kept"] == 0)
+    n_seen = sum(n for n, _ in inline.values())
+    n_rej = sum(r for _, r in inline.values())
     print(
         f"delta gate at {n_docs:,} docs ({n_delta:,} delta vs "
         f"{n_docs - n_delta:,} index): {dt:.1f}s "
         f"({n_delta / dt:,.0f} delta docs/s), "
-        f"admitted {len(rows) - rejected:,}, rejected {rejected:,}"
+        f"admitted {n_seen - n_rej:,}, rejected {n_rej:,}"
     )
-    assert len(rows) == n_delta
-
-    # contract census against the corpus construction
-    bad_unique = [r for r in rows if r["doc_id"] >= N_MEMBERS and r["kept"] == 0]
-    assert not bad_unique, f"unique docs must be admitted: {bad_unique[:5]}"
-    bad_ctrl = [
-        r
-        for r in rows
-        if r["doc_id"] < N_MEMBERS
-        and (r["doc_id"] // GROUP) % N_TIERS == 0
-        and r["kept"] == 0
-    ]
-    assert not bad_ctrl, f"J=0.45 tier must be admitted: {bad_ctrl[:5]}"
-    member_rows = [r for r in rows if r["doc_id"] < N_MEMBERS]
-    member_rejects = sum(1 for r in member_rows if r["kept"] == 0)
+    assert n_seen == n_delta
+    assert inline.get("unique", (0, 0))[1] == 0, "unique docs must be admitted"
+    assert inline.get("control", (0, 0))[1] == 0, "J=0.45 tier must be admitted"
     print(
-        f"member census: {len(member_rows):,} delta members, "
-        f"{member_rejects:,} rejected as already-in-corpus "
+        f"member census: {inline['member'][0]:,} delta members, "
+        f"{inline['member'][1]:,} rejected as already-in-corpus "
         f"(banding recall at each tier per COVERAGE.md model), "
         f"0 unique/control false rejects"
     )
@@ -86,7 +101,8 @@ def main() -> None:
     # -- amortization A/B: build the persisted index once, then gate
     # repeated batches against the files (the production cadence) and
     # compare per-batch cost with the inline gate that re-signs the
-    # corpus every time
+    # corpus every time. Decision-identity is checked distributively
+    # (exceptAll both ways == empty), never via a driver-side collect.
     from dionysus_rb_spark.operators.minhash import (
         build_dedup_index,
         delta_dedup_gate_indexed,
@@ -99,17 +115,24 @@ def main() -> None:
     per_batch = []
     for _ in range(3):
         t0 = time.time()
-        got = delta_dedup_gate_indexed(
-            delta, idx, "text", "doc_id", threshold=0.5
-        ).collect()
+        indexed_census = census(
+            delta_dedup_gate_indexed(delta, idx, "text", "doc_id", threshold=0.5)
+        )
         per_batch.append(time.time() - t0)
-    assert {r["doc_id"]: (r["n_dup_matches"], r["kept"]) for r in got} == {
-        r["doc_id"]: (r["n_dup_matches"], r["kept"]) for r in rows
-    }, "indexed gate must be decision-identical to the inline gate"
+    assert indexed_census == inline
+    inline_df = delta_dedup_gate(delta, index, "text", "doc_id", threshold=0.5)
+    indexed_df = delta_dedup_gate_indexed(
+        delta, idx, "text", "doc_id", threshold=0.5
+    )
+    diff = indexed_df.exceptAll(inline_df).count() + inline_df.exceptAll(
+        indexed_df
+    ).count()
+    assert diff == 0, "indexed gate must be decision-identical to inline"
     print(
         f"indexed path: build once {t_build:.1f}s, then per-batch "
         f"{min(per_batch):.1f}s ({n_delta / min(per_batch):,.0f} delta "
-        f"docs/s) vs {dt:.1f}s inline — decisions identical"
+        f"docs/s) vs {dt:.1f}s inline — decisions identical "
+        f"(exceptAll both ways = 0)"
     )
     spark.stop()
 
