@@ -11,6 +11,12 @@ member must always be admitted (verify gate), and unique docs must
 always be admitted (10,240-token vocab — no accidental near-dups).
 
 Usage: python tools/validation/delta_gate_scale.py [n_docs]
+           [--indexed-only]
+``--indexed-only`` skips the inline gate and the exceptAll
+cross-check (both already proven at this scale) and measures just the
+production cadence — index build + repeated per-batch gates — plus the
+subtree RSS high-water, to answer the capacity question separately
+from the whole-corpus dedup's documented 48g floor.
 Foreground runs only (background execution is CPU-throttled in this
 sandbox — SCALING.md round-7 methodology note).
 """
@@ -39,14 +45,26 @@ N_MEMBERS = N_DUP_GROUPS * GROUP
 
 
 def main() -> None:
-    n_docs = int(float(sys.argv[1])) if len(sys.argv) > 1 else 1_000_000
+    nums = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_docs = int(float(nums[0])) if nums else 1_000_000
+    # --mod=N shrinks the delivery (delta = doc_id % N == 0) without
+    # touching the index side — the knob for the capacity question
+    # "does gate memory track the delivery or the corpus?"
+    mod = next(
+        (int(a.split("=", 1)[1]) for a in sys.argv[1:] if a.startswith("--mod=")),
+        4,
+    )
     out = REPO / ".scratch" / f"deltagate{n_docs // 1000}k"
     out.mkdir(parents=True, exist_ok=True)
     spark = get_spark()
     build_corpus(spark, out, n_docs)
     docs = spark.read.parquet(str(out / "documents.parquet"))
 
-    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    # the index side is FIXED (75% of the corpus); --mod only shrinks
+    # the delivery, as a subset of the default delta
+    delta = docs.filter(
+        (F.col("doc_id") % 4 == 0) & (F.col("doc_id") % mod == 0)
+    )
     index = docs.filter(F.col("doc_id") % 4 != 0)
     n_delta = delta.count()
 
@@ -74,6 +92,50 @@ def main() -> None:
             .collect()
         )
         return {r["cls"]: (r["n"], r["rejected"]) for r in rows}
+
+    if "--indexed-only" in sys.argv:
+        from dionysus_rb_spark.operators.minhash import (
+            build_dedup_index,
+            delta_dedup_gate_indexed,
+        )
+        from tools.validation.corpus500k import _RssHighWater
+
+        rss = _RssHighWater()
+        idx = str(out / "dedup_index")
+        # reuse a previously built index when present: the build is the
+        # one-time corpus-sized job (it gets corpus-sized memory — like
+        # the whole-corpus dedup it needs ~48g at 1e7 on this host);
+        # what must stay light is the per-DELIVERY gate, so a second
+        # invocation at DEFAULT driver memory measures exactly that
+        if (Path(idx) / "_dedup_index_manifest.json").exists():
+            t_build = 0.0
+            print(f"reusing existing index at {idx}")
+        else:
+            t0 = time.time()
+            build_dedup_index(index, idx, "text", "doc_id", k=3)
+            t_build = time.time() - t0
+        per_batch = []
+        got = None
+        for _ in range(3):
+            t0 = time.time()
+            got = census(
+                delta_dedup_gate_indexed(
+                    delta, idx, "text", "doc_id", threshold=0.5
+                )
+            )
+            per_batch.append(time.time() - t0)
+        assert sum(n for n, _ in got.values()) == n_delta
+        assert got.get("unique", (0, 0))[1] == 0
+        assert got.get("control", (0, 0))[1] == 0
+        print(
+            f"indexed-only at {n_docs:,} docs: build {t_build:.1f}s, "
+            f"per-batch {min(per_batch):.1f}s "
+            f"({n_delta / min(per_batch):,.0f} delta docs/s), "
+            f"member rejects {got['member'][1]:,}, subtree RSS "
+            f"high-water {rss.stop_gb():.1f} GiB"
+        )
+        spark.stop()
+        return
 
     t0 = time.time()
     inline = census(
