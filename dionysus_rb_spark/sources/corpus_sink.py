@@ -55,6 +55,7 @@ from __future__ import annotations
 import errno
 import json
 import os
+import sys
 import time
 from contextlib import contextmanager, nullcontext
 from typing import Sequence
@@ -139,13 +140,19 @@ def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
         stream.close()
 
 
-# flock(LOCK_NB) reports CONTENTION as EAGAIN/EWOULDBLOCK (POSIX allows
-# EACCES too); anything else — ENOLCK (lock table exhausted / FS without
-# lock support), EBADF, EINTR-adjacent failures — is a real I/O error
-# that must surface as itself, not masquerade as "a writer holds it"
-# (ADVICE r8 item 1).
+# flock(LOCK_NB) reports CONTENTION as EAGAIN/EWOULDBLOCK; anything
+# else — ENOLCK (lock table exhausted / FS without lock support), EBADF,
+# EINTR-adjacent failures — is a real I/O error that must surface as
+# itself, not masquerade as "a writer holds it" (ADVICE r8 item 1).
+# EACCES is platform-conditional (ADVICE r9 item 3): Linux flock(2)
+# documents ONLY EWOULDBLOCK for a held lock, so an EACCES there is a
+# permission/I/O failure that must not be retried for the full
+# lock_timeout and then misreported as a live writer; other POSIX
+# systems (notably fcntl-backed emulations) are allowed to signal
+# contention as EACCES, so it stays retryable off-Linux.
 _CONTENTION_ERRNOS = frozenset(
-    {errno.EAGAIN, errno.EWOULDBLOCK, errno.EACCES}
+    {errno.EAGAIN, errno.EWOULDBLOCK}
+    | (set() if sys.platform.startswith("linux") else {errno.EACCES})
 )
 
 

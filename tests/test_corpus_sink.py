@@ -675,10 +675,16 @@ def test_append_queued_behind_short_compaction_completes(spark, tmp_path):
 def test_lock_io_errors_are_not_reported_as_contention(tmp_path):
     """ADVICE r8 item 1 — a real I/O failure from flock (ENOLCK on a
     lock-table-exhausted or lockless filesystem, EBADF) must surface as
-    itself; only the contention errnos (EAGAIN/EWOULDBLOCK/EACCES) mean
-    'a live writer holds it' and map to CorpusLockHeld."""
+    itself; only the contention errnos (EAGAIN/EWOULDBLOCK) mean 'a
+    live writer holds it' and map to CorpusLockHeld. ADVICE r9 item 3:
+    on Linux, flock(2) documents ONLY EWOULDBLOCK for contention, so
+    EACCES is an I/O/permission error there too — it must propagate
+    immediately as itself, never spin for the full lock_timeout and
+    then misreport as 'a live compaction or append holds it'."""
     import errno
     import fcntl
+    import sys
+    import time
 
     from dionysus_rb_spark.sources.corpus_sink import (
         CorpusLockHeld,
@@ -709,5 +715,20 @@ def test_lock_io_errors_are_not_reported_as_contention(tmp_path):
         with pytest.raises(CorpusLockHeld):
             with _corpus_lock(corpus, exclusive=True, action="test"):
                 pass
+
+        if sys.platform.startswith("linux"):
+            # EACCES on Linux = real failure, surfaced immediately —
+            # even with a generous timeout that a contention errno
+            # would have spent retrying
+            fcntl.flock = fail(errno.EACCES)
+            start = time.monotonic()
+            with pytest.raises(OSError) as exc:
+                with _corpus_lock(
+                    corpus, exclusive=True, action="test", timeout=30
+                ):
+                    pass
+            assert exc.value.errno == errno.EACCES
+            assert not isinstance(exc.value, CorpusLockHeld)
+            assert time.monotonic() - start < 5, "must not spin on EACCES"
     finally:
         fcntl.flock = real_flock
