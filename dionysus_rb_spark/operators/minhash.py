@@ -25,9 +25,11 @@ from __future__ import annotations
 
 import json
 import random
+import secrets
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.classic.dataframe import DataFrame as _ClassicDataFrame
 
 from ..functions.hashing import MERSENNE_PRIME, h32, shingles, tokenize
 
@@ -194,6 +196,38 @@ def minhash_lsh_dedup(
     return verify_jaccard(pairs, sh, threshold)
 
 
+class GateDecision(_ClassicDataFrame):
+    """A delta gate's decision frame: a REAL DataFrame (collect, join,
+    write, explain as usual — the plan is untouched) that additionally
+    carries a ``release()`` handle for the gate's pinned intermediate
+    relations (the delta/corpus shingle frames and, on the indexed
+    path, the candidate frame). Persisted relations otherwise live for
+    the whole session, and this operator's cadence is per-DELIVERY:
+    a curation loop that gates a batch, admits it, and moves on must be
+    able to free each gate's pinned corpus-sized state (ADVICE r9 item
+    2 — the same session-accumulation failure mode SplitResult.release
+    fixed for ingest). Call ``release()`` once the decision has been
+    consumed (collected / written / counted); a released decision is
+    still a valid DataFrame — later actions just recompute from source.
+    Also a context manager: ``with delta_dedup_gate(...) as d: ...``."""
+
+    def __init__(self, df: DataFrame, pinned: list[DataFrame]) -> None:
+        super().__init__(df._jdf, df.sparkSession)
+        self._gate_pinned = list(pinned)
+
+    def release(self) -> None:
+        for frame in self._gate_pinned:
+            frame.unpersist()
+        self._gate_pinned = []
+
+    def __enter__(self) -> "GateDecision":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.release()
+        return False
+
+
 def delta_dedup_gate(
     delta: DataFrame,
     index: DataFrame,
@@ -205,7 +239,7 @@ def delta_dedup_gate(
     threshold: float = 0.7,
     seed: int = 42,
     max_bucket: int | None = 1000,
-) -> DataFrame:
+) -> GateDecision:
     """Incremental dedup: admit a NEW batch (``delta``) against an
     EXISTING corpus (``index``) without re-deduping the corpus.
 
@@ -252,7 +286,10 @@ def delta_dedup_gate(
     sb = sh_i.select(
         F.col("doc_id").alias("index_id"), F.col("shingle_set").alias("__sb")
     )
-    return _gate_against(delta, id_col, sh_d, bd, bi, sb, threshold, max_bucket)
+    decision, pinned = _gate_against(
+        delta, id_col, sh_d, bd, bi, sb, threshold, max_bucket
+    )
+    return GateDecision(decision, [sh_d, sh_i, *pinned])
 
 
 def _gate_against(
@@ -261,15 +298,26 @@ def _gate_against(
     sh_d: DataFrame,
     bd: DataFrame,
     bi: DataFrame,
-    sb: DataFrame,
+    sb: DataFrame | None,
     threshold: float,
     max_bucket: int | None,
-) -> DataFrame:
+    shingle_loader=None,
+) -> tuple[DataFrame, list[DataFrame]]:
     """The join half of the delta gate, shared by the inline and the
     persisted-index paths: band-bucket join -> exact-Jaccard verify ->
     distinct-match count -> per-delta-doc decision. ``bd``/``bi`` are
     (delta_id|index_id, band_key) rows; ``sb`` is (index_id, __sb
-    shingle_set); ``sh_d`` is the delta shingle frame."""
+    shingle_set); ``sh_d`` is the delta shingle frame.
+
+    ``shingle_loader`` (indexed path) replaces the static ``sb`` with a
+    callable that receives the MATERIALIZED candidate frame and returns
+    the shingle relation to verify against — the hook that lets the
+    file-backed gate prune its corpus-sized shingle scan down to the
+    candidates' ids (VERDICT r9 item 3). When set, candidates are
+    persisted (they feed both the loader's id probe and the verify
+    join) and returned in the pinned list for GateDecision.release."""
+    from pyspark.storagelevel import StorageLevel
+
     if max_bucket is not None:
         # window, not agg+join: the width count rides the same band_key
         # partitioning the bucket join needs, so the cap costs no extra
@@ -285,6 +333,11 @@ def _gate_against(
     # verifies identically each time, and the final count is DISTINCT
     # over index ids — same result, one less corpus-sized shuffle
     cand = bd.join(bi, "band_key").select("delta_id", "index_id")
+    pinned: list[DataFrame] = []
+    if shingle_loader is not None:
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned.append(cand)
+        sb = shingle_loader(cand)
     sa = sh_d.select(
         F.col("doc_id").alias("delta_id"), F.col("shingle_set").alias("__sa")
     )
@@ -297,7 +350,7 @@ def _gate_against(
         .groupBy("delta_id")
         .agg(F.count_distinct("index_id").alias("__n"))
     )
-    return (
+    decision = (
         delta.select(F.col(id_col).alias("doc_id"))
         .join(matches.withColumnRenamed("delta_id", "doc_id"), "doc_id", "left")
         .select(
@@ -310,9 +363,182 @@ def _gate_against(
             .alias("kept"),
         )
     )
+    return decision, pinned
 
 
 _INDEX_MANIFEST = "_dedup_index_manifest.json"
+_SEGMENTS_DIR = "segments"
+_SEG_COMMIT = "_seg_commit.json"  # leading '_': invisible to parquet scans
+
+# Size targets for the index artifact's files (VERDICT r9 item 2 — N
+# appends must not stack N x shuffle-partition-count small files). A
+# band row is ~60 B (long id + short key string), a shingle row is a
+# whole doc's distinct-shingle array; both targets aim at O(100 MB)
+# parquet files.
+BAND_ROWS_PER_FILE = 4_000_000
+SHINGLE_ROWS_PER_FILE = 500_000
+
+# Gate-time shingle-scan pruning ceiling (VERDICT r9 item 3): when a
+# delivery's candidates touch at most this many DISTINCT index docs,
+# their ids are collected and pushed into the shingle scan as an IN
+# filter — the shingle store is range-partitioned and sorted on
+# index_id, so parquet row-group min/max stats skip everything outside
+# the candidate range and scan I/O tracks the DELIVERY, not the corpus.
+# The collect is bounded by this constant (plan-collect lint), and a
+# wider candidate set falls back to the full-scan join unchanged.
+PRUNE_MAX_IDS = 100_000
+
+
+def _read_index_manifest(spark, root: str) -> dict | None:
+    """Parsed manifest, or None when absent. A torn/unparseable manifest
+    raises — with the atomic local publish (_fs_write_text_atomic) it
+    indicates real corruption, never an in-flight write."""
+    from ..sources.corpus_sink import _fs_exists, _fs_read_text
+
+    manifest_path = f"{root}/{_INDEX_MANIFEST}"
+    if not _fs_exists(spark, manifest_path):
+        return None
+    text = _fs_read_text(spark, manifest_path)
+    try:
+        manifest = json.loads(text)
+    except ValueError as e:
+        raise ValueError(
+            f"corrupt dedup-index manifest at {manifest_path!r}: {e}"
+        ) from e
+    if "epoch" not in manifest:
+        raise ValueError(
+            f"legacy (pre-segment) dedup index at {root!r} — its layout "
+            "had no crash-atomic commit; rebuild with "
+            "build_dedup_index(mode='overwrite')"
+        )
+    return manifest
+
+
+def _seg_epoch(name: str) -> int:
+    """Epoch encoded in a segment directory name (``e<epoch>-...``);
+    malformed names read as -1 and are reclaimed as dead."""
+    head = name.split("-", 1)[0]
+    if head.startswith("e") and head[1:].isdigit():
+        return int(head[1:])
+    return -1
+
+
+def _list_segments(spark, root: str) -> dict[str, list[str] | None]:
+    """Segment name -> supersedes list for COMMITTED segments, None for
+    uncommitted ones (no marker, or a torn marker a crash left behind —
+    both read as 'this append never happened', which is the commit
+    protocol's whole point)."""
+    from ..sources.corpus_sink import _fs_exists, _fs_list_dirs, _fs_read_text
+
+    segdir = f"{root}/{_SEGMENTS_DIR}"
+    out: dict[str, list[str] | None] = {}
+    for name in _fs_list_dirs(spark, segdir):
+        commit = f"{segdir}/{name}/{_SEG_COMMIT}"
+        sup: list[str] | None = None
+        if _fs_exists(spark, commit):
+            try:
+                meta = json.loads(_fs_read_text(spark, commit))
+                if isinstance(meta, dict) and isinstance(
+                    meta.get("supersedes"), list
+                ):
+                    sup = meta["supersedes"]
+            except ValueError:
+                sup = None  # torn marker == uncommitted
+        out[name] = sup
+    return out
+
+
+def _live_segments(
+    segs: dict[str, list[str] | None], epoch: int
+) -> list[str]:
+    """Committed current-epoch segments minus every segment a committed
+    current-epoch segment supersedes (compaction's commit marker). The
+    subtraction is transitive as long as markers persist: reclaim
+    deletes superseded LEAVES first (_reclaim_dead_segments), so a
+    committed segment on disk is always either live or named in a
+    surviving superseder's marker — never silently resurrected."""
+    committed = {
+        n: sup
+        for n, sup in segs.items()
+        if sup is not None and _seg_epoch(n) == epoch
+    }
+    superseded: set[str] = set()
+    for sup in committed.values():
+        superseded.update(sup)
+    return sorted(n for n in committed if n not in superseded)
+
+
+def _reclaim_dead_segments(spark, root: str, epoch: int) -> None:
+    """Delete segment debris a crash may have left: uncommitted
+    directories (no/torn marker), wrong-epoch segments (a superseded
+    build, or a crashed overwrite's next-epoch orphan), and superseded
+    current-epoch segments. Superseded segments go LEAVES FIRST — a
+    superseder is only deleted once every segment ITS marker names is
+    gone, so a crash mid-reclaim can never orphan a superseded segment
+    into looking live again (see _live_segments). Callers hold the
+    exclusive index lock."""
+    from ..sources.corpus_sink import _fs_delete
+
+    segdir = f"{root}/{_SEGMENTS_DIR}"
+    segs = _list_segments(spark, root)
+    for name, sup in list(segs.items()):
+        if sup is None or _seg_epoch(name) != epoch:
+            _fs_delete(spark, f"{segdir}/{name}")
+            del segs[name]
+    while True:
+        superseded = {n for sup in segs.values() for n in sup}
+        deletable = [
+            n
+            for n in segs
+            if n in superseded
+            and not any(named in segs for named in segs[n])
+        ]
+        if not deletable:
+            break
+        for name in deletable:
+            _fs_delete(spark, f"{segdir}/{name}")
+            del segs[name]
+
+
+def _land_segment(
+    spark,
+    root: str,
+    seg: str,
+    band_rows: DataFrame,
+    shingle_rows: DataFrame,
+    n_docs: int,
+    bands: int,
+    supersedes: list[str],
+) -> None:
+    """Write one index segment and COMMIT it by creating its marker
+    LAST. The two relations land in any order and any completeness
+    before that single small-file creation; a reader only ever sees a
+    segment once the marker exists and parses, so every crash point
+    yields exactly the pre-landing index (VERDICT r9 item 1 — the old
+    layout's bands-before-shingles window silently admitted true
+    duplicates). File counts are size-targeted, not
+    shuffle-partition-count (VERDICT r9 item 2), and the shingle store
+    is range-partitioned + sorted on index_id so gate-time IN filters
+    prune row groups (VERDICT r9 item 3)."""
+    from ..sources.corpus_sink import _fs_write_text
+
+    seg_path = f"{root}/{_SEGMENTS_DIR}/{seg}"
+    n_band_files = max(1, -(-(n_docs * bands) // BAND_ROWS_PER_FILE))
+    (
+        band_rows.repartition(n_band_files, "band_key")
+        .write.mode("error")
+        .parquet(f"{seg_path}/bands")
+    )
+    n_shingle_files = max(1, -(-n_docs // SHINGLE_ROWS_PER_FILE))
+    (
+        shingle_rows.repartitionByRange(n_shingle_files, "index_id")
+        .sortWithinPartitions("index_id")
+        .write.mode("error")
+        .parquet(f"{seg_path}/shingles")
+    )
+    _fs_write_text(
+        spark, f"{seg_path}/{_SEG_COMMIT}", json.dumps({"supersedes": supersedes})
+    )
 
 
 def build_dedup_index(
@@ -325,76 +551,227 @@ def build_dedup_index(
     bands: int = BANDS,
     seed: int = 42,
     mode: str = "overwrite",
+    lock_timeout: float = 60.0,
 ) -> None:
-    """Persist the corpus side of the delta gate as a reusable artifact:
-    ``<path>/bands`` — (index_id, band_key) rows repartitioned on
-    band_key — ``<path>/shingles`` — (index_id, shingle_set) — and a
-    manifest recording the signature parameters (k, num_perm, bands,
-    seed), which are INDEX properties: every future gate call reads
-    them from the manifest, so a delta can never be signed with
-    different constants than the corpus it is gated against.
+    """Persist the corpus side of the delta gate as a reusable,
+    CRASH-ATOMIC artifact:
 
-    This is the production shape the inline :func:`delta_dedup_gate`
-    docstring promises: the corpus pays its shingle+signature cost
-    once, and each arriving delta pays O(delta + matched buckets). On a
-    cluster the bands relation belongs in a band_key-bucketed table so
-    the gate join co-locates without a shuffle; plain parquet (this
-    function) still confines the per-delta cost to one keyed shuffle
-    per side.
+    - ``<path>/segments/e<epoch>-<mode>-<nonce>/bands`` — (index_id,
+      band_key) rows clustered on band_key into size-targeted files;
+    - ``.../shingles`` — (index_id, __sb) range-partitioned and sorted
+      on index_id (row-group min/max stats serve the gate's pruned
+      verify scan);
+    - ``.../_seg_commit.json`` — the segment's commit marker, created
+      LAST: a segment without a parseable marker does not exist to any
+      reader, so a crash at ANY point of a build or append yields
+      exactly the prior index (never the old layout's half-appended
+      state whose true duplicates sailed through the gate);
+    - ``<path>/_dedup_index_manifest.json`` — the signature parameters
+      (k, num_perm, bands, seed), which are INDEX properties every gate
+      reads back (a delta can never be signed with different constants
+      than the corpus it is gated against), plus the live ``epoch``.
 
-    ``mode="append"`` adds newly admitted docs to an existing index
-    (band rows are per-doc independent, so growth is incremental) —
-    but ONLY under the recorded signature constants: band keys signed
-    with a different (k, num_perm, bands, seed) never collide with the
-    corpus's keys, so a mismatched append would make every future
-    delta silently sail past the appended docs. Validated against the
-    manifest BEFORE any data lands, like the corpus sink's layout
-    check. Caller supplies only NEW docs — the index does not dedup
-    itself (gate first, then append the admitted batch).
+    ``mode="overwrite"`` writes its segment under the NEXT epoch and
+    commits by atomically publishing the manifest with that epoch —
+    until then every reader keeps resolving the old epoch's segments,
+    so a rebuild dying over a live index can never expose a mix of old
+    and new state (ADVICE r9 item 1's stale-manifest scenario).
+    ``mode="append"`` adds newly admitted docs as one more segment of
+    the CURRENT epoch (manifest untouched) — validated against the
+    recorded signature constants BEFORE any data lands: band keys
+    signed with different constants never collide, so a mismatched
+    append would make every future delta silently sail past the
+    appended docs. Caller supplies only NEW docs — the index does not
+    dedup itself (gate first, then append the admitted batch).
+
+    Writer coordination mirrors the corpus sink: local indexes take an
+    exclusive sibling flock (append, rebuild, and compaction are
+    mutually excluded; acquisition waits up to ``lock_timeout`` seconds
+    before raising CorpusLockHeld), and each build first reclaims crash
+    debris — uncommitted segment directories, a dead overwrite's
+    next-epoch orphan, compaction leftovers. Gates take no lock: they
+    read only committed markers, so a racing append is simply invisible
+    until its marker lands (don't run compaction concurrently with
+    gates — same racing-reader caveat as compact_corpus).
+
+    At 100 TB: the corpus pays its shingle+signature cost once; each
+    arriving delta pays one band-key join against the committed
+    segments plus a candidate-pruned verify scan. On a cluster the
+    bands relation belongs in a band_key-bucketed table so the gate
+    join co-locates without a shuffle; plain parquet (this function)
+    still confines the per-delta cost to one keyed shuffle per side.
     """
-    from ..sources.corpus_sink import _fs_exists, _fs_read_text, _fs_write_text
+    from contextlib import nullcontext
+
+    from pyspark.storagelevel import StorageLevel
+
+    from ..sources.corpus_sink import (
+        _as_local_path,
+        _corpus_lock,
+        _fs_delete,
+        _fs_write_text_atomic,
+        _is_local,
+    )
 
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
     spark = index.sparkSession
+    root = path.rstrip("/")
     params = {"k": k, "num_perm": num_perm, "bands": bands, "seed": seed}
-    manifest_path = f"{path.rstrip('/')}/{_INDEX_MANIFEST}"
-    if mode == "append":
-        if not _fs_exists(spark, manifest_path):
-            raise ValueError(
-                f"append into {path!r}: no index manifest — build the "
-                "index with mode='overwrite' first"
-            )
-        recorded = json.loads(_fs_read_text(spark, manifest_path))
-        if recorded != params:
-            raise ValueError(
-                "append signature-parameter mismatch: index recorded "
-                f"{recorded!r}, append passed {params!r} — mismatched "
-                "band keys never collide, so the appended docs would be "
-                "invisible to every future gate"
-            )
-    sh_i = doc_shingles(index, text_col, id_col, k)
-    signed = minhash_signature(sh_i, num_perm, seed)
-    keys = band_keys_expr(bands, num_perm // bands)
-    (
-        signed.select(
-            F.col("doc_id").alias("index_id"),
-            F.explode(F.expr(keys)).alias("band_key"),
+    lock = (
+        _corpus_lock(
+            _as_local_path(root, f"dedup-index {mode}"),
+            exclusive=True,
+            action=f"dedup-index {mode}",
+            timeout=lock_timeout,
         )
-        .repartition("band_key")
-        .write.mode(mode)
-        .parquet(f"{path.rstrip('/')}/bands")
+        if _is_local(root)
+        else nullcontext()
     )
-    (
-        sh_i.select(
-            F.col("doc_id").alias("index_id"),
-            F.col("shingle_set").alias("__sb"),
+    with lock:
+        manifest = _read_index_manifest(spark, root)
+        if mode == "append":
+            if manifest is None:
+                raise ValueError(
+                    f"append into {path!r}: no index manifest — build the "
+                    "index with mode='overwrite' first"
+                )
+            recorded = {key: manifest[key] for key in params}
+            if recorded != params:
+                raise ValueError(
+                    "append signature-parameter mismatch: index recorded "
+                    f"{recorded!r}, append passed {params!r} — mismatched "
+                    "band keys never collide, so the appended docs would "
+                    "be invisible to every future gate"
+                )
+            epoch = manifest["epoch"]
+        else:
+            epoch = manifest["epoch"] + 1 if manifest else 1
+        if manifest is not None:
+            _reclaim_dead_segments(spark, root, manifest["epoch"])
+        sh_i = doc_shingles(index, text_col, id_col, k).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        .write.mode(mode)
-        .parquet(f"{path.rstrip('/')}/shingles")
+        try:
+            n_docs = sh_i.count()
+            if n_docs > 0:
+                seg = f"e{epoch}-{mode}-{secrets.token_hex(4)}"
+                keys = band_keys_expr(bands, num_perm // bands)
+                band_rows = minhash_signature(sh_i, num_perm, seed).select(
+                    F.col("doc_id").alias("index_id"),
+                    F.explode(F.expr(keys)).alias("band_key"),
+                )
+                shingle_rows = sh_i.select(
+                    F.col("doc_id").alias("index_id"),
+                    F.col("shingle_set").alias("__sb"),
+                )
+                _land_segment(
+                    spark, root, seg, band_rows, shingle_rows, n_docs, bands, []
+                )
+            if mode == "overwrite":
+                # the overwrite's COMMIT POINT: readers switch epochs on
+                # this one atomic publish, never mid-landing
+                _fs_write_text_atomic(
+                    spark,
+                    f"{root}/{_INDEX_MANIFEST}",
+                    json.dumps({**params, "epoch": epoch}),
+                )
+                # pre-segment layouts kept data at the root; now that the
+                # new epoch is committed those directories are unreferenced
+                for legacy in ("bands", "shingles"):
+                    _fs_delete(spark, f"{root}/{legacy}")
+        finally:
+            sh_i.unpersist()
+
+
+def compact_dedup_index(
+    spark, path: str, lock_timeout: float = 0.0
+) -> None:
+    """Merge an index's committed segments into one (file-count hygiene
+    under the per-delivery append cadence — VERDICT r9 item 2: N appends
+    otherwise keep N segments' files forever, and at production cadence
+    that is the namenode-degrading small-file pile the corpus sink's
+    compaction exists for).
+
+    Convergent and crash-safe with the same marker algebra as append:
+    the merged segment is written in full, committed by a marker whose
+    ``supersedes`` names the segments it replaces (readers drop them
+    the instant the marker lands), and only then are the superseded
+    directories reclaimed — leaves first, so no crash point can
+    resurrect one. Fail-fast on a held lock by default, like
+    compact_corpus: a second concurrent compactor is a scheduling bug
+    the caller should see."""
+    from contextlib import nullcontext
+
+    from ..sources.corpus_sink import (
+        _as_local_path,
+        _corpus_lock,
+        _fs_delete,
+        _is_local,
     )
-    if mode == "overwrite":
-        _fs_write_text(spark, manifest_path, json.dumps(params))
+
+    root = path.rstrip("/")
+    lock = (
+        _corpus_lock(
+            _as_local_path(root, "compact_dedup_index"),
+            exclusive=True,
+            action="compact_dedup_index",
+            timeout=lock_timeout,
+        )
+        if _is_local(root)
+        else nullcontext()
+    )
+    with lock:
+        manifest = _read_index_manifest(spark, root)
+        if manifest is None:
+            raise ValueError(f"no dedup index at {path!r}")
+        epoch = manifest["epoch"]
+        _reclaim_dead_segments(spark, root, epoch)
+        live = _live_segments(_list_segments(spark, root), epoch)
+        if len(live) <= 1:
+            return
+        segdir = f"{root}/{_SEGMENTS_DIR}"
+        band_rows = spark.read.parquet(*[f"{segdir}/{s}/bands" for s in live])
+        shingle_rows = spark.read.parquet(
+            *[f"{segdir}/{s}/shingles" for s in live]
+        )
+        n_docs = shingle_rows.count()
+        seg = f"e{epoch}-compact-{secrets.token_hex(4)}"
+        _land_segment(
+            spark,
+            root,
+            seg,
+            band_rows,
+            shingle_rows,
+            n_docs,
+            manifest["bands"],
+            live,
+        )
+        # marker committed: the merged segment owns the data; reclaim
+        # the superseded originals (their own markers name nothing still
+        # on disk — reclaim above cleared older debris — so plain
+        # deletion is the leaves-first order)
+        for s in live:
+            _fs_delete(spark, f"{segdir}/{s}")
+
+
+def _open_dedup_index(spark, index_path: str):
+    """(manifest, band paths, shingle paths) for the index's LIVE
+    segments — committed markers only, compaction-superseded excluded."""
+    root = index_path.rstrip("/")
+    manifest = _read_index_manifest(spark, root)
+    if manifest is None:
+        raise ValueError(
+            f"no dedup index at {index_path!r} — build one with "
+            "build_dedup_index(mode='overwrite')"
+        )
+    live = _live_segments(_list_segments(spark, root), manifest["epoch"])
+    segdir = f"{root}/{_SEGMENTS_DIR}"
+    return (
+        manifest,
+        [f"{segdir}/{s}/bands" for s in live],
+        [f"{segdir}/{s}/shingles" for s in live],
+    )
 
 
 def delta_dedup_gate_indexed(
@@ -404,22 +781,42 @@ def delta_dedup_gate_indexed(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     max_bucket: int | None = 1000,
-) -> DataFrame:
+    prune_max_ids: int | None = PRUNE_MAX_IDS,
+) -> GateDecision:
     """Gate a delta batch against a PERSISTED dedup index
     (:func:`build_dedup_index`) — result-identical to
     :func:`delta_dedup_gate` over the same corpus (pinned by test), but
     the corpus-side shingle/signature work is amortized into the index
     build instead of re-run per batch. Signature parameters come from
     the index manifest; ``threshold`` and ``max_bucket`` remain
-    query-time knobs (the index stores uncapped band rows)."""
+    query-time knobs (the index stores uncapped band rows).
+
+    Per-delivery cost: one keyed join of the delta's band rows against
+    the committed band segments, then a verify join whose shingle-store
+    scan is PRUNED to the candidates' index ids when they number at
+    most ``prune_max_ids`` (the ids are collected — bounded by that
+    constant — and pushed into the scan as an IN filter; the store is
+    range-partitioned and sorted on index_id, so parquet row-group
+    stats skip everything else, and scan I/O tracks the DELIVERY rather
+    than the corpus — VERDICT r9 item 3). A wider candidate set falls
+    back to the full-scan join; ``prune_max_ids=None`` disables the
+    probe entirely. Returns a :class:`GateDecision` — call
+    ``release()`` after consuming it (per-delivery loops otherwise
+    accumulate pinned relations for the session lifetime)."""
     from pyspark.storagelevel import StorageLevel
 
-    from ..sources.corpus_sink import _fs_read_text
-
     spark = delta.sparkSession
-    manifest = json.loads(
-        _fs_read_text(spark, f"{index_path.rstrip('/')}/{_INDEX_MANIFEST}")
-    )
+    manifest, band_paths, shingle_paths = _open_dedup_index(spark, index_path)
+    if not band_paths:
+        # empty index (fresh epoch, nothing landed): everything admits
+        return GateDecision(
+            delta.select(
+                F.col(id_col).alias("doc_id"),
+                F.lit(0).cast("long").alias("n_dup_matches"),
+                F.lit(1).cast("long").alias("kept"),
+            ),
+            [],
+        )
     k, num_perm = manifest["k"], manifest["num_perm"]
     bands, seed = manifest["bands"], manifest["seed"]
     sh_d = doc_shingles(delta, text_col, id_col, k).persist(
@@ -430,9 +827,53 @@ def delta_dedup_gate_indexed(
         F.col("doc_id").alias("delta_id"),
         F.explode(F.expr(keys)).alias("band_key"),
     )
-    bi = spark.read.parquet(f"{index_path.rstrip('/')}/bands")
-    sb = spark.read.parquet(f"{index_path.rstrip('/')}/shingles")
-    return _gate_against(delta, id_col, sh_d, bd, bi, sb, threshold, max_bucket)
+    bi = spark.read.parquet(*band_paths)
+    if prune_max_ids is None:
+        decision, pinned = _gate_against(
+            delta,
+            id_col,
+            sh_d,
+            bd,
+            bi,
+            spark.read.parquet(*shingle_paths),
+            threshold,
+            max_bucket,
+        )
+    else:
+        loader = lambda cand: _pruned_shingles(  # noqa: E731
+            spark, shingle_paths, cand, prune_max_ids
+        )
+        decision, pinned = _gate_against(
+            delta,
+            id_col,
+            sh_d,
+            bd,
+            bi,
+            None,
+            threshold,
+            max_bucket,
+            shingle_loader=loader,
+        )
+    return GateDecision(decision, [sh_d, *pinned])
+
+
+def _pruned_shingles(
+    spark, shingle_paths: list[str], cand: DataFrame, max_ids: int
+) -> DataFrame:
+    """The shingle relation the verify join reads, pruned to the
+    candidate ids when they fit under ``max_ids``. The collect is
+    bounded by max_ids + 1 (the overflow probe), never by corpus or
+    delivery size — audited in tests/test_plan_collects.py."""
+    ids = [
+        r[0]
+        for r in cand.select("index_id").distinct().limit(max_ids + 1).collect()
+    ]
+    sb = spark.read.parquet(*shingle_paths)
+    if len(ids) > max_ids:
+        return sb  # candidate set too wide to push — full-scan join
+    if not ids:
+        return sb.filter(F.lit(False))  # no candidates: verify is empty
+    return sb.filter(F.col("index_id").isin(ids))
 
 
 # ---------------------------------------------------------------------------

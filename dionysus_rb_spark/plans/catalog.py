@@ -151,6 +151,15 @@ _PLAN_CHANGED: dict[str, int] = {
     "pipe_corpus_shard_roundtrip": 9,
     "pipe_jsonl_ingest_roundtrip": 9,
     "pipe_csv_ingest_roundtrip": 9,
+    # round 10 (VERDICT r9 items 1-3 + ADVICE r9 items 1-2): the dedup
+    # index became a segment/epoch/commit-marker artifact (crash-atomic
+    # append and rebuild, size-targeted file counts, compaction), the
+    # indexed gate grew the candidate-id pruned shingle scan and both
+    # gates now persist candidates / return GateDecision release
+    # handles — plan-shape changes on both gate queries' execution
+    # paths (shared helper _gate_against changed too):
+    "dd_delta_gate": 10,
+    "dd_delta_gate_indexed": 10,
 }
 
 

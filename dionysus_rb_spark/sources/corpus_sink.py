@@ -140,6 +140,47 @@ def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
         stream.close()
 
 
+def _fs_write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Publish a small metadata file so readers never observe a torn
+    write: on a local filesystem, write a temp sibling and rename over
+    the target (POSIX rename atomicity — the same commit primitive the
+    compaction protocol uses). Non-POSIX schemes fall back to the plain
+    Hadoop create-overwrite; their metadata swaps need a table format
+    or external coordination, same caveat as compaction."""
+    if _is_local(path):
+        local = _as_local_path(path, "atomic metadata write")
+        tmp = f"{local}.__tmp_{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, local)
+        return
+    _fs_write_text(spark, path, text)
+
+
+def _fs_list_dirs(spark: SparkSession, path: str) -> list[str]:
+    """Names of the immediate SUBDIRECTORIES of ``path`` (sorted),
+    empty when the path does not exist — via the Hadoop FileSystem so
+    any data-path scheme works (same rationale as _fs_read_text)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if st.isDirectory()
+    )
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete via the Hadoop FileSystem; missing paths are a
+    no-op (reclaim passes must be re-entrant)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
 # flock(LOCK_NB) reports CONTENTION as EAGAIN/EWOULDBLOCK; anything
 # else — ENOLCK (lock table exhausted / FS without lock support), EBADF,
 # EINTR-adjacent failures — is a real I/O error that must surface as

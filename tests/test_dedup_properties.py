@@ -559,7 +559,9 @@ def test_delta_gate_indexed_equals_inline(spark, tmp_path):
     idx = str(tmp_path / "idx")
     build_dedup_index(index, idx, "text", "doc_id", k=3)
     manifest = _json.loads((tmp_path / "idx" / _INDEX_MANIFEST).read_text())
-    assert manifest == {"k": 3, "num_perm": 16, "bands": 4, "seed": 42}
+    assert manifest == {
+        "k": 3, "num_perm": 16, "bands": 4, "seed": 42, "epoch": 1,
+    }
 
     inline = {
         r["doc_id"]: (r["n_dup_matches"], r["kept"])
@@ -629,3 +631,143 @@ def test_dedup_index_append_grows_and_validates(spark, tmp_path):
         build_dedup_index(
             batch, str(tmp_path / "nothere"), "text", "doc_id", mode="append"
         )
+
+
+def _parquet_files(root: str) -> list[str]:
+    import os
+
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        out.extend(
+            os.path.join(dirpath, f) for f in files if f.endswith(".parquet")
+        )
+    return sorted(out)
+
+
+def test_dedup_index_file_counts_bounded(spark, tmp_path):
+    """VERDICT r9 item 2: N appends must not stack N x
+    shuffle-partition-count files. Each segment's relations are
+    size-targeted (a small append lands ONE file per relation, not one
+    per shuffle partition), and compact_dedup_index merges the segment
+    pile into O(corpus/target) files — decisions unchanged."""
+    import os
+
+    from dionysus_rb_spark.operators.minhash import (
+        build_dedup_index,
+        compact_dedup_index,
+        delta_dedup_gate_indexed,
+    )
+
+    def docs(lo, n):
+        return spark.createDataFrame(
+            [
+                (i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h")
+                for i in range(lo, lo + n)
+            ],
+            "doc_id long, text string",
+        )
+
+    idx = str(tmp_path / "idx")
+    build_dedup_index(docs(0, 40), idx, k=3)
+    n_appends = 5
+    for j in range(n_appends):
+        build_dedup_index(docs(100 + 40 * j, 40), idx, k=3, mode="append")
+
+    seg_root = os.path.join(idx, "segments")
+    segs = sorted(os.listdir(seg_root))
+    assert len(segs) == 1 + n_appends
+    for s in segs:
+        # size-targeted writes: one bounded file per relation per
+        # segment (rows are far under the per-file targets), never the
+        # session's shuffle-partition count
+        assert len(_parquet_files(os.path.join(seg_root, s, "bands"))) == 1
+        assert len(_parquet_files(os.path.join(seg_root, s, "shingles"))) == 1
+
+    probe = docs(0, 40).unionByName(docs(100, 40)).unionByName(docs(5000, 10))
+    with delta_dedup_gate_indexed(probe, idx, threshold=0.5) as d:
+        before = sorted(map(tuple, d.collect()))
+
+    compact_dedup_index(spark, idx)
+    segs = sorted(os.listdir(seg_root))
+    assert len(segs) == 1
+    # O(corpus/target), not O(N appends): all rows fit one target file
+    assert len(_parquet_files(os.path.join(seg_root, segs[0], "bands"))) == 1
+    assert len(_parquet_files(os.path.join(seg_root, segs[0], "shingles"))) == 1
+    with delta_dedup_gate_indexed(probe, idx, threshold=0.5) as d:
+        assert sorted(map(tuple, d.collect())) == before
+
+
+def test_indexed_gate_prune_paths_are_decision_identical(spark, tmp_path):
+    """VERDICT r9 item 3: the candidate-id pruned shingle scan is an
+    I/O strategy, not a semantic — decisions must be identical with the
+    probe on (default), forced into overflow fallback (prune_max_ids
+    smaller than the candidate set), and disabled (None); and a
+    no-candidate delivery (nothing bands) admits everything through the
+    empty-prune branch."""
+    from pyspark.sql import functions as F
+
+    from dionysus_rb_spark.operators.minhash import (
+        build_dedup_index,
+        delta_dedup_gate,
+        delta_dedup_gate_indexed,
+    )
+    from dionysus_rb_spark.tables import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    index = docs.filter(F.col("doc_id") % 4 != 0)
+    idx = str(tmp_path / "idx")
+    build_dedup_index(index, idx, "text", "doc_id", k=3)
+
+    def result(**kw):
+        with delta_dedup_gate_indexed(
+            delta, idx, "text", "doc_id", threshold=0.5, **kw
+        ) as d:
+            return sorted(map(tuple, d.collect()))
+
+    with delta_dedup_gate(
+        delta, index, "text", "doc_id", k=3, threshold=0.5
+    ) as d:
+        inline = sorted(map(tuple, d.collect()))
+    assert result() == inline
+    assert result(prune_max_ids=1) == inline  # overflow -> full scan
+    assert result(prune_max_ids=None) == inline  # probe disabled
+
+    # a delivery that shares no shingles with anything: zero candidates,
+    # the pruned loader takes its empty branch, everyone admits
+    fresh = spark.createDataFrame(
+        [(7_000_001, "qqq www eee rrr ttt yyy uuu iii ooo ppp")],
+        "doc_id long, text string",
+    )
+    with delta_dedup_gate_indexed(
+        fresh, idx, "text", "doc_id", threshold=0.5
+    ) as d:
+        assert [(r["n_dup_matches"], r["kept"]) for r in d.collect()] == [
+            (0, 1)
+        ]
+
+
+def test_gate_decision_release_unpersists(spark):
+    """GateDecision.release() must free every relation the gate pinned
+    (ADVICE r9 item 2): back-to-back per-delivery gates otherwise
+    accumulate session-lifetime persisted frames. Measured against the
+    JVM's persistent-RDD registry, relative to the session's baseline."""
+    from dionysus_rb_spark.operators.minhash import delta_dedup_gate
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = "alpha0 beta1 gamma2 delta3 epsilon4 zeta5 eta6 theta7 iota8"
+    index = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    delta = spark.createDataFrame([(10, base)], "doc_id long, text string")
+
+    before = n_persistent()
+    decision = delta_dedup_gate(delta, index, threshold=0.5)
+    assert [r["kept"] for r in decision.collect()] == [0]
+    assert n_persistent() > before, "gate should have pinned its shingles"
+    decision.release()
+    assert n_persistent() == before
+    decision.release()  # idempotent
+    assert n_persistent() == before

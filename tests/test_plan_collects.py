@@ -21,6 +21,10 @@ Current sites, audited bounded:
 - operators/similarity.py: IVF centroid seeds (n_centroids)
 - operators/clustering.py: k seed vectors; per-iteration k x dim
   centroid update
+- operators/minhash.py: the indexed gate's candidate-id probe
+  (_pruned_shingles) -- bounded by PRUNE_MAX_IDS + 1 via limit(),
+  never by corpus or delivery size; wider candidate sets fall back
+  to the full-scan join without collecting
 
 (operators/graph.py's former one-scalar collect now rides the eager
 checkpoint as an observed metric -- zero collects in the CC loop.)
@@ -40,6 +44,7 @@ AUDITED_SITES = {
     "operators/pq.py": 6,
     "operators/similarity.py": 1,
     "operators/clustering.py": 2,
+    "operators/minhash.py": 1,
 }
 
 COLLECT = re.compile(r"\.collect\(\)")

@@ -91,6 +91,10 @@ def main() -> None:
             )
             .collect()
         )
+        # free the gate's pinned shingle/candidate relations: back-to-back
+        # gates in this loop otherwise stack session-lifetime persisted
+        # frames (ADVICE r9 item 2 — the reason GateDecision.release exists)
+        decisions.release()
         return {r["cls"]: (r["n"], r["rejected"]) for r in rows}
 
     if "--indexed-only" in sys.argv:
@@ -107,7 +111,15 @@ def main() -> None:
         # the whole-corpus dedup it needs ~48g at 1e7 on this host);
         # what must stay light is the per-DELIVERY gate, so a second
         # invocation at DEFAULT driver memory measures exactly that
-        if (Path(idx) / "_dedup_index_manifest.json").exists():
+        manifest_file = Path(idx) / "_dedup_index_manifest.json"
+        reusable = False
+        if manifest_file.exists():
+            import json as _json
+
+            # a pre-segment (r9-era) index has no epoch and no commit
+            # markers — rebuild it rather than reuse
+            reusable = "epoch" in _json.loads(manifest_file.read_text())
+        if reusable:
             t_build = 0.0
             print(f"reusing existing index at {idx}")
         else:
@@ -190,6 +202,8 @@ def main() -> None:
         indexed_df
     ).count()
     assert diff == 0, "indexed gate must be decision-identical to inline"
+    inline_df.release()
+    indexed_df.release()
     print(
         f"indexed path: build once {t_build:.1f}s, then per-batch "
         f"{min(per_batch):.1f}s ({n_delta / min(per_batch):,.0f} delta "
