@@ -302,6 +302,7 @@ def _gate_against(
     threshold: float,
     max_bucket: int | None,
     shingle_loader=None,
+    exclude_self: bool = False,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """The join half of the delta gate, shared by the inline and the
     persisted-index paths: band-bucket join -> exact-Jaccard verify ->
@@ -333,6 +334,15 @@ def _gate_against(
     # verifies identically each time, and the final count is DISTINCT
     # over index ids — same result, one less corpus-sized shuffle
     cand = bd.join(bi, "band_key").select("delta_id", "index_id")
+    if exclude_self:
+        # replay idempotence for the streaming loop: a re-delivered
+        # micro-batch whose append already committed would otherwise
+        # match its OWN index copies and flip its decisions; with ids as
+        # stable unique doc keys, dropping delta_id == index_id makes a
+        # replayed gate bit-identical to its first run. NULL ids never
+        # satisfy the inequality and are dropped — ids must be non-null
+        # keys under this flag.
+        cand = cand.filter(F.col("delta_id") != F.col("index_id"))
     pinned: list[DataFrame] = []
     if shingle_loader is not None:
         cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
@@ -552,6 +562,7 @@ def build_dedup_index(
     seed: int = 42,
     mode: str = "overwrite",
     lock_timeout: float = 60.0,
+    segment_tag: str | None = None,
 ) -> None:
     """Persist the corpus side of the delta gate as a reusable,
     CRASH-ATOMIC artifact:
@@ -584,6 +595,15 @@ def build_dedup_index(
     appended docs. Caller supplies only NEW docs — the index does not
     dedup itself (gate first, then append the admitted batch).
 
+    ``segment_tag`` (append only) makes the append IDEMPOTENT: the
+    segment is named by the tag instead of a fresh nonce, and an append
+    whose tagged segment is already COMMITTED is a no-op — the
+    exactly-once contract a foreachBatch micro-batch needs when it
+    re-delivers after a crash between the index append and the
+    checkpoint commit (streaming/neardup_stream.py passes the batch id).
+    A crashed earlier attempt's uncommitted tagged directory is reclaimed
+    and re-landed, so the retry still converges.
+
     Writer coordination mirrors the corpus sink: local indexes take an
     exclusive sibling flock (append, rebuild, and compaction are
     mutually excluded; acquisition waits up to ``lock_timeout`` seconds
@@ -615,6 +635,15 @@ def build_dedup_index(
 
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
+    if segment_tag is not None:
+        if mode != "append":
+            raise ValueError("segment_tag is an append-idempotence knob")
+        if not segment_tag or not all(
+            c.isalnum() or c in "_-" for c in segment_tag
+        ):
+            raise ValueError(
+                f"segment_tag must be [A-Za-z0-9_-]+, got {segment_tag!r}"
+            )
     spark = index.sparkSession
     root = path.rstrip("/")
     params = {"k": k, "num_perm": num_perm, "bands": bands, "seed": seed}
@@ -645,6 +674,11 @@ def build_dedup_index(
                     "be invisible to every future gate"
                 )
             epoch = manifest["epoch"]
+            if segment_tag is not None:
+                seg_name = f"e{epoch}-append-{segment_tag}"
+                committed = _list_segments(spark, root).get(seg_name)
+                if committed is not None:
+                    return  # this tagged append already committed: no-op
         else:
             epoch = manifest["epoch"] + 1 if manifest else 1
         if manifest is not None:
@@ -655,7 +689,8 @@ def build_dedup_index(
         try:
             n_docs = sh_i.count()
             if n_docs > 0:
-                seg = f"e{epoch}-{mode}-{secrets.token_hex(4)}"
+                tag = segment_tag or secrets.token_hex(4)
+                seg = f"e{epoch}-{mode}-{tag}"
                 keys = band_keys_expr(bands, num_perm // bands)
                 band_rows = minhash_signature(sh_i, num_perm, seed).select(
                     F.col("doc_id").alias("index_id"),
@@ -731,10 +766,17 @@ def compact_dedup_index(
         if len(live) <= 1:
             return
         segdir = f"{root}/{_SEGMENTS_DIR}"
-        band_rows = spark.read.parquet(*[f"{segdir}/{s}/bands" for s in live])
+        # distinct/dropDuplicates: duplicate index rows are decision-safe
+        # (the verify count is DISTINCT over index ids) but can arise
+        # when a tagged foreachBatch replay straddles a compaction that
+        # erased its tag — the merge is where they get absorbed. One
+        # keyed shuffle each, paid at maintenance time, not gate time.
+        band_rows = spark.read.parquet(
+            *[f"{segdir}/{s}/bands" for s in live]
+        ).distinct()
         shingle_rows = spark.read.parquet(
             *[f"{segdir}/{s}/shingles" for s in live]
-        )
+        ).dropDuplicates(["index_id"])
         n_docs = shingle_rows.count()
         seg = f"e{epoch}-compact-{secrets.token_hex(4)}"
         _land_segment(
@@ -782,6 +824,7 @@ def delta_dedup_gate_indexed(
     threshold: float = 0.7,
     max_bucket: int | None = 1000,
     prune_max_ids: int | None = PRUNE_MAX_IDS,
+    exclude_self: bool = False,
 ) -> GateDecision:
     """Gate a delta batch against a PERSISTED dedup index
     (:func:`build_dedup_index`) — result-identical to
@@ -802,7 +845,13 @@ def delta_dedup_gate_indexed(
     back to the full-scan join; ``prune_max_ids=None`` disables the
     probe entirely. Returns a :class:`GateDecision` — call
     ``release()`` after consuming it (per-delivery loops otherwise
-    accumulate pinned relations for the session lifetime)."""
+    accumulate pinned relations for the session lifetime).
+
+    ``exclude_self=True`` drops candidates whose index id EQUALS the
+    delta id — the replay-idempotence contract for the streaming loop
+    (streaming/neardup_stream.py): a micro-batch re-delivered after its
+    index append committed must not match its own copies. Requires ids
+    to be stable, non-null, unique doc keys."""
     from pyspark.storagelevel import StorageLevel
 
     spark = delta.sparkSession
@@ -838,6 +887,7 @@ def delta_dedup_gate_indexed(
             spark.read.parquet(*shingle_paths),
             threshold,
             max_bucket,
+            exclude_self=exclude_self,
         )
     else:
         loader = lambda cand: _pruned_shingles(  # noqa: E731
@@ -853,6 +903,7 @@ def delta_dedup_gate_indexed(
             threshold,
             max_bucket,
             shingle_loader=loader,
+            exclude_self=exclude_self,
         )
     return GateDecision(decision, [sh_d, *pinned])
 

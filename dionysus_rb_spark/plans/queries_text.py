@@ -433,6 +433,88 @@ def dd_delta_gate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NDG_B1 = "doc_id % 8 = 0"
+_NDG_B2 = "doc_id % 8 = 4"
+_NDG_IDX = "doc_id % 8 <> 0 AND doc_id % 8 <> 4"
+
+
+def _neardup_stream_oracle() -> str:
+    """Closed form of the two-micro-batch continuous-curation loop:
+    batch 0 gates against the base corpus; batch 1 gates against the
+    base corpus PLUS batch 0's ADMITTED docs (the crash-atomic append
+    the stream performed) — expressed by nesting batch 0's gate SQL as
+    a membership predicate inside batch 1's index side."""
+    g1 = minhash.delta_dedup_gate_sql(
+        _NDG_B1, _NDG_IDX, k=3, threshold=0.5
+    )
+    idx2 = (
+        f"({_NDG_IDX}) OR (({_NDG_B1}) AND doc_id IN "
+        f"(SELECT doc_id FROM ({g1}) AS g1k WHERE kept = 1))"
+    )
+    g2 = minhash.delta_dedup_gate_sql(_NDG_B2, idx2, k=3, threshold=0.5)
+    return f"""
+    SELECT doc_id, n_dup_matches, kept, CAST(0 AS INTEGER) AS batch
+    FROM ({g1}) g1r
+    UNION ALL
+    SELECT doc_id, n_dup_matches, kept, CAST(1 AS INTEGER) AS batch
+    FROM ({g2}) g2r
+    """
+
+
+@query(
+    "stream_t6_neardup_index_gate",
+    refs="beyond:dedup,T1,T5,S6",
+    oracle=_neardup_stream_oracle(),
+)
+def stream_t6_neardup_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS-curation dedup loop, oracle-checked end to end
+    through a real Structured Streaming run (VERDICT r9 item 4): a file
+    stream delivers two micro-batches; each is gated against the
+    PERSISTED dedup index (streaming/neardup_stream.
+    indexed_neardup_gate_sink) and its admitted docs are crash-atomically
+    APPENDED, so batch 1's duplicates of batch 0's admits are rejected
+    while duplicates of batch 0's REJECTS are not double-counted (a
+    rejected doc never enters the index). The stream reads its signature
+    constants from the index manifest — stream and index cannot drift —
+    and the run is two availableNow passes over one checkpoint, the
+    production restart cadence. The oracle is the loop's closed form:
+    batch 1's index side = base corpus UNION batch 0's kept set."""
+    from ..operators.lineage import scratch_dir
+    from ..streaming.neardup_stream import indexed_neardup_gate_sink
+
+    docs = _docs(spark, sf_dir)
+    idx = scratch_dir(spark, "ndgate_idx-")
+    minhash.build_dedup_index(
+        docs.filter(F.expr(_NDG_IDX)), idx, "text", "doc_id", k=3
+    )
+    src = scratch_dir(spark, "ndgate_src-")
+    out = scratch_dir(spark, "ndgate_out-")
+    ckpt = scratch_dir(spark, "ndgate_ckpt-")
+
+    def land(admitted, rejected, decision, batch_id):
+        decision.withColumn(
+            "batch", F.lit(int(batch_id)).cast("int")
+        ).write.mode("append").parquet(out)
+
+    def run_pass():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                indexed_neardup_gate_sink(idx, threshold=0.5, on_batch=land)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    docs.filter(F.expr(_NDG_B1)).coalesce(1).write.mode("append").parquet(src)
+    run_pass()
+    docs.filter(F.expr(_NDG_B2)).coalesce(1).write.mode("append").parquet(src)
+    run_pass()
+    return spark.read.parquet(out)
+
+
 @query(
     "dd_dup_clusters",
     refs="beyond:dedup",

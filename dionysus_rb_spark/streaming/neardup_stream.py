@@ -121,3 +121,101 @@ def near_dup_gate(
         "doc_id", F.explode("band_keys").alias("band_key")
     )
     return exploded.join(index_keys, "band_key").select("doc_id")
+
+
+def indexed_neardup_gate_sink(
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    max_bucket: int | None = 1000,
+    on_batch=None,
+    append_admitted: bool = True,
+    lock_timeout: float = 60.0,
+):
+    """The continuous-curation loop (VERDICT r9 item 4): a foreachBatch
+    body that gates every micro-batch against the PERSISTED dedup index
+    (operators/minhash.build_dedup_index), hands the split to the
+    caller's sinks, and crash-atomically APPENDS the admitted docs so
+    the NEXT micro-batch's duplicates of them are rejected::
+
+        stream.writeStream.foreachBatch(
+            indexed_neardup_gate_sink(idx, on_batch=land)
+        ).option("checkpointLocation", ckpt).start()
+
+    Contracts, all inherited from the index artifact rather than
+    re-invented here:
+
+    - **Signature constants come from the index manifest** (the gate
+      reads them per batch), so the stream and the index can never
+      disagree on k/num_perm/bands/seed — a config drift would
+      otherwise silently blind the gate.
+    - **Exactly-once index growth** under foreachBatch's at-least-once
+      replay: the append is tagged with the micro-batch id
+      (``segment_tag``), so a re-delivered batch whose append already
+      committed is a no-op, and the gate runs with ``exclude_self`` so
+      the replayed docs don't match their own committed copies —
+      replayed decisions are bit-identical to the first run (requires
+      ``id_col`` to be a stable, non-null, unique doc key).
+    - **Sinks before append**: ``on_batch(admitted, rejected, decision,
+      batch_id)`` runs first — if the caller's sink fails, the index is
+      untouched and the whole batch replays. ``on_batch`` must be
+      idempotent per batch_id (the standard foreachBatch contract; an
+      exact replay hands it identical frames).
+    - Within-batch near-duplicates are NOT resolved (both admit and
+      both land in the index) — same contract as the batch delta gate:
+      run the batch dedup pipeline downstream if deliveries can
+      self-duplicate.
+    - The gate's pinned relations are released per batch (GateDecision)
+      — a long-running stream holds O(one batch) cached state.
+    """
+    from ..operators.minhash import (
+        _read_index_manifest,
+        build_dedup_index,
+        delta_dedup_gate_indexed,
+    )
+
+    def gate_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        manifest = _read_index_manifest(spark, index_path.rstrip("/"))
+        if manifest is None:
+            raise ValueError(
+                f"no dedup index at {index_path!r} — build one with "
+                "build_dedup_index(mode='overwrite') before starting "
+                "the stream"
+            )
+        decision = delta_dedup_gate_indexed(
+            batch_df,
+            index_path,
+            text_col,
+            id_col,
+            threshold=threshold,
+            max_bucket=max_bucket,
+            exclude_self=True,
+        )
+        try:
+            kept_ids = decision.filter(F.col("kept") == 1).select(
+                F.col("doc_id").alias(id_col)
+            )
+            admitted = batch_df.join(kept_ids, id_col, "left_semi")
+            if on_batch is not None:
+                rejected = batch_df.join(kept_ids, id_col, "left_anti")
+                on_batch(admitted, rejected, decision, batch_id)
+            if append_admitted:
+                build_dedup_index(
+                    admitted,
+                    index_path,
+                    text_col,
+                    id_col,
+                    k=manifest["k"],
+                    num_perm=manifest["num_perm"],
+                    bands=manifest["bands"],
+                    seed=manifest["seed"],
+                    mode="append",
+                    lock_timeout=lock_timeout,
+                    segment_tag=f"batch{batch_id}",
+                )
+        finally:
+            decision.release()
+
+    return gate_batch
