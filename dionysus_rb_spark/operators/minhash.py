@@ -380,20 +380,28 @@ _INDEX_MANIFEST = "_dedup_index_manifest.json"
 _SEGMENTS_DIR = "segments"
 _SEG_COMMIT = "_seg_commit.json"  # leading '_': invisible to parquet scans
 
-# Size targets for the index artifact's files (VERDICT r9 item 2 — N
-# appends must not stack N x shuffle-partition-count small files). A
-# band row is ~60 B (long id + short key string), a shingle row is a
-# whole doc's distinct-shingle array; both targets aim at O(100 MB)
-# parquet files.
+# Size/parallelism targets for the index artifact's files (VERDICT r9
+# item 2 — N appends must not stack N x shuffle-partition-count small
+# files). A band row is ~60 B (long id + short key string), a shingle
+# row is a whole doc's distinct-shingle array; the *_PER_FILE targets
+# are maxRecordsPerFile ceilings aiming at O(100 MB) parquet files,
+# while the *_PER_TASK floors size the WRITE TASK COUNT (clamped to the
+# session's shuffle parallelism): a delivery-sized append lands ONE
+# file, a corpus-sized build still writes with every core — sizing the
+# repartition itself to the file count collapsed the whole
+# shingle+sort pipeline onto 1-2 tasks (6.6x build regression at 10M,
+# measured r10).
 BAND_ROWS_PER_FILE = 4_000_000
 SHINGLE_ROWS_PER_FILE = 500_000
+BAND_ROWS_PER_TASK = 1_000_000
+SHINGLE_DOCS_PER_TASK = 125_000
 
 # Gate-time shingle-scan pruning ceiling (VERDICT r9 item 3): when a
 # delivery's candidates touch at most this many DISTINCT index docs,
 # their ids are collected and pushed into the shingle scan as an IN
-# filter — the shingle store is range-partitioned and sorted on
-# index_id, so parquet row-group min/max stats skip everything outside
-# the candidate range and scan I/O tracks the DELIVERY, not the corpus.
+# filter — the shingle store's files are sorted on index_id, so
+# parquet row-group min/max stats skip everything outside the candidate
+# ranges and scan I/O tracks the DELIVERY, not the corpus.
 # The collect is bounded by this constant (plan-collect lint), and a
 # wider candidate set falls back to the full-scan join unchanged.
 PRUNE_MAX_IDS = 100_000
@@ -526,24 +534,40 @@ def _land_segment(
     segment once the marker exists and parses, so every crash point
     yields exactly the pre-landing index (VERDICT r9 item 1 — the old
     layout's bands-before-shingles window silently admitted true
-    duplicates). File counts are size-targeted, not
-    shuffle-partition-count (VERDICT r9 item 2), and the shingle store
-    is range-partitioned + sorted on index_id so gate-time IN filters
-    prune row groups (VERDICT r9 item 3)."""
+    duplicates).
+
+    File counts are size-targeted, not shuffle-partition-count (VERDICT
+    r9 item 2): the write-task count scales with the SEGMENT's rows
+    (clamped to the session's parallelism — a tiny append lands one
+    file per relation, a corpus build uses every core), and
+    maxRecordsPerFile bounds any skewed task's output. Shingles are
+    HASH-partitioned on index_id and sorted WITHIN each file (not
+    globally range-partitioned: the range sampler costs a second full
+    tokenize+shingle pass and its file-count-sized partitioning
+    collapsed the sort onto 1-2 tasks) — sorted files keep every parquet
+    ROW GROUP's index_id min/max tight, which is what the gate's pushed
+    IN filter prunes on (VERDICT r9 item 3)."""
     from ..sources.corpus_sink import _fs_write_text
 
     seg_path = f"{root}/{_SEGMENTS_DIR}/{seg}"
-    n_band_files = max(1, -(-(n_docs * bands) // BAND_ROWS_PER_FILE))
+    parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_band_tasks = max(
+        1, min(parallelism, -(-(n_docs * bands) // BAND_ROWS_PER_TASK))
+    )
     (
-        band_rows.repartition(n_band_files, "band_key")
+        band_rows.repartition(n_band_tasks, "band_key")
         .write.mode("error")
+        .option("maxRecordsPerFile", BAND_ROWS_PER_FILE)
         .parquet(f"{seg_path}/bands")
     )
-    n_shingle_files = max(1, -(-n_docs // SHINGLE_ROWS_PER_FILE))
+    n_shingle_tasks = max(
+        1, min(parallelism, -(-n_docs // SHINGLE_DOCS_PER_TASK))
+    )
     (
-        shingle_rows.repartitionByRange(n_shingle_files, "index_id")
+        shingle_rows.repartition(n_shingle_tasks, "index_id")
         .sortWithinPartitions("index_id")
         .write.mode("error")
+        .option("maxRecordsPerFile", SHINGLE_ROWS_PER_FILE)
         .parquet(f"{seg_path}/shingles")
     )
     _fs_write_text(
@@ -569,9 +593,9 @@ def build_dedup_index(
 
     - ``<path>/segments/e<epoch>-<mode>-<nonce>/bands`` — (index_id,
       band_key) rows clustered on band_key into size-targeted files;
-    - ``.../shingles`` — (index_id, __sb) range-partitioned and sorted
-      on index_id (row-group min/max stats serve the gate's pruned
-      verify scan);
+    - ``.../shingles`` — (index_id, __sb) in files sorted on index_id
+      (tight row-group min/max stats serve the gate's pruned verify
+      scan);
     - ``.../_seg_commit.json`` — the segment's commit marker, created
       LAST: a segment without a parseable marker does not exist to any
       reader, so a crash at ANY point of a build or append yields
@@ -622,8 +646,6 @@ def build_dedup_index(
     still confines the per-delta cost to one keyed shuffle per side.
     """
     from contextlib import nullcontext
-
-    from pyspark.storagelevel import StorageLevel
 
     from ..sources.corpus_sink import (
         _as_local_path,
@@ -683,40 +705,46 @@ def build_dedup_index(
             epoch = manifest["epoch"] + 1 if manifest else 1
         if manifest is not None:
             _reclaim_dead_segments(spark, root, manifest["epoch"])
-        sh_i = doc_shingles(index, text_col, id_col, k).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        try:
-            n_docs = sh_i.count()
-            if n_docs > 0:
-                tag = segment_tag or secrets.token_hex(4)
-                seg = f"e{epoch}-{mode}-{tag}"
-                keys = band_keys_expr(bands, num_perm // bands)
-                band_rows = minhash_signature(sh_i, num_perm, seed).select(
-                    F.col("doc_id").alias("index_id"),
-                    F.explode(F.expr(keys)).alias("band_key"),
-                )
-                shingle_rows = sh_i.select(
-                    F.col("doc_id").alias("index_id"),
-                    F.col("shingle_set").alias("__sb"),
-                )
-                _land_segment(
-                    spark, root, seg, band_rows, shingle_rows, n_docs, bands, []
-                )
-            if mode == "overwrite":
-                # the overwrite's COMMIT POINT: readers switch epochs on
-                # this one atomic publish, never mid-landing
-                _fs_write_text_atomic(
-                    spark,
-                    f"{root}/{_INDEX_MANIFEST}",
-                    json.dumps({**params, "epoch": epoch}),
-                )
-                # pre-segment layouts kept data at the root; now that the
-                # new epoch is committed those directories are unreferenced
-                for legacy in ("bands", "shingles"):
-                    _fs_delete(spark, f"{root}/{legacy}")
-        finally:
-            sh_i.unpersist()
+        # n_docs only sizes the segment's file counts, so the INPUT row
+        # count (parquet-stats cheap) is the right instrument — it may
+        # slightly overcount vs the zero-token-filtered shingle frame,
+        # which only rounds a file-count target. Deliberately NO persist
+        # of the shingle frame here: caching 7.5M heavy shingle arrays
+        # to size two writes cost 6.6x the whole build at 10M (654 s vs
+        # 98.8 s measured r10); streaming the tokenize+shingle pass once
+        # per relation is far cheaper than writing/reading the cache.
+        n_docs = index.count()
+        sh_i = doc_shingles(index, text_col, id_col, k)
+        # an all-zero-token input shingles to nothing: land no segment
+        # (zero-token docs never band, so the index is unchanged) — the
+        # isEmpty probe is one take(1) task, not a count
+        if n_docs > 0 and not sh_i.isEmpty():
+            tag = segment_tag or secrets.token_hex(4)
+            seg = f"e{epoch}-{mode}-{tag}"
+            keys = band_keys_expr(bands, num_perm // bands)
+            band_rows = minhash_signature(sh_i, num_perm, seed).select(
+                F.col("doc_id").alias("index_id"),
+                F.explode(F.expr(keys)).alias("band_key"),
+            )
+            shingle_rows = sh_i.select(
+                F.col("doc_id").alias("index_id"),
+                F.col("shingle_set").alias("__sb"),
+            )
+            _land_segment(
+                spark, root, seg, band_rows, shingle_rows, n_docs, bands, []
+            )
+        if mode == "overwrite":
+            # the overwrite's COMMIT POINT: readers switch epochs on
+            # this one atomic publish, never mid-landing
+            _fs_write_text_atomic(
+                spark,
+                f"{root}/{_INDEX_MANIFEST}",
+                json.dumps({**params, "epoch": epoch}),
+            )
+            # pre-segment layouts kept data at the root; now that the
+            # new epoch is committed those directories are unreferenced
+            for legacy in ("bands", "shingles"):
+                _fs_delete(spark, f"{root}/{legacy}")
 
 
 def compact_dedup_index(
