@@ -406,6 +406,24 @@ SHINGLE_DOCS_PER_TASK = 125_000
 # wider candidate set falls back to the full-scan join unchanged.
 PRUNE_MAX_IDS = 100_000
 
+# Index size (live docs, summed from segment commit markers) below
+# which the gate full-scans the shingle store instead of probing. Set
+# PAST the measured range on purpose: controlled within-session A/Bs
+# (SCALING.md r10) had full-scan WINNING at both measured decades —
+# ~1.1-1.3x at a 1M corpus and ~1.45x at 10M (2.5M-doc delta) — because
+# near-dup candidates' index ids are uniformly spread, and a >10-value
+# IN pushdown collapses to a min/max range (spark.sql.parquet.pushdown.
+# inFilterThreshold), so NO row group skips and the pruned path pays
+# its probe + candidate-materialization barrier for zero I/O savings.
+# The pruned path stays available (prune_min_index_docs=0 pins it on)
+# for the regime it genuinely serves: a delivery whose candidate ids
+# CLUSTER in id range (e.g. monotonically-assigned ids where dups
+# concentrate in recent docs) against a store on cold/object storage,
+# where sorted-file row-group stats do skip. On a cluster the
+# scale-out answer is bucketing the shingle store on index_id so the
+# verify join co-locates — see build_dedup_index's docstring.
+PRUNE_MIN_INDEX_DOCS = 25_000_000
+
 
 def _read_index_manifest(spark, root: str) -> dict | None:
     """Parsed manifest, or None when absent. A torn/unparseable manifest
@@ -441,33 +459,34 @@ def _seg_epoch(name: str) -> int:
     return -1
 
 
-def _list_segments(spark, root: str) -> dict[str, list[str] | None]:
-    """Segment name -> supersedes list for COMMITTED segments, None for
-    uncommitted ones (no marker, or a torn marker a crash left behind —
-    both read as 'this append never happened', which is the commit
-    protocol's whole point)."""
+def _list_segments(spark, root: str) -> dict[str, dict | None]:
+    """Segment name -> parsed commit-marker dict (``supersedes`` list,
+    plus ``n_docs`` where the writer recorded it) for COMMITTED
+    segments, None for uncommitted ones (no marker, or a torn marker a
+    crash left behind — both read as 'this append never happened',
+    which is the commit protocol's whole point)."""
     from ..sources.corpus_sink import _fs_exists, _fs_list_dirs, _fs_read_text
 
     segdir = f"{root}/{_SEGMENTS_DIR}"
-    out: dict[str, list[str] | None] = {}
+    out: dict[str, dict | None] = {}
     for name in _fs_list_dirs(spark, segdir):
         commit = f"{segdir}/{name}/{_SEG_COMMIT}"
-        sup: list[str] | None = None
+        meta: dict | None = None
         if _fs_exists(spark, commit):
             try:
-                meta = json.loads(_fs_read_text(spark, commit))
-                if isinstance(meta, dict) and isinstance(
-                    meta.get("supersedes"), list
+                parsed = json.loads(_fs_read_text(spark, commit))
+                if isinstance(parsed, dict) and isinstance(
+                    parsed.get("supersedes"), list
                 ):
-                    sup = meta["supersedes"]
+                    meta = parsed
             except ValueError:
-                sup = None  # torn marker == uncommitted
-        out[name] = sup
+                meta = None  # torn marker == uncommitted
+        out[name] = meta
     return out
 
 
 def _live_segments(
-    segs: dict[str, list[str] | None], epoch: int
+    segs: dict[str, dict | None], epoch: int
 ) -> list[str]:
     """Committed current-epoch segments minus every segment a committed
     current-epoch segment supersedes (compaction's commit marker). The
@@ -476,9 +495,9 @@ def _live_segments(
     committed segment on disk is always either live or named in a
     surviving superseder's marker — never silently resurrected."""
     committed = {
-        n: sup
-        for n, sup in segs.items()
-        if sup is not None and _seg_epoch(n) == epoch
+        n: meta["supersedes"]
+        for n, meta in segs.items()
+        if meta is not None and _seg_epoch(n) == epoch
     }
     superseded: set[str] = set()
     for sup in committed.values():
@@ -498,7 +517,10 @@ def _reclaim_dead_segments(spark, root: str, epoch: int) -> None:
     from ..sources.corpus_sink import _fs_delete
 
     segdir = f"{root}/{_SEGMENTS_DIR}"
-    segs = _list_segments(spark, root)
+    segs = {
+        name: meta["supersedes"] if meta is not None else None
+        for name, meta in _list_segments(spark, root).items()
+    }
     for name, sup in list(segs.items()):
         if sup is None or _seg_epoch(name) != epoch:
             _fs_delete(spark, f"{segdir}/{name}")
@@ -582,7 +604,13 @@ def _land_segment(
         .parquet(f"{seg_path}/bands")
     )
     _fs_write_text(
-        spark, f"{seg_path}/{_SEG_COMMIT}", json.dumps({"supersedes": supersedes})
+        spark,
+        f"{seg_path}/{_SEG_COMMIT}",
+        # n_docs rides the commit marker so readers can size the index
+        # without scanning it: the gate's scan-shape pick (pruned IN
+        # probe vs full-scan join) sums live segments' counts from
+        # these few-byte files instead of running a count job per gate
+        json.dumps({"supersedes": supersedes, "n_docs": n_docs}),
     )
 
 
@@ -855,8 +883,11 @@ def compact_dedup_index(
 
 
 def _open_dedup_index(spark, index_path: str):
-    """(manifest, band paths, shingle paths) for the index's LIVE
-    segments — committed markers only, compaction-superseded excluded."""
+    """(manifest, band paths, shingle paths, indexed-doc total) for the
+    index's LIVE segments — committed markers only,
+    compaction-superseded excluded. The doc total is summed from the
+    markers' ``n_docs`` (None when any live marker predates that field)
+    so the gate can pick its scan shape without a count job."""
     root = index_path.rstrip("/")
     manifest = _read_index_manifest(spark, root)
     if manifest is None:
@@ -864,12 +895,20 @@ def _open_dedup_index(spark, index_path: str):
             f"no dedup index at {index_path!r} — build one with "
             "build_dedup_index(mode='overwrite')"
         )
-    live = _live_segments(_list_segments(spark, root), manifest["epoch"])
+    segs = _list_segments(spark, root)
+    live = _live_segments(segs, manifest["epoch"])
+    counts = [segs[s].get("n_docs") for s in live]
+    n_docs = (
+        sum(counts)
+        if counts and all(isinstance(c, int) for c in counts)
+        else None
+    )
     segdir = f"{root}/{_SEGMENTS_DIR}"
     return (
         manifest,
         [f"{segdir}/{s}/bands" for s in live],
         [f"{segdir}/{s}/shingles" for s in live],
+        n_docs,
     )
 
 
@@ -881,6 +920,7 @@ def delta_dedup_gate_indexed(
     threshold: float = 0.7,
     max_bucket: int | None = 1000,
     prune_max_ids: int | None = PRUNE_MAX_IDS,
+    prune_min_index_docs: int = PRUNE_MIN_INDEX_DOCS,
     exclude_self: bool = False,
 ) -> GateDecision:
     """Gate a delta batch against a PERSISTED dedup index
@@ -892,17 +932,24 @@ def delta_dedup_gate_indexed(
     query-time knobs (the index stores uncapped band rows).
 
     Per-delivery cost: one keyed join of the delta's band rows against
-    the committed band segments, then a verify join whose shingle-store
-    scan is PRUNED to the candidates' index ids when they number at
-    most ``prune_max_ids`` (the ids are collected — bounded by that
-    constant — and pushed into the scan as an IN filter; the store is
-    range-partitioned and sorted on index_id, so parquet row-group
-    stats skip everything else, and scan I/O tracks the DELIVERY rather
-    than the corpus — VERDICT r9 item 3). A wider candidate set falls
-    back to the full-scan join; ``prune_max_ids=None`` disables the
-    probe entirely. Returns a :class:`GateDecision` — call
-    ``release()`` after consuming it (per-delivery loops otherwise
-    accumulate pinned relations for the session lifetime).
+    the committed band segments, then a verify join streaming the
+    shingle store once (the store side never shuffles when the
+    candidate side broadcasts, and a single sequential columnar pass is
+    the measured-fastest shape at every decade tried — SCALING.md r10).
+    A candidate-id PRUNED scan exists as the alternative shape: the
+    candidates' index ids are collected (bounded by ``prune_max_ids``;
+    a wider set falls back to the full scan without collecting) and
+    pushed into the store scan as an IN filter against its
+    index_id-sorted files. It only engages when the markers' summed doc
+    count reaches ``prune_min_index_docs`` — set past the measured
+    range by default, because controlled A/Bs at 1M and 10M both had
+    the full scan WINNING (uniform candidate ids defeat row-group
+    skipping; see PRUNE_MIN_INDEX_DOCS). ``prune_max_ids=None`` pins
+    full-scan, ``prune_min_index_docs=0`` pins the probe on (the
+    clustered-candidate / cold-storage regime). Returns a
+    :class:`GateDecision` — call ``release()`` after consuming it
+    (per-delivery loops otherwise accumulate pinned relations for the
+    session lifetime).
 
     ``exclude_self=True`` drops candidates whose index id EQUALS the
     delta id — the replay-idempotence contract for the streaming loop
@@ -912,7 +959,9 @@ def delta_dedup_gate_indexed(
     from pyspark.storagelevel import StorageLevel
 
     spark = delta.sparkSession
-    manifest, band_paths, shingle_paths = _open_dedup_index(spark, index_path)
+    manifest, band_paths, shingle_paths, n_indexed = _open_dedup_index(
+        spark, index_path
+    )
     if not band_paths:
         # empty index (fresh epoch, nothing landed): everything admits
         return GateDecision(
@@ -934,6 +983,12 @@ def delta_dedup_gate_indexed(
         F.explode(F.expr(keys)).alias("band_key"),
     )
     bi = spark.read.parquet(*band_paths)
+    # scan-shape pick: a small index's full shingle scan is cheaper
+    # than the probe's fixed cost (two jobs over the candidate frame +
+    # an id-list plan); legacy markers without n_docs read as unknown
+    # size and keep the scale-safe pruned path
+    if n_indexed is not None and n_indexed < prune_min_index_docs:
+        prune_max_ids = None
     if prune_max_ids is None:
         decision, pinned = _gate_against(
             delta,
@@ -970,17 +1025,29 @@ def _pruned_shingles(
 ) -> DataFrame:
     """The shingle relation the verify join reads, pruned to the
     candidate ids when they fit under ``max_ids``. The collect is
-    bounded by max_ids + 1 (the overflow probe), never by corpus or
-    delivery size — audited in tests/test_plan_collects.py."""
-    ids = [
-        r[0]
-        for r in cand.select("index_id").distinct().limit(max_ids + 1).collect()
-    ]
+    bounded by a count check against max_ids first, never by corpus or
+    delivery size — audited in tests/test_plan_collects.py. Count then
+    collect (two fully-parallel jobs over the persisted candidate
+    frame) rather than collecting through a limit(max_ids + 1):
+    CollectLimit executes its scan with the partition ramp-up (1, then
+    scaled-up batches) and a six-figure limit that is never reached
+    early runs the whole distinct near-serially — measured as most of
+    the probe's overhead at 1M."""
+    from pyspark.storagelevel import StorageLevel
+
     sb = spark.read.parquet(*shingle_paths).select("index_id", "__sb")
-    if len(ids) > max_ids:
-        return sb  # candidate set too wide to push — full-scan join
-    if not ids:
-        return sb.filter(F.lit(False))  # no candidates: verify is empty
+    ids_df = cand.select("index_id").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        n = ids_df.count()
+        if n > max_ids:
+            return sb  # candidate set too wide to push — full-scan join
+        if n == 0:
+            return sb.filter(F.lit(False))  # no candidates: verify is empty
+        ids = [r[0] for r in ids_df.collect()]
+    finally:
+        ids_df.unpersist()
     return sb.filter(F.col("index_id").isin(ids))
 
 

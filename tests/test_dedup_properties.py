@@ -700,10 +700,12 @@ def test_dedup_index_file_counts_bounded(spark, tmp_path):
 def test_indexed_gate_prune_paths_are_decision_identical(spark, tmp_path):
     """VERDICT r9 item 3: the candidate-id pruned shingle scan is an
     I/O strategy, not a semantic — decisions must be identical with the
-    probe on (default), forced into overflow fallback (prune_max_ids
-    smaller than the candidate set), and disabled (None); and a
-    no-candidate delivery (nothing bands) admits everything through the
-    empty-prune branch."""
+    default shape (full scan at this index size: the auto pick reads
+    the markers' doc counts against PRUNE_MIN_INDEX_DOCS), the probe
+    pinned on (prune_min_index_docs=0), the probe forced into overflow
+    fallback (prune_max_ids smaller than the candidate set), and
+    disabled (None); and a no-candidate delivery (nothing bands) admits
+    everything through the empty-prune branch."""
     from pyspark.sql import functions as F
 
     from dionysus_rb_spark.operators.minhash import (
@@ -731,8 +733,10 @@ def test_indexed_gate_prune_paths_are_decision_identical(spark, tmp_path):
         delta, index, "text", "doc_id", k=3, threshold=0.5
     ) as d:
         inline = sorted(map(tuple, d.collect()))
-    assert result() == inline
-    assert result(prune_max_ids=1) == inline  # overflow -> full scan
+    assert result() == inline  # auto shape (full scan at this size)
+    assert result(prune_min_index_docs=0) == inline  # probe pinned on
+    # overflow -> full scan without collecting
+    assert result(prune_min_index_docs=0, prune_max_ids=1) == inline
     assert result(prune_max_ids=None) == inline  # probe disabled
 
     # a delivery that shares no shingles with anything: zero candidates,
@@ -742,7 +746,7 @@ def test_indexed_gate_prune_paths_are_decision_identical(spark, tmp_path):
         "doc_id long, text string",
     )
     with delta_dedup_gate_indexed(
-        fresh, idx, "text", "doc_id", threshold=0.5
+        fresh, idx, "text", "doc_id", threshold=0.5, prune_min_index_docs=0
     ) as d:
         assert [(r["n_dup_matches"], r["kept"]) for r in d.collect()] == [
             (0, 1)

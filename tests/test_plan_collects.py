@@ -22,9 +22,10 @@ Current sites, audited bounded:
 - operators/clustering.py: k seed vectors; per-iteration k x dim
   centroid update
 - operators/minhash.py: the indexed gate's candidate-id probe
-  (_pruned_shingles) -- bounded by PRUNE_MAX_IDS + 1 via limit(),
-  never by corpus or delivery size; wider candidate sets fall back
-  to the full-scan join without collecting
+  (_pruned_shingles) -- gated by a count() check against
+  PRUNE_MAX_IDS before the collect runs, never bounded by corpus or
+  delivery size; wider candidate sets fall back to the full-scan
+  join without collecting
 
 (operators/graph.py's former one-scalar collect now rides the eager
 checkpoint as an observed metric -- zero collects in the CC loop.)
