@@ -983,11 +983,15 @@ def delta_dedup_gate_indexed(
         F.explode(F.expr(keys)).alias("band_key"),
     )
     bi = spark.read.parquet(*band_paths)
-    # scan-shape pick: a small index's full shingle scan is cheaper
-    # than the probe's fixed cost (two jobs over the candidate frame +
-    # an id-list plan); legacy markers without n_docs read as unknown
-    # size and keep the scale-safe pruned path
-    if n_indexed is not None and n_indexed < prune_min_index_docs:
+    # scan-shape pick: the full-scan streaming join won every measured
+    # A/B (see PRUNE_MIN_INDEX_DOCS), so it is the default everywhere
+    # the markers don't prove the index enormous — including legacy
+    # markers without n_docs (unknown size), where the probe would pay
+    # its fixed cost with no evidence of I/O savings; pinning
+    # prune_min_index_docs=0 still forces the probe on either way
+    if prune_min_index_docs > 0 and (
+        n_indexed is None or n_indexed < prune_min_index_docs
+    ):
         prune_max_ids = None
     if prune_max_ids is None:
         decision, pinned = _gate_against(

@@ -697,6 +697,56 @@ def test_dedup_index_file_counts_bounded(spark, tmp_path):
         assert sorted(map(tuple, d.collect())) == before
 
 
+def test_index_marker_doc_counts_drive_scan_shape(spark, tmp_path):
+    """Segment commit markers carry n_docs so the gate's scan-shape
+    pick reads a few bytes instead of running a count job: the open
+    helper sums LIVE segments' counts, appends add to the sum,
+    compaction preserves it, and a legacy marker without the field
+    makes the total read as unknown (None) — which, like a small known
+    total, defaults the gate to the measured-faster full scan."""
+    import json
+    import os
+
+    from dionysus_rb_spark.operators.minhash import (
+        _open_dedup_index,
+        build_dedup_index,
+        compact_dedup_index,
+    )
+
+    def docs(lo, n):
+        return spark.createDataFrame(
+            [
+                (i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h")
+                for i in range(lo, lo + n)
+            ],
+            "doc_id long, text string",
+        )
+
+    idx = str(tmp_path / "idx")
+    build_dedup_index(docs(0, 40), idx, k=3)
+    assert _open_dedup_index(spark, idx)[3] == 40
+    build_dedup_index(docs(100, 25), idx, k=3, mode="append")
+    assert _open_dedup_index(spark, idx)[3] == 65
+    compact_dedup_index(spark, idx)
+    assert _open_dedup_index(spark, idx)[3] == 65
+
+    # legacy marker (pre-n_docs writer): total degrades to unknown
+    seg_root = os.path.join(idx, "segments")
+    (seg,) = os.listdir(seg_root)
+    marker = os.path.join(seg_root, seg, "_seg_commit.json")
+    meta = json.loads(open(marker).read())
+    del meta["n_docs"]
+    with open(marker, "w") as f:
+        f.write(json.dumps(meta))
+    # the writer used Hadoop's checksummed local FS; drop the stale
+    # .crc sidecar so the reader sees the edited marker, not a
+    # checksum mismatch
+    crc = os.path.join(seg_root, seg, "._seg_commit.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert _open_dedup_index(spark, idx)[3] is None
+
+
 def test_indexed_gate_prune_paths_are_decision_identical(spark, tmp_path):
     """VERDICT r9 item 3: the candidate-id pruned shingle scan is an
     I/O strategy, not a semantic — decisions must be identical with the
