@@ -744,14 +744,18 @@ def build_dedup_index(
             epoch = manifest["epoch"] + 1 if manifest else 1
         if manifest is not None:
             _reclaim_dead_segments(spark, root, manifest["epoch"])
-        # n_docs only sizes the segment's file counts, so the INPUT row
-        # count (parquet-stats cheap) is the right instrument — it may
+        # n_docs sizes the segment's file counts and rides the commit
+        # marker for the gate's scan-shape pick, so the INPUT row count
+        # (parquet-stats cheap) is the right instrument — it may
         # slightly overcount vs the zero-token-filtered shingle frame,
-        # which only rounds a file-count target. Deliberately NO persist
-        # of the shingle frame here: caching 7.5M heavy shingle arrays
-        # to size two writes cost 6.6x the whole build at 10M (654 s vs
-        # 98.8 s measured r10); streaming the tokenize+shingle pass once
-        # per relation is far cheaper than writing/reading the cache.
+        # which only rounds a file target and biases the shape pick
+        # conservatively. Deliberately NO persist of the shingle frame
+        # here: caching 7.5M heavy shingle arrays to size two writes
+        # cost 6.6x the build in the r10 same-session A/B (654 s vs the
+        # then-fastest variant; honest standalone build numbers are in
+        # SCALING.md r10 — the r9-era 98.8 s figure was cache-
+        # flattered); streaming the tokenize+shingle pass once per
+        # relation is far cheaper than writing/reading the cache.
         n_docs = index.count()
         sh_i = doc_shingles(index, text_col, id_col, k)
         # an all-zero-token input shingles to nothing: land no segment
