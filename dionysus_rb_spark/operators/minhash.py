@@ -29,7 +29,6 @@ import secrets
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.classic.dataframe import DataFrame as _ClassicDataFrame
 
 from ..functions.hashing import MERSENNE_PRIME, h32, shingles, tokenize
 
@@ -196,29 +195,48 @@ def minhash_lsh_dedup(
     return verify_jaccard(pairs, sh, threshold)
 
 
-class GateDecision(_ClassicDataFrame):
-    """A delta gate's decision frame: a REAL DataFrame (collect, join,
-    write, explain as usual — the plan is untouched) that additionally
-    carries a ``release()`` handle for the gate's pinned intermediate
-    relations (the delta/corpus shingle frames and, on the indexed
-    path, the candidate frame). Persisted relations otherwise live for
-    the whole session, and this operator's cadence is per-DELIVERY:
-    a curation loop that gates a batch, admits it, and moves on must be
-    able to free each gate's pinned corpus-sized state (ADVICE r9 item
-    2 — the same session-accumulation failure mode SplitResult.release
-    fixed for ingest). Call ``release()`` once the decision has been
-    consumed (collected / written / counted); a released decision is
-    still a valid DataFrame — later actions just recompute from source.
-    Also a context manager: ``with delta_dedup_gate(...) as d: ...``."""
+class GateDecision:
+    """A delta gate's decision frame plus a ``release()`` handle for
+    the gate's pinned intermediate relations (the delta/corpus shingle
+    frames and, on the indexed path, the candidate frame). Persisted
+    relations otherwise live for the whole session, and this operator's
+    cadence is per-DELIVERY: a curation loop that gates a batch, admits
+    it, and moves on must be able to free each gate's pinned
+    corpus-sized state (ADVICE r9 item 2 — the same session-
+    accumulation failure mode SplitResult.release fixed for ingest).
+    Call ``release()`` once the decision has been consumed (collected /
+    written / counted); a released decision is still valid — later
+    actions just recompute from source. Also a context manager:
+    ``with delta_dedup_gate(...) as d: ...``.
+
+    COMPOSITION, not a DataFrame subclass (VERDICT r10 item 7: the old
+    ``pyspark.sql.classic.dataframe.DataFrame`` base is a private
+    implementation class — version-fragile, and structurally absent
+    under Spark Connect). The decision DataFrame is ``.df``; every
+    DataFrame attribute (``collect``, ``filter``, ``write``,
+    ``explain``, ``schema``, …) delegates to it, so existing call sites
+    read unchanged — but anything that needs the literal DataFrame
+    object (passing it INTO another frame's ``join``, ``isinstance``
+    checks) should take ``.df``."""
 
     def __init__(self, df: DataFrame, pinned: list[DataFrame]) -> None:
-        super().__init__(df._jdf, df.sparkSession)
+        self.df = df
         self._gate_pinned = list(pinned)
 
     def release(self) -> None:
         for frame in self._gate_pinned:
             frame.unpersist()
         self._gate_pinned = []
+
+    def __getattr__(self, name: str):
+        # only consulted for names not found on GateDecision itself
+        return getattr(self.df, name)
+
+    def __getitem__(self, item):
+        return self.df[item]
+
+    def __repr__(self) -> str:
+        return f"GateDecision({self.df!r})"
 
     def __enter__(self) -> "GateDecision":
         return self
@@ -303,6 +321,7 @@ def _gate_against(
     max_bucket: int | None,
     shingle_loader=None,
     exclude_self: bool = False,
+    overcap_keys: DataFrame | None = None,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """The join half of the delta gate, shared by the inline and the
     persisted-index paths: band-bucket join -> exact-Jaccard verify ->
@@ -320,16 +339,27 @@ def _gate_against(
     from pyspark.storagelevel import StorageLevel
 
     if max_bucket is not None:
-        # window, not agg+join: the width count rides the same band_key
-        # partitioning the bucket join needs, so the cap costs no extra
-        # shuffle (the exchange is reused). Applied at GATE time, so a
-        # persisted index stores uncapped band rows and the cap stays a
-        # query-time knob.
-        from pyspark.sql import Window
+        if overcap_keys is not None:
+            # indexed path with width sidecars: the over-cap key set
+            # was summed from per-segment (band_key, width) aggregates
+            # (tiny 2-column scans, see _overcap_band_keys) — the anti
+            # join's right side is a handful of degenerate keys AQE
+            # broadcasts, so the INDEX band rows need no exchange at
+            # all when the delivery side broadcasts (VERDICT r10 item
+            # 2: the window below was the gate's only corpus-wide
+            # shuffle in that regime).
+            bi = bi.join(overcap_keys, "band_key", "left_anti")
+        else:
+            # inline gate / pre-sidecar index: a count window riding
+            # the band_key partitioning the bucket join needs anyway
+            # (the exchange is reused when the band join shuffles).
+            # Applied at GATE time, so a persisted index stores
+            # uncapped band rows and the cap stays a query-time knob.
+            from pyspark.sql import Window
 
-        bi = bi.withColumn(
-            "__w", F.count("*").over(Window.partitionBy("band_key"))
-        ).filter(F.col("__w") <= max_bucket).drop("__w")
+            bi = bi.withColumn(
+                "__w", F.count("*").over(Window.partitionBy("band_key"))
+            ).filter(F.col("__w") <= max_bucket).drop("__w")
     # no distinct() on candidates: a pair banding in several bands
     # verifies identically each time, and the final count is DISTINCT
     # over index ids — same result, one less corpus-sized shuffle
@@ -380,6 +410,23 @@ _INDEX_MANIFEST = "_dedup_index_manifest.json"
 _SEGMENTS_DIR = "segments"
 _SEG_COMMIT = "_seg_commit.json"  # leading '_': invisible to parquet scans
 
+# Age gates for reclaiming dead segment directories (VERDICT r10 item
+# 1 — maintenance must be safe alongside live gates and, on storage
+# where the flock degrades to nothing, concurrent writers):
+# - an UNCOMMITTED directory younger than the TTL might be a concurrent
+#   append/overwrite mid-landing, not crash debris — left alone;
+# - a SUPERSEDED (or prior-epoch) segment stays on disk for the grace
+#   period after the marker/manifest that killed it, so a gate that
+#   resolved its live-segment list just before the commit still
+#   completes its deferred parquet reads (gates take no lock).
+# An index append lands in well under an hour at any certified scale
+# and a gate's reads finish in minutes, so one hour bounds both with a
+# wide margin; pass 0 to build/compact to reclaim immediately (the
+# single-writer-no-concurrent-gates regime the crash-enum suite
+# enumerates).
+RECLAIM_UNCOMMITTED_TTL = 3600.0
+RECLAIM_SUPERSEDED_GRACE = 3600.0
+
 # Size/parallelism targets for the index artifact's files (VERDICT r9
 # item 2 — N appends must not stack N x shuffle-partition-count small
 # files). A band row is ~60 B (long id + short key string), a shingle
@@ -396,14 +443,16 @@ SHINGLE_ROWS_PER_FILE = 500_000
 BAND_ROWS_PER_TASK = 1_000_000
 SHINGLE_DOCS_PER_TASK = 125_000
 
-# Gate-time shingle-scan pruning ceiling (VERDICT r9 item 3): when a
-# delivery's candidates touch at most this many DISTINCT index docs,
-# their ids are collected and pushed into the shingle scan as an IN
-# filter — the shingle store's files are sorted on index_id, so
-# parquet row-group min/max stats skip everything outside the candidate
-# ranges and scan I/O tracks the DELIVERY, not the corpus.
-# The collect is bounded by this constant (plan-collect lint), and a
-# wider candidate set falls back to the full-scan join unchanged.
+# Collect-size ceiling for the OPT-IN candidate-id probe: when the
+# pruned scan shape is engaged (see PRUNE_MIN_INDEX_DOCS for the
+# measured verdict on WHEN that is worth it), at most this many
+# DISTINCT candidate index ids are collected and pushed into the
+# shingle scan as an IN filter against its index_id-sorted files. The
+# collect is bounded by this constant (plan-collect lint); a wider
+# candidate set falls back to the full-scan join unchanged — at the
+# cost of the exact distinct+count the overflow check runs first, so
+# pinning the probe on (prune_min_index_docs=0) assumes candidate sets
+# that USUALLY fit under this ceiling (ADVICE r10 item 2).
 PRUNE_MAX_IDS = 100_000
 
 # Index size (live docs, summed from segment commit markers) below
@@ -505,33 +554,76 @@ def _live_segments(
     return sorted(n for n in committed if n not in superseded)
 
 
-def _reclaim_dead_segments(spark, root: str, epoch: int) -> None:
-    """Delete segment debris a crash may have left: uncommitted
-    directories (no/torn marker), wrong-epoch segments (a superseded
-    build, or a crashed overwrite's next-epoch orphan), and superseded
-    current-epoch segments. Superseded segments go LEAVES FIRST — a
-    superseder is only deleted once every segment ITS marker names is
-    gone, so a crash mid-reclaim can never orphan a superseded segment
-    into looking live again (see _live_segments). Callers hold the
-    exclusive index lock."""
-    from ..sources.corpus_sink import _fs_delete
+def _reclaim_dead_segments(
+    spark,
+    root: str,
+    epoch: int,
+    ttl: float = RECLAIM_UNCOMMITTED_TTL,
+    grace: float = RECLAIM_SUPERSEDED_GRACE,
+) -> None:
+    """Delete dead segment directories — AGE-GATED so maintenance is
+    safe to run alongside live gates and (on lock-less storage)
+    concurrent writers (VERDICT r10 item 1). Three kinds of dead, each
+    with its own evidence-of-death clock:
+
+    - **uncommitted** (no/torn marker) and **next-epoch orphans** (a
+      crashed — or, on storage where the flock degrades to nothing, an
+      IN-FLIGHT — overwrite's segment): reclaimed only once the
+      directory's mtime is older than ``ttl``, so a concurrent writer
+      mid-landing can never have its directory deleted under it;
+    - **prior-epoch segments**: dead since the manifest's atomic epoch
+      switch, reclaimed once the MANIFEST's mtime is older than
+      ``grace`` — a gate that resolved its segment list just before
+      the switch still completes its deferred parquet reads;
+    - **superseded current-epoch segments** (named in a committed
+      compaction marker): reclaimed LEAVES FIRST — a superseder is
+      only deleted once every segment ITS marker names is gone, so a
+      crash mid-reclaim can never resurrect a superseded segment (see
+      _live_segments) — and only once the SUPERSEDER's marker mtime is
+      older than ``grace`` (same pre-resolve-gate window).
+
+    ``ttl=0`` / ``grace=0`` disable the respective age gate (the
+    single-writer-no-concurrent-gates regime, and what the crash-enum
+    suite uses to enumerate immediate reclaim). Callers hold the
+    exclusive index lock where the filesystem provides one."""
+    import time
+
+    from ..sources.corpus_sink import _fs_delete, _fs_mtime
+
+    now = time.time()
+
+    def _older_than(path: str, window: float) -> bool:
+        if window <= 0:
+            return True
+        mtime = _fs_mtime(spark, path)
+        # vanished mid-scan: another reclaimer got it; nothing to do
+        # (deleting is a no-op either way, skipping avoids the race)
+        return mtime is not None and now - mtime > window
 
     segdir = f"{root}/{_SEGMENTS_DIR}"
-    segs = {
-        name: meta["supersedes"] if meta is not None else None
-        for name, meta in _list_segments(spark, root).items()
-    }
-    for name, sup in list(segs.items()):
-        if sup is None or _seg_epoch(name) != epoch:
-            _fs_delete(spark, f"{segdir}/{name}")
-            del segs[name]
+    segs: dict[str, list[str]] = {}
+    for name, meta in _list_segments(spark, root).items():
+        seg_epoch = _seg_epoch(name)
+        if meta is None or seg_epoch > epoch:
+            if _older_than(f"{segdir}/{name}", ttl):
+                _fs_delete(spark, f"{segdir}/{name}")
+        elif seg_epoch < epoch:
+            if _older_than(f"{root}/{_INDEX_MANIFEST}", grace):
+                _fs_delete(spark, f"{segdir}/{name}")
+        else:
+            segs[name] = meta["supersedes"]
     while True:
-        superseded = {n for sup in segs.values() for n in sup}
+        superseder_of = {
+            victim: n for n, sup in segs.items() for victim in sup
+        }
         deletable = [
             n
             for n in segs
-            if n in superseded
+            if n in superseder_of
             and not any(named in segs for named in segs[n])
+            and _older_than(
+                f"{segdir}/{superseder_of[n]}/{_SEG_COMMIT}", grace
+            )
         ]
         if not deletable:
             break
@@ -603,13 +695,41 @@ def _land_segment(
         .option("maxRecordsPerFile", BAND_ROWS_PER_FILE)
         .parquet(f"{seg_path}/bands")
     )
+    # band-WIDTH sidecar (VERDICT r10 item 2): per-segment (band_key,
+    # width) aggregates, computed from the just-written band files (a
+    # 1-column re-read — the band pass itself is never re-run) and
+    # landed BEFORE the marker so a committed segment always carries
+    # one. The gate's bucket cap sums these at query time instead of
+    # running a count window over every live band row — the cap's
+    # corpus-sized exchange moves from per-delivery to build/append
+    # time, where the band shuffle is already being paid. The cap
+    # stays a query-time knob because widths are stored threshold-free.
+    # repartition BEFORE the agg: hash partitioning on band_key
+    # satisfies the aggregation's required distribution, so one
+    # size-targeted exchange serves both the agg and the file count
+    widths = (
+        spark.read.parquet(f"{seg_path}/bands")
+        .repartition(n_band_tasks, "band_key")
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("width"))
+    )
+    (
+        widths.write.mode("error")
+        .option("maxRecordsPerFile", BAND_ROWS_PER_FILE)
+        .parquet(f"{seg_path}/band_widths")
+    )
     _fs_write_text(
         spark,
         f"{seg_path}/{_SEG_COMMIT}",
         # n_docs rides the commit marker so readers can size the index
         # without scanning it: the gate's scan-shape pick (pruned IN
         # probe vs full-scan join) sums live segments' counts from
-        # these few-byte files instead of running a count job per gate
+        # these few-byte files instead of running a count job per gate.
+        # It is an UPPER-BOUND HEURISTIC, not a live-doc census (ADVICE
+        # r10 item 4): build/append record the pre-filter input count
+        # (zero-token docs included), and a tagged replay straddling a
+        # compaction can land its docs' count twice until the next
+        # compaction recounts — consumers must treat it as approximate.
         json.dumps({"supersedes": supersedes, "n_docs": n_docs}),
     )
 
@@ -626,6 +746,8 @@ def build_dedup_index(
     mode: str = "overwrite",
     lock_timeout: float = 60.0,
     segment_tag: str | None = None,
+    reclaim_ttl: float = RECLAIM_UNCOMMITTED_TTL,
+    reclaim_grace: float = RECLAIM_SUPERSEDED_GRACE,
 ) -> None:
     """Persist the corpus side of the delta gate as a reusable,
     CRASH-ATOMIC artifact:
@@ -672,10 +794,15 @@ def build_dedup_index(
     mutually excluded; acquisition waits up to ``lock_timeout`` seconds
     before raising CorpusLockHeld), and each build first reclaims crash
     debris — uncommitted segment directories, a dead overwrite's
-    next-epoch orphan, compaction leftovers. Gates take no lock: they
-    read only committed markers, so a racing append is simply invisible
-    until its marker lands (don't run compaction concurrently with
-    gates — same racing-reader caveat as compact_corpus).
+    next-epoch orphan, compaction leftovers — AGE-GATED by
+    ``reclaim_ttl`` / ``reclaim_grace`` (see _reclaim_dead_segments):
+    with the defaults, maintenance is safe to run concurrently with
+    live gates, and on lock-less (non-local) storage a concurrent
+    writer's in-flight directory is never deleted under it. Gates take
+    no lock: they read only committed markers, so a racing append is
+    simply invisible until its marker lands, and a gate that resolved
+    its segment list just before a compaction/overwrite commit keeps
+    reading the superseded segments for the grace window.
 
     At 100 TB: the corpus pays its shingle+signature cost once; each
     arriving delta pays one band-key join against the committed
@@ -740,10 +867,19 @@ def build_dedup_index(
                 committed = _list_segments(spark, root).get(seg_name)
                 if committed is not None:
                     return  # this tagged append already committed: no-op
+                # a crashed EARLIER attempt's uncommitted tagged
+                # directory is ours to re-land (attempts of one batch
+                # tag are serialized by the stream's replay contract),
+                # so it is deleted HERE regardless of the reclaim TTL —
+                # the age gate protects OTHER writers' in-flight
+                # directories, never our own tag
+                _fs_delete(spark, f"{root}/{_SEGMENTS_DIR}/{seg_name}")
         else:
             epoch = manifest["epoch"] + 1 if manifest else 1
         if manifest is not None:
-            _reclaim_dead_segments(spark, root, manifest["epoch"])
+            _reclaim_dead_segments(
+                spark, root, manifest["epoch"], reclaim_ttl, reclaim_grace
+            )
         # n_docs sizes the segment's file counts and rides the commit
         # marker for the gate's scan-shape pick, so the INPUT row count
         # (parquet-stats cheap) is the right instrument — it may
@@ -804,7 +940,11 @@ def build_dedup_index(
 
 
 def compact_dedup_index(
-    spark, path: str, lock_timeout: float = 0.0
+    spark,
+    path: str,
+    lock_timeout: float = 0.0,
+    reclaim_ttl: float = RECLAIM_UNCOMMITTED_TTL,
+    reclaim_grace: float = RECLAIM_SUPERSEDED_GRACE,
 ) -> None:
     """Merge an index's committed segments into one (file-count hygiene
     under the per-delivery append cadence — VERDICT r9 item 2: N appends
@@ -814,12 +954,15 @@ def compact_dedup_index(
 
     Convergent and crash-safe with the same marker algebra as append:
     the merged segment is written in full, committed by a marker whose
-    ``supersedes`` names the segments it replaces (readers drop them
-    the instant the marker lands), and only then are the superseded
-    directories reclaimed — leaves first, so no crash point can
-    resurrect one. Fail-fast on a held lock by default, like
-    compact_corpus: a second concurrent compactor is a scheduling bug
-    the caller should see."""
+    ``supersedes`` names the segments it replaces (readers resolving
+    AFTER the marker drop them instantly), and the superseded
+    directories are reclaimed leaves-first — so no crash point can
+    resurrect one — only after ``reclaim_grace`` seconds (by a LATER
+    maintenance pass), so a gate that resolved its segment list before
+    the commit still completes its reads; ``reclaim_grace=0`` reclaims
+    them immediately within this call. Fail-fast on a held lock by
+    default, like compact_corpus: a second concurrent compactor is a
+    scheduling bug the caller should see."""
     from contextlib import nullcontext
 
     from ..sources.corpus_sink import (
@@ -845,7 +988,7 @@ def compact_dedup_index(
         if manifest is None:
             raise ValueError(f"no dedup index at {path!r}")
         epoch = manifest["epoch"]
-        _reclaim_dead_segments(spark, root, epoch)
+        _reclaim_dead_segments(spark, root, epoch, reclaim_ttl, reclaim_grace)
         live = _live_segments(_list_segments(spark, root), epoch)
         if len(live) <= 1:
             return
@@ -878,20 +1021,33 @@ def compact_dedup_index(
             manifest["bands"],
             live,
         )
-        # marker committed: the merged segment owns the data; reclaim
-        # the superseded originals (their own markers name nothing still
-        # on disk — reclaim above cleared older debris — so plain
-        # deletion is the leaves-first order)
-        for s in live:
-            _fs_delete(spark, f"{segdir}/{s}")
+        # marker committed: the merged segment owns the data. The
+        # superseded originals are reclaimed IMMEDIATELY only when the
+        # grace period is disabled (their own markers name nothing
+        # still on disk — reclaim above cleared older debris — so plain
+        # deletion is the leaves-first order); with a grace period they
+        # stay on disk, invisible to readers resolving after this
+        # commit but still readable by a gate that resolved its segment
+        # list BEFORE it (VERDICT r10 item 1b — the per-micro-batch
+        # append cadence demands compaction concurrent with live
+        # gating). A later maintenance pass grace-deletes them via
+        # _reclaim_dead_segments once the merged marker is old enough.
+        if reclaim_grace <= 0:
+            for s in live:
+                _fs_delete(spark, f"{segdir}/{s}")
 
 
-def _open_dedup_index(spark, index_path: str):
-    """(manifest, band paths, shingle paths, indexed-doc total) for the
-    index's LIVE segments — committed markers only,
-    compaction-superseded excluded. The doc total is summed from the
-    markers' ``n_docs`` (None when any live marker predates that field)
-    so the gate can pick its scan shape without a count job."""
+def _open_dedup_index(spark, index_path: str, exclude_segment: str | None = None):
+    """(manifest, band paths, shingle paths, indexed-doc total,
+    band-width sidecar paths) for the index's LIVE segments — committed
+    markers only, compaction-superseded excluded. The doc total is
+    summed from the markers' ``n_docs`` (None when any live marker
+    predates that field) so the gate can pick its scan shape without a
+    count job. The width-path list is None when ANY live segment
+    predates the sidecar (pre-r11 writer) — the gate then falls back to
+    the count-window cap. ``exclude_segment`` drops one live segment by
+    name — the replay-identity hook (see delta_dedup_gate_indexed's
+    ``exclude_segment_tag``)."""
     root = index_path.rstrip("/")
     manifest = _read_index_manifest(spark, root)
     if manifest is None:
@@ -901,18 +1057,68 @@ def _open_dedup_index(spark, index_path: str):
         )
     segs = _list_segments(spark, root)
     live = _live_segments(segs, manifest["epoch"])
+    if exclude_segment is not None:
+        live = [s for s in live if s != exclude_segment]
     counts = [segs[s].get("n_docs") for s in live]
+    # bool is an int subclass and a corrupt/hand-edited marker could
+    # hold true/-5 (ADVICE r10 item 1): anything but a non-negative
+    # real int reads as unknown (None) — the same fail-safe-to-full-
+    # scan path a missing field already takes
     n_docs = (
         sum(counts)
-        if counts and all(isinstance(c, int) for c in counts)
+        if counts
+        and all(
+            isinstance(c, int) and not isinstance(c, bool) and c >= 0
+            for c in counts
+        )
         else None
     )
     segdir = f"{root}/{_SEGMENTS_DIR}"
+    from ..sources.corpus_sink import _fs_exists
+
+    width_paths = [f"{segdir}/{s}/band_widths" for s in live]
+    if not all(_fs_exists(spark, p) for p in width_paths):
+        width_paths = None  # pre-sidecar segment present: window fallback
     return (
         manifest,
         [f"{segdir}/{s}/bands" for s in live],
         [f"{segdir}/{s}/shingles" for s in live],
         n_docs,
+        width_paths,
+    )
+
+
+def _overcap_band_keys(
+    spark, width_paths: list[str], max_bucket: int
+) -> DataFrame:
+    """Band keys whose TOTAL live width exceeds the cap, from the
+    per-segment (band_key, width) sidecars — EXACTLY the keys the
+    count-window cap would drop (per-segment widths sum to the window's
+    count over the unioned band rows, duplicates included).
+
+    Shape: with one live segment (the post-compaction steady state)
+    this is a pure pushed-predicate scan, zero shuffles. With S
+    segments, a key can only exceed the cap if some segment holds more
+    than cap/S of it (pigeonhole), so a scan-level ``width * S > cap``
+    coarse filter prunes the near-everything of unique-ish keys BEFORE
+    any exchange; the exact cross-segment sum then runs over just the
+    semi-joined survivors — both sides degenerate-key-sized, never
+    corpus-sized."""
+    w = spark.read.parquet(*width_paths)
+    n_segs = len(width_paths)
+    if n_segs == 1:
+        return w.filter(F.col("width") > max_bucket).select("band_key")
+    coarse = (
+        w.filter(F.col("width") * n_segs > max_bucket)
+        .select("band_key")
+        .distinct()
+    )
+    return (
+        w.join(coarse, "band_key", "left_semi")
+        .groupBy("band_key")
+        .agg(F.sum("width").alias("__tw"))
+        .filter(F.col("__tw") > max_bucket)
+        .select("band_key")
     )
 
 
@@ -926,6 +1132,8 @@ def delta_dedup_gate_indexed(
     prune_max_ids: int | None = PRUNE_MAX_IDS,
     prune_min_index_docs: int = PRUNE_MIN_INDEX_DOCS,
     exclude_self: bool = False,
+    exclude_segment_tag: str | None = None,
+    use_width_sidecars: bool = True,
 ) -> GateDecision:
     """Gate a delta batch against a PERSISTED dedup index
     (:func:`build_dedup_index`) — result-identical to
@@ -933,7 +1141,12 @@ def delta_dedup_gate_indexed(
     the corpus-side shingle/signature work is amortized into the index
     build instead of re-run per batch. Signature parameters come from
     the index manifest; ``threshold`` and ``max_bucket`` remain
-    query-time knobs (the index stores uncapped band rows).
+    query-time knobs (the index stores uncapped band rows — the cap is
+    resolved from the per-segment band-width SIDECARS when every live
+    segment carries one, so capping costs an anti join against a
+    degenerate-key-sized frame instead of a count window over all live
+    band rows; ``use_width_sidecars=False`` or a pre-sidecar segment
+    falls back to the window, decisions identical).
 
     Per-delivery cost: one keyed join of the delta's band rows against
     the committed band segments, then a verify join streaming the
@@ -955,6 +1168,22 @@ def delta_dedup_gate_indexed(
     (per-delivery loops otherwise accumulate pinned relations for the
     session lifetime).
 
+    ``exclude_segment_tag`` drops the live APPEND segment carrying that
+    tag (``e<epoch>-append-<tag>``) from the gate's index view — the
+    PRIMARY replay-identity mechanism for the streaming loop: a
+    micro-batch re-delivered after its own tagged append committed
+    gates against exactly the index state its first attempt saw, so
+    decisions are bit-identical even when the batch contains
+    WITHIN-BATCH duplicates (same text, different ids — the r11
+    curation soak caught these flipping to rejected on replay, because
+    each twin matches the OTHER twin's committed copy, which no
+    id-equality filter can see). ``exclude_self=True`` stays as the
+    belt-and-braces second layer for the one corner segment exclusion
+    cannot cover — a replay that straddles a compaction which absorbed
+    the tagged segment — where it restores identity for self-id
+    matches (within-batch twins straddling a compaction remain the one
+    documented divergence).
+
     ``exclude_self=True`` drops candidates whose index id EQUALS the
     delta id — the replay-idempotence contract for the streaming loop
     (streaming/neardup_stream.py): a micro-batch re-delivered after its
@@ -963,9 +1192,19 @@ def delta_dedup_gate_indexed(
     from pyspark.storagelevel import StorageLevel
 
     spark = delta.sparkSession
-    manifest, band_paths, shingle_paths, n_indexed = _open_dedup_index(
-        spark, index_path
-    )
+    exclude_segment = None
+    if exclude_segment_tag is not None:
+        root = index_path.rstrip("/")
+        m = _read_index_manifest(spark, root)
+        if m is not None:
+            exclude_segment = f"e{m['epoch']}-append-{exclude_segment_tag}"
+    (
+        manifest,
+        band_paths,
+        shingle_paths,
+        n_indexed,
+        width_paths,
+    ) = _open_dedup_index(spark, index_path, exclude_segment)
     if not band_paths:
         # empty index (fresh epoch, nothing landed): everything admits
         return GateDecision(
@@ -987,6 +1226,16 @@ def delta_dedup_gate_indexed(
         F.explode(F.expr(keys)).alias("band_key"),
     )
     bi = spark.read.parquet(*band_paths)
+    # bucket-cap shape: when every live segment carries the band-width
+    # sidecar, the over-cap keys come from the sidecar sums and the cap
+    # is an anti join (no exchange over corpus band rows — VERDICT r10
+    # item 2); a pre-sidecar segment or use_width_sidecars=False falls
+    # back to the count window, decisions identical (pinned by test)
+    overcap = (
+        _overcap_band_keys(spark, width_paths, max_bucket)
+        if max_bucket is not None and use_width_sidecars and width_paths
+        else None
+    )
     # scan-shape pick: the full-scan streaming join won every measured
     # A/B (see PRUNE_MIN_INDEX_DOCS), so it is the default everywhere
     # the markers don't prove the index enormous — including legacy
@@ -1008,6 +1257,7 @@ def delta_dedup_gate_indexed(
             threshold,
             max_bucket,
             exclude_self=exclude_self,
+            overcap_keys=overcap,
         )
     else:
         loader = lambda cand: _pruned_shingles(  # noqa: E731
@@ -1024,7 +1274,150 @@ def delta_dedup_gate_indexed(
             max_bucket,
             shingle_loader=loader,
             exclude_self=exclude_self,
+            overcap_keys=overcap,
         )
+    return GateDecision(decision, [sh_d, *pinned])
+
+
+def build_dedup_index_bucketed(
+    index: DataFrame,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    seed: int = 42,
+    n_buckets: int = 64,
+) -> None:
+    """The CLUSTER storage shape the parquet index's docstring promises
+    (VERDICT r10 item 3): the corpus band rows live in a metastore
+    table BUCKETED (and sorted) on band_key, the shingle store in one
+    bucketed on index_id, so a gate's two joins CO-LOCATE against them
+    — the corpus side of each join needs NO exchange at any delivery
+    size, which is the one regime where the plain-parquet gate pays a
+    per-delivery corpus-side shuffle: a delivery too big for AQE to
+    broadcast. Trade-offs vs :func:`build_dedup_index` (which remains
+    the default): a metastore dependency, no crash-atomic append/
+    compaction story (table overwrite is the only mutation — rebuild
+    per corpus version), and ``n_buckets`` fixed at build time.
+
+    Three tables are written under ``table_prefix``:
+    ``<prefix>_bands(index_id, band_key)`` bucketed+sorted on band_key;
+    ``<prefix>_shingles(index_id, __sb)`` bucketed+sorted on index_id;
+    ``<prefix>_meta`` — one row pinning the signature constants and
+    bucket count (the same can-never-drift contract as the parquet
+    manifest).
+
+    Rebuilds are self-cleaning across METASTORE lifetimes: a fresh
+    session's catalog does not know tables a previous session left in
+    the warehouse directory, and saveAsTable refuses a managed
+    location that already exists — so each table is dropped AND its
+    stale location deleted before the write."""
+    from ..sources.corpus_sink import _fs_delete
+
+    spark = index.sparkSession
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    for suffix in ("_bands", "_shingles", "_meta"):
+        name = f"{table_prefix}{suffix}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        _fs_delete(spark, f"{warehouse.rstrip('/')}/{name.lower()}")
+    sh_i = doc_shingles(index, text_col, id_col, k)
+    keys = band_keys_expr(bands, num_perm // bands)
+    signed = minhash_signature(sh_i, num_perm, seed)
+    (
+        signed.select(
+            F.col("doc_id").alias("index_id"),
+            F.explode(F.expr(keys)).alias("band_key"),
+        )
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "band_key")
+        .sortBy("band_key")
+        .saveAsTable(f"{table_prefix}_bands")
+    )
+    (
+        sh_i.select(
+            F.col("doc_id").alias("index_id"),
+            F.col("shingle_set").alias("__sb"),
+        )
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "index_id")
+        .sortBy("index_id")
+        .saveAsTable(f"{table_prefix}_shingles")
+    )
+    meta = spark.createDataFrame(
+        [(k, num_perm, bands, seed, n_buckets)],
+        "k int, num_perm int, bands int, seed long, n_buckets int",
+    )
+    meta.write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
+
+
+def delta_dedup_gate_bucketed(
+    delta: DataFrame,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    max_bucket: int | None = 1000,
+) -> GateDecision:
+    """Gate a delta batch against a BUCKETED-table index
+    (:func:`build_dedup_index_bucketed`) — decision-identical to
+    :func:`delta_dedup_gate` / the parquet-index gate over the same
+    corpus (pinned by test), with the corpus side of BOTH joins
+    exchange-free: the band join reads ``<prefix>_bands`` in band_key
+    bucket order (only the delivery's band rows shuffle, to the
+    bucket count), the verify join reads ``<prefix>_shingles`` in
+    index_id bucket order, and the bucket-cap widths come from a
+    groupBy the band_key bucketing satisfies without an exchange.
+    Signature constants come from ``<prefix>_meta``."""
+    from pyspark.storagelevel import StorageLevel
+
+    spark = delta.sparkSession
+    meta = spark.table(f"{table_prefix}_meta").collect()
+    if len(meta) != 1:
+        raise ValueError(
+            f"bucketed dedup index {table_prefix!r}: expected exactly one "
+            f"_meta row, found {len(meta)}"
+        )
+    row = meta[0]
+    k, num_perm, bands, seed = (
+        row["k"],
+        row["num_perm"],
+        row["bands"],
+        row["seed"],
+    )
+    sh_d = doc_shingles(delta, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    keys = band_keys_expr(bands, num_perm // bands)
+    bd = minhash_signature(sh_d, num_perm, seed).select(
+        F.col("doc_id").alias("delta_id"),
+        F.explode(F.expr(keys)).alias("band_key"),
+    )
+    bi = spark.table(f"{table_prefix}_bands")
+    overcap = None
+    if max_bucket is not None:
+        # the groupBy's required distribution is satisfied by the
+        # table's band_key bucketing: width aggregation without an
+        # exchange, exact peer of the parquet index's width sidecars
+        overcap = (
+            bi.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("__w"))
+            .filter(F.col("__w") > max_bucket)
+            .select("band_key")
+        )
+    sb = spark.table(f"{table_prefix}_shingles")
+    decision, pinned = _gate_against(
+        delta,
+        id_col,
+        sh_d,
+        bd,
+        bi,
+        sb,
+        threshold,
+        max_bucket,
+        overcap_keys=overcap,
+    )
     return GateDecision(decision, [sh_d, *pinned])
 
 

@@ -158,8 +158,20 @@ _PLAN_CHANGED: dict[str, int] = {
     # gates now persist candidates / return GateDecision release
     # handles — plan-shape changes on both gate queries' execution
     # paths (shared helper _gate_against changed too):
-    "dd_delta_gate": 10,
-    "dd_delta_gate_indexed": 10,
+    # "dd_delta_gate": 10 superseded by the round-11 entry below,
+    # kept as the audit trail (r10: GateDecision/candidate persists).
+    # round 11 (VERDICT r10 items 2+7): the indexed gate's bucket cap
+    # moved from a count window over live band rows to an anti join
+    # against sidecar-summed over-cap keys (minhash._overcap_band_keys;
+    # segments now land a band_widths relation), and GateDecision became
+    # a composition wrapper (queries return .df). dd_delta_gate_indexed
+    # and the streaming loop (whose per-batch gate is the same code
+    # path) changed plan shape; the INLINE gate kept the window but its
+    # shared helper _gate_against changed and the query now returns the
+    # unwrapped frame — flagged conservatively per the r4 policy:
+    "dd_delta_gate": 11,
+    "dd_delta_gate_indexed": 11,
+    "stream_t6_neardup_index_gate": 11,
 }
 
 

@@ -384,6 +384,8 @@ def dd_delta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     are deliberately NOT resolved here — that is dd_dedup_final's job
     on the admitted batch."""
     docs = _docs(spark, sf_dir)
+    # .df: hand the driver the plain decision DataFrame (GateDecision
+    # is a composition wrapper since r11 — see minhash.GateDecision)
     return minhash.delta_dedup_gate(
         docs.filter(F.col("doc_id") % 4 == 0),
         docs.filter(F.col("doc_id") % 4 != 0),
@@ -391,7 +393,7 @@ def dd_delta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         k=3,
         threshold=0.5,
-    )
+    ).df
 
 
 @query(
@@ -430,7 +432,45 @@ def dd_delta_gate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "doc_id",
         threshold=0.5,
+    ).df
+
+
+@query(
+    "dd_delta_gate_bucketed",
+    refs="beyond:dedup",
+    # SAME oracle again: the bucketed-table index is a storage shape,
+    # not a semantic (like dd_delta_gate_indexed before it).
+    oracle=minhash.delta_dedup_gate_sql(
+        "doc_id % 4 = 0", "doc_id % 4 <> 0", k=3, threshold=0.5
+    ),
+)
+def dd_delta_gate_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delta gate's CLUSTER storage shape (VERDICT r10 item 3):
+    the corpus band rows live in a metastore table BUCKETED and sorted
+    on band_key, the shingle store in one bucketed on index_id
+    (minhash.build_dedup_index_bucketed), so both of the gate's joins
+    co-locate — the corpus side needs NO exchange at ANY delivery
+    size, covering the one regime where the plain-parquet index pays a
+    per-delivery corpus-side shuffle: a delivery too big for AQE to
+    broadcast. Byte-identical oracle to dd_delta_gate — bucketing
+    changes nothing about the admit/reject decision (also pinned, with
+    the co-location plan assertion, in test_dedup_properties)."""
+    docs = _docs(spark, sf_dir)
+    minhash.build_dedup_index_bucketed(
+        docs.filter(F.col("doc_id") % 4 != 0),
+        "dd_gate_bkt",
+        "text",
+        "doc_id",
+        k=3,
+        n_buckets=8,
     )
+    return minhash.delta_dedup_gate_bucketed(
+        docs.filter(F.col("doc_id") % 4 == 0),
+        "dd_gate_bkt",
+        "text",
+        "doc_id",
+        threshold=0.5,
+    ).df
 
 
 _NDG_B1 = "doc_id % 8 = 0"

@@ -173,6 +173,17 @@ def _fs_list_dirs(spark: SparkSession, path: str) -> list[str]:
     )
 
 
+def _fs_mtime(spark: SparkSession, path: str) -> float | None:
+    """Modification time of ``path`` in seconds since the epoch via the
+    Hadoop FileSystem (any data-path scheme), or None when the path no
+    longer exists — age-gated reclaim (operators/minhash) treats a
+    vanished entry as "already being cleaned up" and skips it."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    return fs.getFileStatus(jpath).getModificationTime() / 1000.0
+
+
 def _fs_delete(spark: SparkSession, path: str) -> None:
     """Recursive delete via the Hadoop FileSystem; missing paths are a
     no-op (reclaim passes must be re-entrant)."""

@@ -153,10 +153,16 @@ def indexed_neardup_gate_sink(
     - **Exactly-once index growth** under foreachBatch's at-least-once
       replay: the append is tagged with the micro-batch id
       (``segment_tag``), so a re-delivered batch whose append already
-      committed is a no-op, and the gate runs with ``exclude_self`` so
-      the replayed docs don't match their own committed copies —
-      replayed decisions are bit-identical to the first run (requires
-      ``id_col`` to be a stable, non-null, unique doc key).
+      committed is a no-op, and the gate EXCLUDES the batch's own
+      tagged segment from its index view (``exclude_segment_tag``) —
+      a replay gates against exactly the index state its first attempt
+      saw, so decisions are bit-identical even for WITHIN-BATCH
+      duplicates (same text, different ids; an id-equality filter
+      alone cannot stop a twin matching the other twin's committed
+      copy — found by the r11 curation soak). ``exclude_self`` rides
+      along as the fallback for a replay that straddles a compaction
+      which absorbed the tag (requires ``id_col`` to be a stable,
+      non-null, unique doc key).
     - **Sinks before append**: ``on_batch(admitted, rejected, decision,
       batch_id)`` runs first — if the caller's sink fails, the index is
       untouched and the whole batch replays. ``on_batch`` must be
@@ -192,6 +198,7 @@ def indexed_neardup_gate_sink(
             threshold=threshold,
             max_bucket=max_bucket,
             exclude_self=True,
+            exclude_segment_tag=f"batch{batch_id}",
         )
         try:
             kept_ids = decision.filter(F.col("kept") == 1).select(

@@ -38,12 +38,29 @@ from contextlib import contextmanager
 
 import pytest
 
+from dionysus_rb_spark.operators import minhash as _mh
 from dionysus_rb_spark.operators.minhash import (
-    build_dedup_index,
-    compact_dedup_index,
     delta_dedup_gate,
     delta_dedup_gate_indexed,
 )
+
+
+def build_dedup_index(*a, **kw):
+    """Suite-local pin of the IMMEDIATE-reclaim semantics (ttl/grace
+    0): this suite enumerates crash points of the reclaim deletes
+    themselves, which the age gates would otherwise defer. The age-
+    gated contract (young debris survives, superseded segments outlive
+    a concurrent gate) has its own suite,
+    test_index_maintenance_concurrency.py."""
+    kw.setdefault("reclaim_ttl", 0.0)
+    kw.setdefault("reclaim_grace", 0.0)
+    return _mh.build_dedup_index(*a, **kw)
+
+
+def compact_dedup_index(*a, **kw):
+    kw.setdefault("reclaim_ttl", 0.0)
+    kw.setdefault("reclaim_grace", 0.0)
+    return _mh.compact_dedup_index(*a, **kw)
 from dionysus_rb_spark.sources import corpus_sink
 
 

@@ -687,7 +687,10 @@ def test_dedup_index_file_counts_bounded(spark, tmp_path):
     with delta_dedup_gate_indexed(probe, idx, threshold=0.5) as d:
         before = sorted(map(tuple, d.collect()))
 
-    compact_dedup_index(spark, idx)
+    # reclaim_grace=0: this test asserts the IMMEDIATE file-count
+    # hygiene; the grace-period (concurrent-gate-safe) variant is
+    # covered by test_index_maintenance_concurrency.py
+    compact_dedup_index(spark, idx, reclaim_grace=0.0)
     segs = sorted(os.listdir(seg_root))
     assert len(segs) == 1
     # O(corpus/target), not O(N appends): all rows fit one target file
@@ -727,7 +730,7 @@ def test_index_marker_doc_counts_drive_scan_shape(spark, tmp_path):
     assert _open_dedup_index(spark, idx)[3] == 40
     build_dedup_index(docs(100, 25), idx, k=3, mode="append")
     assert _open_dedup_index(spark, idx)[3] == 65
-    compact_dedup_index(spark, idx)
+    compact_dedup_index(spark, idx, reclaim_grace=0.0)
     assert _open_dedup_index(spark, idx)[3] == 65
 
     # legacy marker (pre-n_docs writer): total degrades to unknown
@@ -825,3 +828,154 @@ def test_gate_decision_release_unpersists(spark):
     assert n_persistent() == before
     decision.release()  # idempotent
     assert n_persistent() == before
+
+
+def test_width_sidecar_cap_is_decision_identical_and_sheds_window(
+    spark, tmp_path
+):
+    """VERDICT r10 item 2: the bucket cap resolved from per-segment
+    band-width sidecars is an execution strategy, not a semantic —
+    decisions must equal the count-window shape across cap values and
+    segment counts (single segment, multi-segment with cross-segment
+    width sums, and post-compaction), and the sidecar plan must carry
+    NO Window node (the window was the gate's only corpus-wide
+    exchange in the broadcast-delta regime)."""
+    from pyspark.sql import functions as F
+
+    from dionysus_rb_spark.operators.minhash import (
+        build_dedup_index,
+        compact_dedup_index,
+        delta_dedup_gate_indexed,
+    )
+    from dionysus_rb_spark.tables import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    index = docs.filter(F.col("doc_id") % 4 != 0)
+    idx = str(tmp_path / "idx")
+    # two segments: widths for a band key straddling both must SUM
+    build_dedup_index(index.filter(F.col("doc_id") % 8 == 1), idx, k=3)
+    build_dedup_index(
+        index.filter(F.col("doc_id") % 8 != 1), idx, k=3, mode="append"
+    )
+
+    def result(**kw):
+        with delta_dedup_gate_indexed(
+            delta, idx, "text", "doc_id", threshold=0.5, **kw
+        ) as d:
+            return sorted(map(tuple, d.collect()))
+
+    # cap=1 exercises the over-cap branch hard (most buckets dropped),
+    # cap=2 exercises cross-segment sums, default exercises the common
+    # nothing-over-cap shape; each must match the window fallback
+    for cap in (1, 2, 1000):
+        assert result(max_bucket=cap) == result(
+            max_bucket=cap, use_width_sidecars=False
+        ), f"sidecar cap diverged from window cap at max_bucket={cap}"
+    assert result(max_bucket=None) == result(
+        max_bucket=None, use_width_sidecars=False
+    )
+
+    # plan shape: sidecar path has no Window; fallback has one
+    with delta_dedup_gate_indexed(delta, idx, threshold=0.5) as d:
+        sidecar_plan = d.df._jdf.queryExecution().executedPlan().toString()
+    with delta_dedup_gate_indexed(
+        delta, idx, threshold=0.5, use_width_sidecars=False
+    ) as d:
+        window_plan = d.df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in sidecar_plan, (
+        "sidecar cap must not run a count window over live band rows"
+    )
+    assert "Window" in window_plan  # the fallback really is the window
+
+    # post-compaction single segment: the zero-shuffle width filter
+    compact_dedup_index(spark, idx, reclaim_grace=0.0)
+    for cap in (1, 1000):
+        assert result(max_bucket=cap) == result(
+            max_bucket=cap, use_width_sidecars=False
+        )
+
+    # legacy index (pre-sidecar segment): auto-fallback to the window,
+    # same decisions
+    import shutil
+
+    seg_root = tmp_path / "idx" / "segments"
+    (seg,) = [s for s in seg_root.iterdir() if s.is_dir()]
+    shutil.rmtree(seg / "band_widths")
+    legacy = result(max_bucket=2)
+    assert legacy == result(max_bucket=2, use_width_sidecars=False)
+
+
+def test_bucketed_index_gate_decision_identical_and_colocated(
+    spark, tmp_path
+):
+    """VERDICT r10 item 3: the bucketed-table index is a STORAGE shape,
+    not a semantic — gate decisions must equal the inline gate and the
+    parquet-index gate over the same corpus — and it must actually
+    co-locate: with broadcasts disabled (the big-delivery regime the
+    shape exists for), the bucketed gate's plan reads the bands/
+    shingles tables bucketed and carries strictly fewer shuffle
+    exchanges than the parquet gate's plan."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from dionysus_rb_spark.operators.minhash import (
+        build_dedup_index,
+        build_dedup_index_bucketed,
+        delta_dedup_gate,
+        delta_dedup_gate_bucketed,
+        delta_dedup_gate_indexed,
+    )
+    from dionysus_rb_spark.tables import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    index = docs.filter(F.col("doc_id") % 4 != 0)
+    prefix = "t_bkt_gate"
+    build_dedup_index_bucketed(index, prefix, k=3, n_buckets=8)
+    pq_idx = str(tmp_path / "pq_idx")
+    build_dedup_index(index, pq_idx, k=3)
+
+    with delta_dedup_gate(delta, index, k=3, threshold=0.5) as d:
+        inline = sorted(map(tuple, d.collect()))
+    with delta_dedup_gate_bucketed(delta, prefix, threshold=0.5) as d:
+        assert sorted(map(tuple, d.collect())) == inline
+    # cap engaged hard: still identical to the inline window semantics
+    with delta_dedup_gate(delta, index, k=3, threshold=0.5, max_bucket=1) as d:
+        inline_cap = sorted(map(tuple, d.collect()))
+    with delta_dedup_gate_bucketed(delta, prefix, threshold=0.5, max_bucket=1) as d:
+        assert sorted(map(tuple, d.collect())) == inline_cap
+
+    def exchanges(decision) -> tuple[int, str]:
+        decision.collect()
+        plan = decision.df._jdf.queryExecution().executedPlan().toString()
+        return (
+            len(
+                re.findall(
+                    r"Exchange (?:hashpartitioning|rangepartitioning|"
+                    r"SinglePartition)",
+                    plan,
+                )
+            ),
+            plan,
+        )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with delta_dedup_gate_bucketed(delta, prefix, threshold=0.5) as d:
+            n_bkt, plan_bkt = exchanges(d)
+        with delta_dedup_gate_indexed(delta, pq_idx, threshold=0.5) as d:
+            n_pq, _ = exchanges(d)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan_bkt, "bands/shingles scans must bucket"
+    assert n_bkt < n_pq, (
+        f"bucketed gate must co-locate (got {n_bkt} exchanges vs "
+        f"parquet {n_pq})"
+    )

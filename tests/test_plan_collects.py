@@ -25,7 +25,10 @@ Current sites, audited bounded:
   (_pruned_shingles) -- gated by a count() check against
   PRUNE_MAX_IDS before the collect runs, never bounded by corpus or
   delivery size; wider candidate sets fall back to the full-scan
-  join without collecting
+  join without collecting; plus the bucketed gate's signature-constant
+  read (delta_dedup_gate_bucketed) -- the <prefix>_meta table is one
+  row by construction and the collect raises unless exactly one row
+  comes back
 
 (operators/graph.py's former one-scalar collect now rides the eager
 checkpoint as an observed metric -- zero collects in the CC loop.)
@@ -45,7 +48,7 @@ AUDITED_SITES = {
     "operators/pq.py": 6,
     "operators/similarity.py": 1,
     "operators/clustering.py": 2,
-    "operators/minhash.py": 1,
+    "operators/minhash.py": 2,
 }
 
 COLLECT = re.compile(r"\.collect\(\)")

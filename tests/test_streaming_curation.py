@@ -213,3 +213,64 @@ def test_indexed_neardup_gate_replay_is_idempotent(spark, tmp_path):
         if s.endswith("batch7")
     ]
     assert len(segs) == 1, "tagged append must be exactly-once"
+
+
+def test_indexed_neardup_gate_replay_within_batch_dups(spark, tmp_path):
+    """The r11 curation soak's find, pinned: a batch containing
+    WITHIN-BATCH duplicates (same text, DIFFERENT ids — the gate's
+    contract admits both) must replay bit-identically. exclude_self
+    alone cannot do it — on replay each twin matches the OTHER twin's
+    committed copy, flipping both to rejected — so the gate excludes
+    the batch's own tagged segment from its index view
+    (exclude_segment_tag), replaying against exactly the index state
+    the first attempt saw."""
+    import os
+
+    from dionysus_rb_spark.operators.minhash import build_dedup_index
+    from dionysus_rb_spark.streaming.neardup_stream import (
+        indexed_neardup_gate_sink,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha0 beta1 gamma2 delta3 epsilon4 zeta5 eta6 theta7 iota8")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, idx, k=3)
+
+    seen = []
+
+    def capture(admitted, rejected, decision, batch_id):
+        seen.append(
+            sorted(
+                (r["doc_id"], r["n_dup_matches"], r["kept"])
+                for r in decision.collect()
+            )
+        )
+
+    twin = "completely fresh content never indexed before anywhere yes"
+    batch = spark.createDataFrame(
+        [(10, twin), (11, twin), (12, "other new words entirely here now")],
+        "doc_id long, text string",
+    )
+    fn = indexed_neardup_gate_sink(idx, threshold=0.5, on_batch=capture)
+    fn(batch, 3)
+    fn(batch, 3)  # the replay, after the tagged append committed
+    assert seen[0] == [(10, 0, 1), (11, 0, 1), (12, 0, 1)], (
+        "within-batch twins both admit (gate checks only the index)"
+    )
+    assert seen[1] == seen[0], (
+        "replay with within-batch twins must be bit-identical — each "
+        "twin must not match the other's committed copy"
+    )
+    segs = [
+        s
+        for s in os.listdir(os.path.join(idx, "segments"))
+        if s.endswith("batch3")
+    ]
+    assert len(segs) == 1
+
+    # the NEXT batch (a different tag) DOES see the twins' copies
+    seen.clear()
+    fn(spark.createDataFrame([(20, twin)], "doc_id long, text string"), 4)
+    assert seen == [[(20, 2, 0)]], "later batches match both committed twins"

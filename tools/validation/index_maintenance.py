@@ -100,7 +100,7 @@ def main() -> None:
     t_frag, c_frag = timed_gate(frag)
 
     t0 = time.time()
-    compact_dedup_index(spark, frag)
+    compact_dedup_index(spark, frag, reclaim_grace=0.0)  # immediate hygiene measurement
     t_compact = time.time() - t0
     files_after = _parquet_files(frag)
     segs_after = _segments(frag)
