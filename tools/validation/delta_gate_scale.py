@@ -143,7 +143,9 @@ def main() -> None:
             f"indexed-only at {n_docs:,} docs: build {t_build:.1f}s, "
             f"per-batch {min(per_batch):.1f}s "
             f"({n_delta / min(per_batch):,.0f} delta docs/s), "
-            f"member rejects {got['member'][1]:,}, subtree RSS "
+            f"member rejects {got.get('member', (0, 0))[1]:,} "
+            f"(member class empty when the --mod stride aliases the "
+            f"tier round-robin: stride/GROUP % N_TIERS == 0), subtree RSS "
             f"high-water {rss.stop_gb():.1f} GiB"
         )
         spark.stop()
