@@ -454,7 +454,10 @@ def dd_delta_gate_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-delivery corpus-side shuffle: a delivery too big for AQE to
     broadcast. Byte-identical oracle to dd_delta_gate — bucketing
     changes nothing about the admit/reject decision (also pinned, with
-    the co-location plan assertion, in test_dedup_properties)."""
+    the co-location plan assertion, in test_dedup_properties). The
+    measured single-host A/B went to the parquet gate (SCALING.md
+    r11, 0.93x) — this shape is opt-in for network-bound clusters;
+    the catalog entry certifies its SEMANTICS."""
     docs = _docs(spark, sf_dir)
     minhash.build_dedup_index_bucketed(
         docs.filter(F.col("doc_id") % 4 != 0),
