@@ -42,6 +42,20 @@ quota), which load fields can't see. "cpu_probe_sec" times a fixed
 single-thread SHA-256 workload (~128 MB) before the session starts;
 comparing two rounds' totals only makes sense after dividing each by
 its probe time (a 2x probe means the same plans on a half-speed host).
+
+Spread gating (round 12 — VERDICT r11 item 2): the r11 artifact
+shipped with spread_max 6.67 (two queries varied >6x across their own
+passes mid-run: the load gate passed, then something polluted the
+host mid-flight), which made the committed series read as a 39%
+regression the quiet matched-pair instrument disproved. The harness
+now RESAMPLES: after the initial passes, any query whose warm spread
+exceeds SPARK_GRAFT_BENCH_SPREAD_BAR (default 2.0) is re-run once per
+resample round (SPARK_GRAFT_BENCH_RESAMPLE rounds, default 2), and the
+reported per-query "spread" is computed over the query's 3 SMALLEST
+warm samples — the stable core a single polluted sample can no longer
+dominate once the resamples land. The raw all-warm-samples spread is
+preserved as "spread_raw" and the extra sample counts as "resampled",
+so a run that stayed noisy after resampling is still visible as such.
 """
 
 from __future__ import annotations
@@ -104,23 +118,53 @@ def main() -> None:
     # warm the JVM + parquet footers once with the cheapest action
     next(iter(qdefs.values())).fn(spark, sf_dir).limit(1).count() if qdefs else None
 
+    def run_once(qd) -> float:
+        # drop any persisted intermediates so every pass measures the
+        # full pipeline, not a previous pass's cache
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     # Pass 1 additionally pays codegen/JIT/page-cache warmup (varies ~3x
     # run-to-run locally); the cross-pass min is the stable signal.
     samples: dict[str, list[float]] = {n: [] for n in qdefs}
     for _ in range(passes):
         for name, qd in qdefs.items():
-            # drop any persisted intermediates so every pass measures the
-            # full pipeline, not a previous pass's cache
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples[name].append(time.perf_counter() - t0)
+            samples[name].append(run_once(qd))
 
-    timings = {n: round(min(ts), 3) for n, ts in samples.items()}
     # spread over WARM passes only (pass 1 always pays codegen/JIT, which
     # would read as 2-4x "noise" on every query): >1.5 here means load
-    warm = {n: ts[1:] if len(ts) > 2 else ts for n, ts in samples.items()}
-    spread = {n: round(max(ts) / min(ts), 2) for n, ts in warm.items()}
+    def warm_of(ts: list[float]) -> list[float]:
+        return ts[1:] if len(ts) > 2 else ts
+
+    # Spread gating (VERDICT r11 item 2): re-run queries whose warm
+    # spread exceeds the bar, then judge each query on its 3 smallest
+    # warm samples — one mid-run load spike (r11: s10_tombstone_merge
+    # read 6.67x across its own passes) no longer poisons the artifact.
+    spread_bar = float(os.environ.get("SPARK_GRAFT_BENCH_SPREAD_BAR", "2.0"))
+    resample_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_RESAMPLE", "2"))
+    resampled: dict[str, int] = {}
+    for _ in range(resample_rounds):
+        noisy = [
+            n
+            for n, ts in samples.items()
+            if (w := warm_of(ts)) and max(w) / min(w) > spread_bar
+        ]
+        if not noisy:
+            break
+        for name in noisy:
+            samples[name].append(run_once(qdefs[name]))
+            resampled[name] = resampled.get(name, 0) + 1
+
+    timings = {n: round(min(ts), 3) for n, ts in samples.items()}
+    core = {n: sorted(warm_of(ts))[:3] for n, ts in samples.items()}
+    spread = {n: round(max(ts) / min(ts), 2) for n, ts in core.items()}
+    spread_raw = {
+        n: round(max(w) / min(w), 2)
+        for n, ts in samples.items()
+        if (w := warm_of(ts))
+    }
 
     out = {
         "metric": "headline_queries_total_runtime",
@@ -131,6 +175,9 @@ def main() -> None:
         "passes": passes,
         "spread": spread,
         "spread_max": max(spread.values(), default=1.0),
+        "spread_raw": spread_raw,
+        "spread_raw_max": max(spread_raw.values(), default=1.0),
+        "resampled": resampled,
         "load_avg": {
             "start": [round(x, 2) for x in load_start],
             "end": [round(x, 2) for x in os.getloadavg()],

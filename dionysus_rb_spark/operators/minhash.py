@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import random
 import secrets
+from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -569,8 +570,13 @@ def _reclaim_dead_segments(
     - **uncommitted** (no/torn marker) and **next-epoch orphans** (a
       crashed — or, on storage where the flock degrades to nothing, an
       IN-FLIGHT — overwrite's segment): reclaimed only once the
-      directory's mtime is older than ``ttl``, so a concurrent writer
-      mid-landing can never have its directory deleted under it;
+      directory's NEWEST FILE mtime (not the directory status, which
+      object stores fake — ADVICE r11 item 2) is older than ``ttl``,
+      so a concurrent writer mid-landing can never have its directory
+      deleted under it. A COMMITTED next-epoch orphan is additionally
+      defused at the source: a retried overwrite picks its epoch past
+      every on-disk segment (see build_dedup_index), so the orphan can
+      never be resurrected into a later manifest's live set;
     - **prior-epoch segments**: dead since the manifest's atomic epoch
       switch, reclaimed once the MANIFEST's mtime is older than
       ``grace`` — a gate that resolved its segment list just before
@@ -588,14 +594,19 @@ def _reclaim_dead_segments(
     exclusive index lock where the filesystem provides one."""
     import time
 
-    from ..sources.corpus_sink import _fs_delete, _fs_mtime
+    from ..sources.corpus_sink import _fs_delete, _fs_mtime, _fs_newest_mtime
 
     now = time.time()
 
-    def _older_than(path: str, window: float) -> bool:
+    def _older_than(path: str, window: float, directory: bool = False) -> bool:
         if window <= 0:
             return True
-        mtime = _fs_mtime(spark, path)
+        # directories age by their newest FILE's mtime (ADVICE r11
+        # item 2): S3A-style object stores report fake-directory
+        # mtimes of 0 (reclaim-now) or now (reclaim-never), either of
+        # which defeats the in-flight-writer protection; file mtimes
+        # are real on every scheme
+        mtime = (_fs_newest_mtime if directory else _fs_mtime)(spark, path)
         # vanished mid-scan: another reclaimer got it; nothing to do
         # (deleting is a no-op either way, skipping avoids the race)
         return mtime is not None and now - mtime > window
@@ -605,7 +616,7 @@ def _reclaim_dead_segments(
     for name, meta in _list_segments(spark, root).items():
         seg_epoch = _seg_epoch(name)
         if meta is None or seg_epoch > epoch:
-            if _older_than(f"{segdir}/{name}", ttl):
+            if _older_than(f"{segdir}/{name}", ttl, directory=True):
                 _fs_delete(spark, f"{segdir}/{name}")
         elif seg_epoch < epoch:
             if _older_than(f"{root}/{_INDEX_MANIFEST}", grace):
@@ -875,7 +886,30 @@ def build_dedup_index(
                 # directories, never our own tag
                 _fs_delete(spark, f"{root}/{_SEGMENTS_DIR}/{seg_name}")
         else:
-            epoch = manifest["epoch"] + 1 if manifest else 1
+            # The new epoch must clear every ON-DISK segment epoch, not
+            # just the manifest's (ADVICE r11 item 1): a crashed earlier
+            # overwrite may have COMMITTED its segment (marker landed)
+            # without ever publishing the manifest. That orphan is
+            # TTL-protected from reclaim (on lock-less storage it could
+            # be a concurrent writer mid-landing), so a retry that
+            # reused manifest.epoch+1 would COLLIDE with it — and the
+            # moment the retry's manifest committed, _live_segments
+            # would resurrect the orphan's stale docs into the new
+            # index. Skipping past the orphan's epoch instead makes it
+            # a prior-epoch segment once the retry commits: invisible
+            # to every reader, grace-reclaimed by later maintenance.
+            from ..sources.corpus_sink import _fs_list_dirs
+
+            on_disk = max(
+                (
+                    _seg_epoch(name)
+                    for name in _fs_list_dirs(
+                        spark, f"{root}/{_SEGMENTS_DIR}"
+                    )
+                ),
+                default=0,
+            )
+            epoch = max(manifest["epoch"] if manifest else 0, on_disk) + 1
         if manifest is not None:
             _reclaim_dead_segments(
                 spark, root, manifest["epoch"], reclaim_ttl, reclaim_grace
@@ -945,6 +979,7 @@ def compact_dedup_index(
     lock_timeout: float = 0.0,
     reclaim_ttl: float = RECLAIM_UNCOMMITTED_TTL,
     reclaim_grace: float = RECLAIM_SUPERSEDED_GRACE,
+    protect_segment_tags: Sequence[str] = (),
 ) -> None:
     """Merge an index's committed segments into one (file-count hygiene
     under the per-delivery append cadence — VERDICT r9 item 2: N appends
@@ -962,7 +997,23 @@ def compact_dedup_index(
     the commit still completes its reads; ``reclaim_grace=0`` reclaims
     them immediately within this call. Fail-fast on a held lock by
     default, like compact_corpus: a second concurrent compactor is a
-    scheduling bug the caller should see."""
+    scheduling bug the caller should see.
+
+    ``protect_segment_tags`` excludes live APPEND segments carrying any
+    of the given tags (``…-append-<tag>``) from the merge — they stay
+    live alongside the merged segment, so a streaming replay that
+    relies on ``exclude_segment_tag`` to drop its own batch's segment
+    still can (VERDICT r11 item 1: a compaction that absorbs a
+    REPLAYABLE batch's tagged segment downgrades the replay to the
+    exclude_self fallback, which the r11 soak proved wrong for
+    within-batch duplicate twins). The streaming loop's auto-compaction
+    passes its current batch's tag: every EARLIER batch's checkpoint
+    has committed by the time batch N runs (foreachBatch is serial),
+    so only batch N's own tag can still be replayed — protecting it
+    makes compaction safe at any point in the stream's life. A
+    compactor running OUTSIDE the loop cannot know the in-flight tag
+    and must either pause the stream or be scheduled through the
+    loop's ``auto_compact_segments`` hook."""
     from contextlib import nullcontext
 
     from ..sources.corpus_sink import (
@@ -990,6 +1041,11 @@ def compact_dedup_index(
         epoch = manifest["epoch"]
         _reclaim_dead_segments(spark, root, epoch, reclaim_ttl, reclaim_grace)
         live = _live_segments(_list_segments(spark, root), epoch)
+        if protect_segment_tags:
+            suffixes = tuple(
+                f"-append-{t}" for t in protect_segment_tags
+            )
+            live = [s for s in live if not s.endswith(suffixes)]
         if len(live) <= 1:
             return
         segdir = f"{root}/{_SEGMENTS_DIR}"
@@ -1037,7 +1093,9 @@ def compact_dedup_index(
                 _fs_delete(spark, f"{segdir}/{s}")
 
 
-def _open_dedup_index(spark, index_path: str, exclude_segment: str | None = None):
+def _open_dedup_index(
+    spark, index_path: str, exclude_segment_tag: str | None = None
+):
     """(manifest, band paths, shingle paths, indexed-doc total,
     band-width sidecar paths) for the index's LIVE segments — committed
     markers only, compaction-superseded excluded. The doc total is
@@ -1045,9 +1103,15 @@ def _open_dedup_index(spark, index_path: str, exclude_segment: str | None = None
     predates that field) so the gate can pick its scan shape without a
     count job. The width-path list is None when ANY live segment
     predates the sidecar (pre-r11 writer) — the gate then falls back to
-    the count-window cap. ``exclude_segment`` drops one live segment by
-    name — the replay-identity hook (see delta_dedup_gate_indexed's
-    ``exclude_segment_tag``)."""
+    the count-window cap. ``exclude_segment_tag`` drops the live APPEND
+    segment carrying that tag — the replay-identity hook (see
+    delta_dedup_gate_indexed). Matched by the ``-append-<tag>`` name
+    SUFFIX against the live list resolved here, not by reconstructing
+    the full ``e<epoch>-…`` name from a separately-read manifest
+    (ADVICE r11 item 3: two manifest reads racing a concurrent
+    overwrite could mismatch the epoch and silently disable the
+    exclusion); live segments are all one epoch and tags are unique
+    within it, so the suffix is unambiguous."""
     root = index_path.rstrip("/")
     manifest = _read_index_manifest(spark, root)
     if manifest is None:
@@ -1057,8 +1121,9 @@ def _open_dedup_index(spark, index_path: str, exclude_segment: str | None = None
         )
     segs = _list_segments(spark, root)
     live = _live_segments(segs, manifest["epoch"])
-    if exclude_segment is not None:
-        live = [s for s in live if s != exclude_segment]
+    if exclude_segment_tag is not None:
+        suffix = f"-append-{exclude_segment_tag}"
+        live = [s for s in live if not s.endswith(suffix)]
     counts = [segs[s].get("n_docs") for s in live]
     # bool is an int subclass and a corrupt/hand-edited marker could
     # hold true/-5 (ADVICE r10 item 1): anything but a non-negative
@@ -1192,19 +1257,13 @@ def delta_dedup_gate_indexed(
     from pyspark.storagelevel import StorageLevel
 
     spark = delta.sparkSession
-    exclude_segment = None
-    if exclude_segment_tag is not None:
-        root = index_path.rstrip("/")
-        m = _read_index_manifest(spark, root)
-        if m is not None:
-            exclude_segment = f"e{m['epoch']}-append-{exclude_segment_tag}"
     (
         manifest,
         band_paths,
         shingle_paths,
         n_indexed,
         width_paths,
-    ) = _open_dedup_index(spark, index_path, exclude_segment)
+    ) = _open_dedup_index(spark, index_path, exclude_segment_tag)
     if not band_paths:
         # empty index (fresh epoch, nothing landed): everything admits
         return GateDecision(
@@ -1322,15 +1381,50 @@ def build_dedup_index_bucketed(
     session's catalog does not know tables a previous session left in
     the warehouse directory, and saveAsTable refuses a managed
     location that already exists — so each table is dropped AND its
-    stale location deleted before the write."""
+    stale DEFAULT-MANAGED location deleted before the write.
+    ``table_prefix`` must be an unqualified identifier
+    (``[A-Za-z0-9_]+`` — the prefix names warehouse directories, so a
+    db-qualified or quoted name would desynchronize the catalog drop
+    from the directory cleanup), and a cataloged table whose resolved
+    location is NOT the expected managed path (someone created a
+    custom-location table under this name) is dropped from the catalog
+    but its data directory is left untouched (ADVICE r11 item 4 — the
+    old unconditional delete could destroy an unrelated directory
+    sharing the name in the warehouse root)."""
+    from urllib.parse import urlparse as _urlparse
+
     from ..sources.corpus_sink import _fs_delete
 
+    if not table_prefix or not all(
+        c.isalnum() or c == "_" for c in table_prefix
+    ):
+        raise ValueError(
+            "table_prefix must be an unqualified identifier "
+            f"([A-Za-z0-9_]+), got {table_prefix!r}"
+        )
     spark = index.sparkSession
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     for suffix in ("_bands", "_shingles", "_meta"):
         name = f"{table_prefix}{suffix}"
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        _fs_delete(spark, f"{warehouse.rstrip('/')}/{name.lower()}")
+        expected = f"{warehouse.rstrip('/')}/{name.lower()}"
+        location = None
+        cataloged = spark.catalog.tableExists(name)
+        if cataloged:
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect():
+                if r["col_name"] == "Location":
+                    location = r["data_type"]
+                    break
+            spark.sql(f"DROP TABLE {name}")
+        # delete the default managed directory only when it is (or, for
+        # a table this session's catalog never knew, would be) the
+        # dropped table's own data — a custom-location table's data is
+        # not ours to reclaim
+        managed_here = cataloged and location is not None and (
+            _urlparse(location).path.rstrip("/")
+            == _urlparse(expected).path.rstrip("/")
+        )
+        if not cataloged or managed_here:
+            _fs_delete(spark, expected)
     sh_i = doc_shingles(index, text_col, id_col, k)
     keys = band_keys_expr(bands, num_perm // bands)
     signed = minhash_signature(sh_i, num_perm, seed)

@@ -170,8 +170,18 @@ _PLAN_CHANGED: dict[str, int] = {
     # shared helper _gate_against changed and the query now returns the
     # unwrapped frame — flagged conservatively per the r4 policy:
     "dd_delta_gate": 11,
-    "dd_delta_gate_indexed": 11,
-    "stream_t6_neardup_index_gate": 11,
+    # round 12 (ADVICE r11 items 1/3/4 + VERDICT r11 item 1): the
+    # indexed gate resolves its replay exclusion by tag suffix inside a
+    # SINGLE manifest read (_open_dedup_index signature change on its
+    # execution path), overwrite builds pick their epoch past every
+    # on-disk segment, the streaming loop grew auto-compaction +
+    # delivery accumulation (default path restructured around
+    # gate_input), and the bucketed build's table cleanup resolves
+    # catalog locations before deleting. Decisions identical by test,
+    # flagged conservatively per the r4 policy:
+    "dd_delta_gate_indexed": 12,
+    "dd_delta_gate_bucketed": 12,
+    "stream_t6_neardup_index_gate": 12,
 }
 
 

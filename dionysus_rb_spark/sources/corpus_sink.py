@@ -184,6 +184,35 @@ def _fs_mtime(spark: SparkSession, path: str) -> float | None:
     return fs.getFileStatus(jpath).getModificationTime() / 1000.0
 
 
+def _fs_newest_mtime(spark: SparkSession, path: str) -> float | None:
+    """Newest FILE mtime under ``path`` (recursive), for AGING A
+    DIRECTORY — the signal reclaim must use on object stores (ADVICE
+    r11 item 2): Hadoop DIRECTORY statuses are unreliable there (S3A
+    fake directories report mtime 0, i.e. "infinitely old", which would
+    reclaim an in-flight writer's directory under it; other versions
+    report the current time, so debris would never age out). File
+    mtimes are real on every scheme. Falls back to the directory's own
+    status when it holds no files yet (trustworthy only on HDFS/local,
+    where directory mtimes are real — and an empty directory holds no
+    data to lose either way), and to None (caller skips — the
+    fail-safe) when the path vanished or cannot be listed mid-scan."""
+    fs, jpath = _hadoop_fs(spark, path)
+    try:
+        if not fs.exists(jpath):
+            return None
+        newest: float | None = None
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            t = it.next().getModificationTime() / 1000.0
+            if newest is None or t > newest:
+                newest = t
+        if newest is not None:
+            return newest
+        return fs.getFileStatus(jpath).getModificationTime() / 1000.0
+    except Exception:
+        return None  # unlistable mid-scan: skip-if-unlistable
+
+
 def _fs_delete(spark: SparkSession, path: str) -> None:
     """Recursive delete via the Hadoop FileSystem; missing paths are a
     no-op (reclaim passes must be re-entrant)."""

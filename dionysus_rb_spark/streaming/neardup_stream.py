@@ -123,6 +123,36 @@ def near_dup_gate(
     return exploded.join(index_keys, "band_key").select("doc_id")
 
 
+_STAGED_MARKER = "_staged.json"
+_GATED_MARKER = "_gated.json"
+
+
+def _staged_batches(spark, staging_root: str) -> dict[int, str]:
+    """batch id -> staged directory path, COMMITTED stagings only (the
+    ``_staged.json`` marker is written last, so a crash mid-staging
+    reads as 'never staged' and the replay re-lands it)."""
+    from ..sources.corpus_sink import _fs_exists, _fs_list_dirs
+
+    out: dict[int, str] = {}
+    for name in _fs_list_dirs(spark, staging_root):
+        if name.startswith("b") and name[1:].isdigit():
+            path = f"{staging_root}/{name}"
+            if _fs_exists(spark, f"{path}/{_STAGED_MARKER}"):
+                out[int(name[1:])] = path
+    return out
+
+
+def _gated_high_water(spark, staging_root: str) -> int:
+    import json
+
+    from ..sources.corpus_sink import _fs_exists, _fs_read_text
+
+    marker = f"{staging_root}/{_GATED_MARKER}"
+    if not _fs_exists(spark, marker):
+        return -1
+    return int(json.loads(_fs_read_text(spark, marker))["last_gated_batch"])
+
+
 def indexed_neardup_gate_sink(
     index_path: str,
     text_col: str = "text",
@@ -132,6 +162,9 @@ def indexed_neardup_gate_sink(
     on_batch=None,
     append_admitted: bool = True,
     lock_timeout: float = 60.0,
+    auto_compact_segments: int | None = None,
+    accumulate_batches: int = 1,
+    staging_path: str | None = None,
 ):
     """The continuous-curation loop (VERDICT r9 item 4): a foreachBatch
     body that gates every micro-batch against the PERSISTED dedup index
@@ -160,53 +193,146 @@ def indexed_neardup_gate_sink(
       duplicates (same text, different ids; an id-equality filter
       alone cannot stop a twin matching the other twin's committed
       copy — found by the r11 curation soak). ``exclude_self`` rides
-      along as the fallback for a replay that straddles a compaction
-      which absorbed the tag (requires ``id_col`` to be a stable,
+      along as defense in depth (requires ``id_col`` to be a stable,
       non-null, unique doc key).
+    - **Compaction never absorbs a replayable tag** (VERDICT r11
+      item 1): ``auto_compact_segments=N`` makes the loop self-
+      maintaining — at the start of any batch that finds >= N live
+      segments, it runs compact_dedup_index PROTECTING the current
+      batch's tag. foreachBatch is serial, so when batch B runs, every
+      earlier batch's checkpoint has committed and only B itself can
+      still be replayed — the protected tag is exactly the replayable
+      set, so ``exclude_segment_tag`` keeps working across a crash
+      that lands between the append commit and the checkpoint commit
+      with a compaction on the restart path. Compact this index from
+      OUTSIDE the loop only while the stream is stopped.
     - **Sinks before append**: ``on_batch(admitted, rejected, decision,
       batch_id)`` runs first — if the caller's sink fails, the index is
       untouched and the whole batch replays. ``on_batch`` must be
       idempotent per batch_id (the standard foreachBatch contract; an
-      exact replay hands it identical frames).
+      exact replay hands it identical frames). ``decision`` is a
+      :class:`~...operators.minhash.GateDecision` (COMPOSITION since
+      r11, not a DataFrame subclass): DataFrame methods delegate, but
+      pass ``decision.df`` anywhere a literal DataFrame is required —
+      ``isinstance`` checks, or joining it from another frame.
     - Within-batch near-duplicates are NOT resolved (both admit and
       both land in the index) — same contract as the batch delta gate:
       run the batch dedup pipeline downstream if deliveries can
       self-duplicate.
     - The gate's pinned relations are released per batch (GateDecision)
       — a long-running stream holds O(one batch) cached state.
+
+    **Delivery batching** (VERDICT r11 item 3 — the amortization lever
+    the 30M scale entry names): gate latency is dominated by the
+    corpus-side scan, which is paid PER GATE, not per document, so at
+    extreme corpus:delivery ratios the cheapest schedule is fewer,
+    bigger gates. ``accumulate_batches=N`` (with ``staging_path``)
+    stages each micro-batch's rows crash-atomically and runs the
+    gate+sinks+append cycle once every N batches over their union:
+
+    - each batch lands under ``<staging>/b<id>/`` with a ``_staged``
+      marker written LAST (a replayed batch whose staging committed is
+      a no-op; a torn staging is invisible and re-lands);
+    - the Nth batch (the TRIGGER) gates the union of all staged
+      batches above the ``_gated`` high-water, calls ``on_batch`` ONCE
+      with the union-derived frames (batch_id = the trigger's), appends
+      admitted docs under the trigger's tag, then atomically publishes
+      the new high-water. A trigger replayed after its append committed
+      re-reads the identical staged files and excludes its own tag, so
+      decisions stay bit-identical; a trigger replayed after the
+      high-water published sees nothing pending and is a no-op
+      (``on_batch`` already ran — the idempotence contract covers it);
+    - staged directories at or below the high-water are reclaimed on
+      the next call. Scratch held is O(accumulated group), same as the
+      ingest staging.
+
+    Non-trigger batches return without calling ``on_batch`` — sinks see
+    data with up to N-1 batches of latency, the knob's explicit trade.
     """
     from ..operators.minhash import (
+        _list_segments,
+        _live_segments,
         _read_index_manifest,
         build_dedup_index,
+        compact_dedup_index,
         delta_dedup_gate_indexed,
     )
 
+    if accumulate_batches < 1:
+        raise ValueError("accumulate_batches must be >= 1")
+    if accumulate_batches > 1 and staging_path is None:
+        raise ValueError("accumulate_batches > 1 requires staging_path")
+
     def gate_batch(batch_df, batch_id: int) -> None:
+        import json
+
+        from ..sources.corpus_sink import (
+            _fs_delete,
+            _fs_exists,
+            _fs_write_text,
+            _fs_write_text_atomic,
+        )
+
         spark = batch_df.sparkSession
-        manifest = _read_index_manifest(spark, index_path.rstrip("/"))
+        root = index_path.rstrip("/")
+        manifest = _read_index_manifest(spark, root)
         if manifest is None:
             raise ValueError(
                 f"no dedup index at {index_path!r} — build one with "
                 "build_dedup_index(mode='overwrite') before starting "
                 "the stream"
             )
+        tag = f"batch{batch_id}"
+        if auto_compact_segments is not None:
+            live = _live_segments(
+                _list_segments(spark, root), manifest["epoch"]
+            )
+            if len(live) >= auto_compact_segments:
+                compact_dedup_index(
+                    spark,
+                    index_path,
+                    lock_timeout=lock_timeout,
+                    protect_segment_tags=[tag],
+                )
+
+        gate_input = batch_df
+        staged_dirs: list[str] = []
+        if accumulate_batches > 1:
+            staging = staging_path.rstrip("/")
+            bdir = f"{staging}/b{batch_id}"
+            if not _fs_exists(spark, f"{bdir}/{_STAGED_MARKER}"):
+                _fs_delete(spark, bdir)  # torn earlier attempt
+                batch_df.write.parquet(bdir)
+                _fs_write_text(
+                    spark, f"{bdir}/{_STAGED_MARKER}", json.dumps({})
+                )
+            high_water = _gated_high_water(spark, staging)
+            staged = _staged_batches(spark, staging)
+            for done_id in sorted(i for i in staged if i <= high_water):
+                _fs_delete(spark, staged.pop(done_id))
+            pending = sorted(i for i in staged if i > high_water)
+            if len(pending) < accumulate_batches:
+                return  # accumulate; the Nth batch gates the union
+            staged_dirs = [staged[i] for i in pending]
+            gate_input = spark.read.parquet(*staged_dirs)
+
         decision = delta_dedup_gate_indexed(
-            batch_df,
+            gate_input,
             index_path,
             text_col,
             id_col,
             threshold=threshold,
             max_bucket=max_bucket,
             exclude_self=True,
-            exclude_segment_tag=f"batch{batch_id}",
+            exclude_segment_tag=tag,
         )
         try:
             kept_ids = decision.filter(F.col("kept") == 1).select(
                 F.col("doc_id").alias(id_col)
             )
-            admitted = batch_df.join(kept_ids, id_col, "left_semi")
+            admitted = gate_input.join(kept_ids, id_col, "left_semi")
             if on_batch is not None:
-                rejected = batch_df.join(kept_ids, id_col, "left_anti")
+                rejected = gate_input.join(kept_ids, id_col, "left_anti")
                 on_batch(admitted, rejected, decision, batch_id)
             if append_admitted:
                 build_dedup_index(
@@ -220,7 +346,16 @@ def indexed_neardup_gate_sink(
                     seed=manifest["seed"],
                     mode="append",
                     lock_timeout=lock_timeout,
-                    segment_tag=f"batch{batch_id}",
+                    segment_tag=tag,
+                )
+            if staged_dirs:
+                # the accumulated group's COMMIT POINT: a replay after
+                # this publish sees nothing pending and no-ops; a crash
+                # before it replays the identical staged files
+                _fs_write_text_atomic(
+                    spark,
+                    f"{staging_path.rstrip('/')}/{_GATED_MARKER}",
+                    json.dumps({"last_gated_batch": batch_id}),
                 )
         finally:
             decision.release()

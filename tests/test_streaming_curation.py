@@ -274,3 +274,236 @@ def test_indexed_neardup_gate_replay_within_batch_dups(spark, tmp_path):
     seen.clear()
     fn(spark.createDataFrame([(20, twin)], "doc_id long, text string"), 4)
     assert seen == [[(20, 2, 0)]], "later batches match both committed twins"
+
+
+def test_replay_straddling_auto_compaction_is_bit_identical(spark, tmp_path):
+    """VERDICT r11 item 1, closed: the one residual replay-identity
+    edge was a replay whose tagged segment a compaction had ABSORBED —
+    exclude_segment_tag finds nothing and the exclude_self fallback
+    cannot save within-batch twins. The loop's auto-compaction now
+    PROTECTS the current batch's tag (the only replayable one, since
+    foreachBatch is serial), so a crash between the append commit and
+    the checkpoint commit followed by a compaction on the restart path
+    still replays bit-identically."""
+    import os
+
+    from dionysus_rb_spark.operators.minhash import build_dedup_index
+    from dionysus_rb_spark.streaming.neardup_stream import (
+        indexed_neardup_gate_sink,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha0 beta1 gamma2 delta3 epsilon4 zeta5 eta6 theta7 iota8")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, idx, k=3)
+
+    seen = []
+
+    def capture(admitted, rejected, decision, batch_id):
+        seen.append(
+            sorted(
+                (r["doc_id"], r["n_dup_matches"], r["kept"])
+                for r in decision.collect()
+            )
+        )
+
+    fn = indexed_neardup_gate_sink(
+        idx, threshold=0.5, on_batch=capture, auto_compact_segments=3
+    )
+    fn(
+        spark.createDataFrame(
+            [(10, "first fresh batch content admitted and appended fine")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    # batch 1 holds WITHIN-BATCH twins — the case segment exclusion
+    # exists for. Its first attempt sees 2 live segments (no compaction
+    # yet), gates, appends tag batch1, then "crashes" before the
+    # checkpoint commit.
+    twin = "totally novel twin text that only this batch contains today"
+    b1 = spark.createDataFrame(
+        [(20, twin), (21, twin), (22, "yet more new words landing here")],
+        "doc_id long, text string",
+    )
+    fn(b1, 1)
+    # the REPLAY: 3 live segments now (base + batch0 + batch1), so the
+    # auto-compaction policy fires on the restart path — it must absorb
+    # base+batch0 but PROTECT batch1, or the twins flip to rejected
+    fn(b1, 1)
+    assert seen[0] == [(10, 0, 1)]  # batch 0's own capture
+    assert seen[1] == [(20, 0, 1), (21, 0, 1), (22, 0, 1)]
+    assert seen[2] == seen[1], (
+        "replay straddling the auto-compaction must be bit-identical"
+    )
+    segs = sorted(os.listdir(os.path.join(idx, "segments")))
+    committed = [
+        s
+        for s in segs
+        if os.path.exists(os.path.join(idx, "segments", s, "_seg_commit.json"))
+    ]
+    assert any("-compact-" in s for s in committed), "compaction ran"
+    assert sum(s.endswith("batch1") for s in committed) == 1, (
+        "the replayable tagged segment must survive the compaction"
+    )
+    # steady state afterwards: a later batch sees the merged view and
+    # matches the twins' committed copies
+    seen.clear()
+    fn(spark.createDataFrame([(30, twin)], "doc_id long, text string"), 2)
+    assert seen == [[(30, 2, 0)]]
+
+
+def test_accumulated_gate_every_n_batches(spark, tmp_path):
+    """VERDICT r11 item 3: the delivery-batching lever. With
+    accumulate_batches=2, the loop stages micro-batches crash-atomically
+    and runs ONE gate + sink + tagged append per pair — on_batch fires
+    once per group with the union, the index grows one segment per
+    group, and duplicates of an earlier GROUP's admitted docs are
+    rejected by the next group's gate."""
+    import os
+
+    from dionysus_rb_spark.operators.minhash import build_dedup_index
+    from dionysus_rb_spark.streaming.neardup_stream import (
+        indexed_neardup_gate_sink,
+    )
+
+    base_a = "alpha0 beta1 gamma2 delta3 epsilon4 zeta5 eta6 theta7 iota8"
+    fresh_x = "brand new streaming content never seen by the index before"
+    fresh_y = "another later piece of wholly original words to admit too"
+    corpus = spark.createDataFrame(
+        [(1, base_a)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, idx, k=3)
+
+    calls = []
+
+    def capture(admitted, rejected, decision, batch_id):
+        calls.append(
+            (
+                batch_id,
+                sorted(
+                    (r["doc_id"], r["n_dup_matches"], r["kept"])
+                    for r in decision.collect()
+                ),
+            )
+        )
+
+    stage = str(tmp_path / "stage")
+    fn = indexed_neardup_gate_sink(
+        idx,
+        threshold=0.5,
+        on_batch=capture,
+        accumulate_batches=2,
+        staging_path=stage,
+    )
+    fn(
+        spark.createDataFrame([(10, fresh_x)], "doc_id long, text string"),
+        0,
+    )
+    assert calls == [], "non-trigger batch must accumulate, not gate"
+    fn(
+        spark.createDataFrame(
+            [(11, base_a), (12, fresh_y)], "doc_id long, text string"
+        ),
+        1,
+    )
+    # one gate over the union of batches 0+1: 10 and 12 admit, 11 dups
+    # the corpus
+    assert calls == [(1, [(10, 0, 1), (11, 1, 0), (12, 0, 1)])]
+    segs = [
+        s
+        for s in os.listdir(os.path.join(idx, "segments"))
+        if "append" in s
+    ]
+    assert [s.split("-", 2)[2] for s in sorted(segs)] == ["batch1"], (
+        "one tagged segment per accumulated GROUP"
+    )
+
+    # a replay of the trigger AFTER its high-water published is a no-op
+    fn(
+        spark.createDataFrame(
+            [(11, base_a), (12, fresh_y)], "doc_id long, text string"
+        ),
+        1,
+    )
+    assert len(calls) == 1, "post-publish trigger replay must no-op"
+
+    # next group: duplicates of group 1's admitted docs are rejected
+    fn(
+        spark.createDataFrame([(20, fresh_x)], "doc_id long, text string"),
+        2,
+    )
+    fn(
+        spark.createDataFrame([(21, fresh_y)], "doc_id long, text string"),
+        3,
+    )
+    assert calls[1] == (3, [(20, 1, 0), (21, 1, 0)])
+    # staged directories at or below the high-water get reclaimed
+    staged_left = [
+        d for d in os.listdir(stage) if d.startswith("b")
+    ]
+    assert "b0" not in staged_left and "b1" not in staged_left
+
+
+def test_accumulated_trigger_replay_before_publish_is_bit_identical(
+    spark, tmp_path
+):
+    """The accumulated path's crash window: append committed, high-water
+    NOT yet published (simulated by deleting ``_gated.json``). The
+    replayed trigger must re-gate the identical staged union, excluding
+    its own tagged segment — pinned with twins SPLIT ACROSS the two
+    staged batches, where the exclude_self fallback alone would flip
+    both to rejected."""
+    import os
+
+    from dionysus_rb_spark.operators.minhash import build_dedup_index
+    from dionysus_rb_spark.streaming.neardup_stream import (
+        indexed_neardup_gate_sink,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha0 beta1 gamma2 delta3 epsilon4 zeta5 eta6 theta7 iota8")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, idx, k=3)
+
+    seen = []
+
+    def capture(admitted, rejected, decision, batch_id):
+        seen.append(
+            sorted(
+                (r["doc_id"], r["n_dup_matches"], r["kept"])
+                for r in decision.collect()
+            )
+        )
+
+    stage = str(tmp_path / "stage")
+    fn = indexed_neardup_gate_sink(
+        idx,
+        threshold=0.5,
+        on_batch=capture,
+        accumulate_batches=2,
+        staging_path=stage,
+    )
+    twin = "twin text split across two different staged micro batches"
+    fn(spark.createDataFrame([(10, twin)], "doc_id long, text string"), 0)
+    fn(spark.createDataFrame([(11, twin)], "doc_id long, text string"), 1)
+    assert seen == [[(10, 0, 1), (11, 0, 1)]], (
+        "within-GROUP twins both admit (the gate checks only the index)"
+    )
+    # crash between the append commit and the high-water publish
+    os.remove(os.path.join(stage, "_gated.json"))
+    fn(spark.createDataFrame([(11, twin)], "doc_id long, text string"), 1)
+    assert seen[1] == seen[0], (
+        "trigger replay before the publish must re-gate bit-identically"
+    )
+    segs = [
+        s
+        for s in os.listdir(os.path.join(idx, "segments"))
+        if s.endswith("batch1")
+    ]
+    assert len(segs) == 1, "the accumulated append stays exactly-once"
