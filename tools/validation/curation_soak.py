@@ -35,7 +35,18 @@ contract). The soak asserts:
   expected O(index scan) term; subtree RSS high-water stays flat
   (GateDecision.release holds state to O(one batch)).
 
+``--auto-compact=N`` (VERDICT r11 item 4) replaces the manually fired
+mid-soak compaction with the sink's own policy: any batch that finds
+>= N live segments compacts FIRST, protecting the current batch's tag
+(so the kill/restart's forced replay still gates against the index
+state its first attempt saw even when a compaction fires between the
+two attempts). The soak then additionally asserts the live-segment
+sawtooth is bounded (max observed < N + 2 — the on_batch reading is
+taken after any compaction but before that batch's own append) and
+that at least one policy compaction actually fired.
+
 Usage: python tools/validation/curation_soak.py [n_batches] [docs_per_batch]
+       [--auto-compact=N]
        (defaults 50 x 2000; base corpus 20k docs)
 """
 
@@ -66,8 +77,17 @@ from dionysus_rb_spark.streaming.neardup_stream import (  # noqa: E402
 )
 from tools.validation.corpus500k import _RssHighWater  # noqa: E402
 
-N_BATCHES = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-DOCS_PER_BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+_NUMS = [a for a in sys.argv[1:] if not a.startswith("--")]
+N_BATCHES = int(_NUMS[0]) if _NUMS else 50
+DOCS_PER_BATCH = int(_NUMS[1]) if len(_NUMS) > 1 else 2000
+AUTO_COMPACT = next(
+    (
+        int(a.split("=", 1)[1])
+        for a in sys.argv[1:]
+        if a.startswith("--auto-compact=")
+    ),
+    None,
+)
 BASE_DOCS = 20_000
 DUP_OF_BASE = 0.15  # fraction of each batch duplicating base-corpus text
 DUP_OF_PRIOR = 0.15  # fraction duplicating an earlier batch's text
@@ -164,7 +184,7 @@ def main() -> None:
         decision.withColumn(
             "batch_id", F.lit(int(batch_id)).cast("long")
         ).write.mode("append").parquet(out)
-        if batch_id == COMPACT_AT:
+        if AUTO_COMPACT is None and batch_id == COMPACT_AT:
             # mid-soak compaction, fired while THIS batch's resolved
             # gate decision is still live — and before this batch's
             # APPEND, whose admitted-frame lineage still reads the now-
@@ -187,7 +207,12 @@ def main() -> None:
         )
         return (
             stream.writeStream.foreachBatch(
-                indexed_neardup_gate_sink(idx, threshold=0.5, on_batch=on_batch)
+                indexed_neardup_gate_sink(
+                    idx,
+                    threshold=0.5,
+                    on_batch=on_batch,
+                    auto_compact_segments=AUTO_COMPACT,
+                )
             )
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -228,7 +253,10 @@ def main() -> None:
             f"stop landed, no batch left to replay — raise n_batches"
         )
     first_attempt = indexed_neardup_gate_sink(
-        idx, threshold=0.5, on_batch=on_batch
+        idx,
+        threshold=0.5,
+        on_batch=on_batch,
+        auto_compact_segments=AUTO_COMPACT,
     )
     first_attempt(spark.read.parquet(src_files[replayed]), replayed)
     print(
@@ -286,6 +314,25 @@ def main() -> None:
     for s in live:
         assert segs[s] is not None, f"live segment {s} lost its marker"
 
+    if AUTO_COMPACT is not None:
+        # policy mode: the sawtooth must be bounded by the threshold
+        # (the on_batch reading lands after any policy compaction but
+        # before that batch's own append), and the policy must have
+        # actually fired at least once (observed as a drop between
+        # consecutive readings)
+        assert max(seg_counts) < AUTO_COMPACT + 2, (
+            f"live-segment sawtooth unbounded under "
+            f"auto_compact_segments={AUTO_COMPACT}: {seg_counts}"
+        )
+        drops = sum(
+            1 for a, b in zip(seg_counts, seg_counts[1:]) if b < a
+        )
+        assert drops >= 1, f"policy never compacted: {seg_counts}"
+        print(
+            f"auto-compact policy (N={AUTO_COMPACT}): max live segments "
+            f"{max(seg_counts)}, {drops} observed compaction drops"
+        )
+
     # a final compaction converges and decisions stay derivable
     compact_dedup_index(spark, idx)
     live_after = _live_segments(_list_segments(spark, idx), manifest["epoch"])
@@ -313,6 +360,8 @@ def main() -> None:
                 "replayed_batch": replayed,
                 "replayed_rows": n_replayed_rows,
                 "compact_at": compactions,
+                "auto_compact": AUTO_COMPACT,
+                "max_live_segments": max(seg_counts),
                 "live_segments_over_time": seg_counts[:: max(1, len(seg_counts) // 10)],
                 "batch_secs_early_avg": round(early, 2),
                 "batch_secs_late_avg": round(late, 2),
