@@ -161,6 +161,11 @@ def main() -> None:
                 delta_dedup_gate_indexed(d, idx, "text", "doc_id", threshold=0.5)
             )
             times[mod].append(time.time() - t0)
+            print(
+                f"pass {leg} mod {mod} ({n:,} docs): "
+                f"{times[mod][-1]:.1f}s",
+                flush=True,
+            )
             assert sum(v[0] for v in got.values()) == n, (mod, got, n)
             assert got.get("unique", (0, 0))[1] == 0, (mod, got)
             assert got.get("control", (0, 0))[1] == 0, (mod, got)
