@@ -1,0 +1,142 @@
+"""Streaming accumulate_batches wall-clock A/B (VERDICT r11 item 3's
+streaming half — the batch-form amortization curve is
+delivery_batching_curve.py; this measures the same lever INSIDE the
+checkpointed loop, staging overhead included).
+
+Two identical availableNow streams of ``n_batches`` one-file
+micro-batches (disjoint-vocabulary fresh docs — no dups, so decision
+sets are trivially identical across schedules and the gate's cost is
+pure scan+join) run against two COPIES of the same pre-built index:
+leg A gates every micro-batch (``accumulate_batches=1``), leg B stages
+and gates every ``--accumulate=N`` batches over the staged union. Both
+legs append their admitted docs (equal index growth), so the only
+difference is the gate schedule: A pays n_batches corpus scans, B pays
+n_batches/N. Decision counts are asserted equal; the reported ratio is
+end-to-end stream wall time, which includes B's staging writes — the
+honest overhead the curve harness does not pay.
+
+Uses the 1M-corpus index that delivery_batching_curve/--build-only or
+bucketed_gate_ab leaves at .scratch/deltagate1000k/dedup_index (750k
+docs; build one with
+``python tools/validation/delivery_batching_curve.py 1000000 --build-only``).
+
+Usage: python tools/validation/stream_accumulate_ab.py
+           [n_batches] [docs_per_batch] [--accumulate=5]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dionysus_rb_spark.session import get_spark  # noqa: E402
+from dionysus_rb_spark.streaming.neardup_stream import (  # noqa: E402
+    indexed_neardup_gate_sink,
+)
+
+BASE_IDX = REPO / ".scratch" / "deltagate1000k" / "dedup_index"
+
+
+def main() -> None:
+    nums = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_batches = int(nums[0]) if nums else 20
+    per_batch = int(nums[1]) if len(nums) > 1 else 5000
+    accumulate = next(
+        (
+            int(a.split("=", 1)[1])
+            for a in sys.argv[1:]
+            if a.startswith("--accumulate=")
+        ),
+        5,
+    )
+    if not (BASE_IDX / "_dedup_index_manifest.json").exists():
+        raise SystemExit(
+            f"no index at {BASE_IDX} — run delivery_batching_curve.py "
+            "1000000 --build-only first"
+        )
+    spark = get_spark("stream-accumulate-ab")
+    root = REPO / ".scratch" / "stream_accumulate_ab"
+    if root.exists():
+        shutil.rmtree(root)
+    root.mkdir(parents=True)
+
+    # disjoint fresh vocabulary (soak-style): zero shingle overlap with
+    # the corpus500k vocab and between docs -> every doc admits, the
+    # gate pays its full scan+join either way
+    src = str(root / "src")
+    for b in range(n_batches):
+        lo = b * per_batch
+        spark.range(lo, lo + per_batch).select(
+            (F.col("id") + 5_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"fz{c}"), F.col("id").cast("string"))
+                    for c in "abcdefgh"
+                ],
+            ).alias("text"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    results = {}
+    for label, acc in (("per_batch", 1), (f"every_{accumulate}", accumulate)):
+        idx = str(root / f"idx_{label}")
+        shutil.copytree(BASE_IDX, idx)
+        out = str(root / f"out_{label}")
+        ckpt = str(root / f"ckpt_{label}")
+        staging = str(root / f"staging_{label}")
+
+        def on_batch(admitted, rejected, decision, batch_id, _out=out):
+            decision.write.mode("append").parquet(_out)
+
+        sink = indexed_neardup_gate_sink(
+            idx,
+            threshold=0.5,
+            on_batch=on_batch,
+            accumulate_batches=acc,
+            staging_path=staging if acc > 1 else None,
+        )
+        t0 = time.time()
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        dec = spark.read.parquet(out)
+        kept = dec.filter(F.col("kept") == 1).count()
+        total = dec.count()
+        results[label] = {"wall_s": round(wall, 1), "kept": kept, "total": total}
+        print(f"{label}: {wall:.1f}s, {kept}/{total} kept", flush=True)
+
+    a, b = results["per_batch"], results[f"every_{accumulate}"]
+    assert a["kept"] == b["kept"] == a["total"] == b["total"], results
+    assert a["total"] == n_batches * per_batch, results
+    print(
+        json.dumps(
+            {
+                "n_batches": n_batches,
+                "docs_per_batch": per_batch,
+                "accumulate": accumulate,
+                "per_batch_wall_s": a["wall_s"],
+                "accumulated_wall_s": b["wall_s"],
+                "speedup_x": round(a["wall_s"] / b["wall_s"], 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
