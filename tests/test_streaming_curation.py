@@ -507,3 +507,97 @@ def test_accumulated_trigger_replay_before_publish_is_bit_identical(
         if s.endswith("batch1")
     ]
     assert len(segs) == 1, "the accumulated append stays exactly-once"
+
+
+def test_accumulated_replay_straddling_auto_compaction(spark, tmp_path):
+    """The two r12 knobs interacting: a TRIGGER replay (crash after the
+    group's append committed, before the high-water published) that
+    lands on a restart path where the auto-compaction policy fires.
+    The compaction must absorb every earlier segment but protect the
+    replayed trigger's tag, and the re-gate over the identical staged
+    union must be bit-identical — including within-group twins split
+    across the staged batches (exclude_self can't save those) and a
+    cross-group duplicate whose corpus copy MOVES into the compacted
+    segment between the two attempts (n_dup_matches must not change)."""
+    import os
+
+    from dionysus_rb_spark.operators.minhash import build_dedup_index
+    from dionysus_rb_spark.streaming.neardup_stream import (
+        indexed_neardup_gate_sink,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha0 beta1 gamma2 delta3 epsilon4 zeta5 eta6 theta7 iota8")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, idx, k=3)
+
+    seen = []
+
+    def capture(admitted, rejected, decision, batch_id):
+        seen.append(
+            sorted(
+                (r["doc_id"], r["n_dup_matches"], r["kept"])
+                for r in decision.collect()
+            )
+        )
+
+    stage = str(tmp_path / "stage")
+    fn = indexed_neardup_gate_sink(
+        idx,
+        threshold=0.5,
+        on_batch=capture,
+        accumulate_batches=2,
+        staging_path=stage,
+        auto_compact_segments=3,
+    )
+    group0_text = "first group content wholly new to the index today"
+    fn(
+        spark.createDataFrame([(10, group0_text)], "doc_id long, text string"),
+        0,
+    )
+    fn(
+        spark.createDataFrame(
+            [(11, "more novel words to round out the first group")],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    assert len(seen) == 1  # group 0 gated once; live segments now 2
+    twin = "twin text split across the second group's staged batches"
+    fn(spark.createDataFrame([(20, twin)], "doc_id long, text string"), 2)
+    fn(
+        spark.createDataFrame(
+            [(21, twin), (22, group0_text)], "doc_id long, text string"
+        ),
+        3,
+    )
+    # first attempt: live was 2 < 3, no compaction; twins admit, 22
+    # matches group 0's committed copy in segment batch1
+    assert seen[1] == [(20, 0, 1), (21, 0, 1), (22, 1, 0)]
+    # crash between the append commit and the high-water publish; the
+    # restart now sees 3 live segments, so the policy fires MID-REPLAY
+    os.remove(os.path.join(stage, "_gated.json"))
+    fn(
+        spark.createDataFrame(
+            [(21, twin), (22, group0_text)], "doc_id long, text string"
+        ),
+        3,
+    )
+    assert seen[2] == seen[1], (
+        "trigger replay straddling the auto-compaction must be "
+        "bit-identical (twins stay admitted, the cross-group dup's "
+        "match count survives its corpus copy moving into the "
+        "compacted segment)"
+    )
+    segdir = os.path.join(idx, "segments")
+    committed = [
+        s
+        for s in os.listdir(segdir)
+        if os.path.exists(os.path.join(segdir, s, "_seg_commit.json"))
+    ]
+    assert any("-compact-" in s for s in committed), "compaction ran"
+    assert sum(s.endswith("batch3") for s in committed) == 1, (
+        "the replayed group's tagged segment must survive exactly once"
+    )
