@@ -20,8 +20,16 @@ bucketed_gate_ab leaves at .scratch/deltagate1000k/dedup_index (750k
 docs; build one with
 ``python tools/validation/delivery_batching_curve.py 1000000 --build-only``).
 
+``--index=PATH`` points both legs at another pre-built index;
+``--no-append`` runs the gates read-only (``append_admitted=False``) so
+the two legs share ONE index with no copytree — the right mode for
+at-decade indexes (9 GiB at 10M) where the measurement target is the
+gate schedule, not the append (fresh disjoint docs admit either way,
+so decisions are schedule-independent in both modes).
+
 Usage: python tools/validation/stream_accumulate_ab.py
            [n_batches] [docs_per_batch] [--accumulate=5]
+           [--index=PATH] [--no-append]
 """
 
 from __future__ import annotations
@@ -57,9 +65,20 @@ def main() -> None:
         ),
         5,
     )
-    if not (BASE_IDX / "_dedup_index_manifest.json").exists():
+    base_idx = Path(
+        next(
+            (
+                a.split("=", 1)[1]
+                for a in sys.argv[1:]
+                if a.startswith("--index=")
+            ),
+            str(BASE_IDX),
+        )
+    )
+    no_append = "--no-append" in sys.argv
+    if not (base_idx / "_dedup_index_manifest.json").exists():
         raise SystemExit(
-            f"no index at {BASE_IDX} — run delivery_batching_curve.py "
+            f"no index at {base_idx} — run delivery_batching_curve.py "
             "1000000 --build-only first"
         )
     spark = get_spark("stream-accumulate-ab")
@@ -87,8 +106,11 @@ def main() -> None:
 
     results = {}
     for label, acc in (("per_batch", 1), (f"every_{accumulate}", accumulate)):
-        idx = str(root / f"idx_{label}")
-        shutil.copytree(BASE_IDX, idx)
+        if no_append:
+            idx = str(base_idx)  # read-only gates can share one index
+        else:
+            idx = str(root / f"idx_{label}")
+            shutil.copytree(base_idx, idx)
         out = str(root / f"out_{label}")
         ckpt = str(root / f"ckpt_{label}")
         staging = str(root / f"staging_{label}")
@@ -102,6 +124,7 @@ def main() -> None:
             on_batch=on_batch,
             accumulate_batches=acc,
             staging_path=staging if acc > 1 else None,
+            append_admitted=not no_append,
         )
         t0 = time.time()
         q = (
@@ -130,6 +153,8 @@ def main() -> None:
                 "n_batches": n_batches,
                 "docs_per_batch": per_batch,
                 "accumulate": accumulate,
+                "index": str(base_idx),
+                "append": not no_append,
                 "per_batch_wall_s": a["wall_s"],
                 "accumulated_wall_s": b["wall_s"],
                 "speedup_x": round(a["wall_s"] / b["wall_s"], 2),
