@@ -133,8 +133,11 @@ def main() -> None:
         for name, qd in qdefs.items():
             samples[name].append(run_once(qd))
 
-    # spread over WARM passes only (pass 1 always pays codegen/JIT, which
-    # would read as 2-4x "noise" on every query): >1.5 here means load
+    # spread is computed over WARM passes only (pass 1 always pays
+    # codegen/JIT, which would read as 2-4x "noise" on every query);
+    # the reported "spread" is the post-resample 3-smallest-core metric
+    # (noisy bar = SPARK_GRAFT_BENCH_SPREAD_BAR), the raw all-warm
+    # ratio ships as "spread_raw"
     def warm_of(ts: list[float]) -> list[float]:
         return ts[1:] if len(ts) > 2 else ts
 

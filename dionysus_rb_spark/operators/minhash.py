@@ -1042,10 +1042,13 @@ def compact_dedup_index(
         _reclaim_dead_segments(spark, root, epoch, reclaim_ttl, reclaim_grace)
         live = _live_segments(_list_segments(spark, root), epoch)
         if protect_segment_tags:
-            suffixes = tuple(
-                f"-append-{t}" for t in protect_segment_tags
-            )
-            live = [s for s in live if not s.endswith(suffixes)]
+            # exact names, not endswith: tags may contain '-', so tag
+            # 'b' would suffix-match an unrelated 'x-append-b' segment
+            # and wrongly shield it from the merge
+            protected = {
+                f"e{epoch}-append-{t}" for t in protect_segment_tags
+            }
+            live = [s for s in live if s not in protected]
         if len(live) <= 1:
             return
         segdir = f"{root}/{_SEGMENTS_DIR}"
@@ -1105,13 +1108,14 @@ def _open_dedup_index(
     predates the sidecar (pre-r11 writer) — the gate then falls back to
     the count-window cap. ``exclude_segment_tag`` drops the live APPEND
     segment carrying that tag — the replay-identity hook (see
-    delta_dedup_gate_indexed). Matched by the ``-append-<tag>`` name
-    SUFFIX against the live list resolved here, not by reconstructing
-    the full ``e<epoch>-…`` name from a separately-read manifest
-    (ADVICE r11 item 3: two manifest reads racing a concurrent
-    overwrite could mismatch the epoch and silently disable the
-    exclusion); live segments are all one epoch and tags are unique
-    within it, so the suffix is unambiguous."""
+    delta_dedup_gate_indexed). Matched as the EXACT name
+    ``e<epoch>-append-<tag>`` built from THIS function's single
+    manifest read (ADVICE r11 item 3: two manifest reads racing a
+    concurrent overwrite could mismatch the epoch and silently disable
+    the exclusion — one read, one epoch, no race). Exact, not a
+    ``endswith('-append-<tag>')`` suffix test: tags may contain ``-``,
+    so tag ``b`` would suffix-match an unrelated live segment tagged
+    ``x-append-b`` and silently blind the gate to its docs."""
     root = index_path.rstrip("/")
     manifest = _read_index_manifest(spark, root)
     if manifest is None:
@@ -1122,8 +1126,8 @@ def _open_dedup_index(
     segs = _list_segments(spark, root)
     live = _live_segments(segs, manifest["epoch"])
     if exclude_segment_tag is not None:
-        suffix = f"-append-{exclude_segment_tag}"
-        live = [s for s in live if not s.endswith(suffix)]
+        excluded = f"e{manifest['epoch']}-append-{exclude_segment_tag}"
+        live = [s for s in live if s != excluded]
     counts = [segs[s].get("n_docs") for s in live]
     # bool is an int subclass and a corrupt/hand-edited marker could
     # hold true/-5 (ADVICE r10 item 1): anything but a non-negative

@@ -244,7 +244,13 @@ def indexed_neardup_gate_sink(
       (``on_batch`` already ran — the idempotence contract covers it);
     - staged directories at or below the high-water are reclaimed on
       the next call. Scratch held is O(accumulated group), same as the
-      ingest staging.
+      ingest staging;
+    - **staging lives and dies with the checkpoint**: the high-water is
+      keyed by micro-batch id, so wiping or replacing the checkpoint
+      while ``staging_path`` survives desynchronizes them — the sink
+      detects the unambiguous case (a batch id BELOW the persisted
+      high-water) and fails loud instead of silently dropping the
+      batch as "already gated". Clear both together.
 
     Non-trigger batches return without calling ``on_batch`` — sinks see
     data with up to N-1 batches of latency, the knob's explicit trade.
@@ -283,6 +289,48 @@ def indexed_neardup_gate_sink(
                 "the stream"
             )
         tag = f"batch{batch_id}"
+        gate_input = batch_df
+        staged_dirs: list[str] = []
+        if accumulate_batches > 1:
+            staging = staging_path.rstrip("/")
+            high_water = _gated_high_water(spark, staging)
+            if batch_id < high_water:
+                # the staging area belongs to a DIFFERENT stream: batch
+                # ids restart below the persisted high-water only when
+                # the checkpoint was wiped/replaced while staging_path
+                # survived (staging lives and dies with the checkpoint).
+                # Proceeding would silently drop this batch's rows as
+                # "already gated" — fail loud instead, BEFORE touching
+                # the old run's staged directories.
+                raise ValueError(
+                    f"staging/checkpoint desync: micro-batch {batch_id} "
+                    f"is below the staged high-water {high_water} at "
+                    f"{staging!r} — this staging area was written by a "
+                    "different checkpoint lineage; clear it (or point "
+                    "the stream at a fresh staging_path) before "
+                    "restarting"
+                )
+            bdir = f"{staging}/b{batch_id}"
+            if not _fs_exists(spark, f"{bdir}/{_STAGED_MARKER}"):
+                _fs_delete(spark, bdir)  # torn earlier attempt
+                batch_df.write.parquet(bdir)
+                _fs_write_text(
+                    spark, f"{bdir}/{_STAGED_MARKER}", json.dumps({})
+                )
+            staged = _staged_batches(spark, staging)
+            for done_id in sorted(i for i in staged if i <= high_water):
+                _fs_delete(spark, staged.pop(done_id))
+            pending = sorted(i for i in staged if i > high_water)
+            if len(pending) < accumulate_batches:
+                return  # accumulate; the Nth batch gates the union
+            staged_dirs = [staged[i] for i in pending]
+            gate_input = spark.read.parquet(*staged_dirs)
+
+        # maintenance only ahead of an actual gate+append: non-trigger
+        # accumulate batches return above without touching the index,
+        # so they skip the per-batch segment listing (and the possible
+        # compaction job) entirely — the protected tag is the gating
+        # batch's own, which is still exactly the replayable set
         if auto_compact_segments is not None:
             live = _live_segments(
                 _list_segments(spark, root), manifest["epoch"]
@@ -294,27 +342,6 @@ def indexed_neardup_gate_sink(
                     lock_timeout=lock_timeout,
                     protect_segment_tags=[tag],
                 )
-
-        gate_input = batch_df
-        staged_dirs: list[str] = []
-        if accumulate_batches > 1:
-            staging = staging_path.rstrip("/")
-            bdir = f"{staging}/b{batch_id}"
-            if not _fs_exists(spark, f"{bdir}/{_STAGED_MARKER}"):
-                _fs_delete(spark, bdir)  # torn earlier attempt
-                batch_df.write.parquet(bdir)
-                _fs_write_text(
-                    spark, f"{bdir}/{_STAGED_MARKER}", json.dumps({})
-                )
-            high_water = _gated_high_water(spark, staging)
-            staged = _staged_batches(spark, staging)
-            for done_id in sorted(i for i in staged if i <= high_water):
-                _fs_delete(spark, staged.pop(done_id))
-            pending = sorted(i for i in staged if i > high_water)
-            if len(pending) < accumulate_batches:
-                return  # accumulate; the Nth batch gates the union
-            staged_dirs = [staged[i] for i in pending]
-            gate_input = spark.read.parquet(*staged_dirs)
 
         decision = delta_dedup_gate_indexed(
             gate_input,

@@ -1050,3 +1050,78 @@ def test_bucketed_build_spares_custom_location_table_data(spark, tmp_path):
         assert sorted(map(tuple, d.collect())) == want
     for suffix in ("_bands", "_shingles", "_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}{suffix}")
+
+
+def test_segment_tag_exclusion_is_exact_not_suffix(spark, tmp_path):
+    """Tags may contain '-', so segment e1-append-x-append-b ends with
+    '-append-b': a suffix-based exclude_segment_tag='b' (or
+    protect_segment_tags=['b']) would drop/shield that UNRELATED
+    segment too — blinding the gate to its docs (duplicates re-admit)
+    or wrongly sparing it from compaction. Both matches must be the
+    exact e<epoch>-append-<tag> name."""
+    import os
+
+    from dionysus_rb_spark.operators.minhash import (
+        build_dedup_index,
+        compact_dedup_index,
+        delta_dedup_gate_indexed,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha0 beta1 gamma2 delta3 epsilon4 zeta5 eta6 theta7 iota8")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, idx, k=3)
+    committed = "committed text living in the dash-named appended segment"
+    build_dedup_index(
+        spark.createDataFrame([(10, committed)], "doc_id long, text string"),
+        idx,
+        k=3,
+        mode="append",
+        segment_tag="x-append-b",
+    )
+
+    # gate excluding tag 'b' (whose segment does not exist) must STILL
+    # see segment x-append-b: the duplicate of its doc is rejected
+    dec = delta_dedup_gate_indexed(
+        spark.createDataFrame([(20, committed)], "doc_id long, text string"),
+        idx,
+        threshold=0.5,
+        exclude_segment_tag="b",
+    )
+    try:
+        got = {(r["doc_id"], r["kept"]) for r in dec.collect()}
+    finally:
+        dec.release()
+    assert got == {(20, 0)}, (
+        "excluding tag 'b' must not blind the gate to segment "
+        f"'x-append-b': {got}"
+    )
+
+    # compaction protecting tag 'b' must still absorb x-append-b
+    compact_dedup_index(spark, idx, protect_segment_tags=["b"])
+    segs = os.listdir(os.path.join(idx, "segments"))
+    live_appends = [
+        s
+        for s in segs
+        if "x-append-b" in s
+        and os.path.exists(
+            os.path.join(idx, "segments", s, "_seg_commit.json")
+        )
+    ]
+    # the segment may linger on disk (grace reclaim) but must be
+    # superseded: the compacted segment is now the single live one
+    from dionysus_rb_spark.operators.minhash import (
+        _list_segments,
+        _live_segments,
+        _read_index_manifest,
+    )
+
+    live = _live_segments(
+        _list_segments(spark, idx),
+        _read_index_manifest(spark, idx)["epoch"],
+    )
+    assert len(live) == 1 and "-compact-" in live[0], (
+        f"protecting tag 'b' must not shield 'x-append-b': {live}"
+    )

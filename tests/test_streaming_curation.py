@@ -601,3 +601,57 @@ def test_accumulated_replay_straddling_auto_compaction(spark, tmp_path):
     assert sum(s.endswith("batch3") for s in committed) == 1, (
         "the replayed group's tagged segment must survive exactly once"
     )
+
+
+def test_accumulate_staging_checkpoint_desync_fails_loud(spark, tmp_path):
+    """Staging lives and dies with the checkpoint: if the checkpoint is
+    wiped while staging_path survives, batch ids restart BELOW the
+    persisted high-water — proceeding would reclaim the new batch's
+    staging as 'already gated' and silently drop its rows. The sink
+    must fail loud, before touching the old run's staged directories."""
+    import pytest
+
+    from dionysus_rb_spark.operators.minhash import build_dedup_index
+    from dionysus_rb_spark.streaming.neardup_stream import (
+        indexed_neardup_gate_sink,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha0 beta1 gamma2 delta3 epsilon4 zeta5 eta6 theta7 iota8")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, idx, k=3)
+
+    stage = str(tmp_path / "stage")
+    fn = indexed_neardup_gate_sink(
+        idx,
+        threshold=0.5,
+        accumulate_batches=2,
+        staging_path=stage,
+    )
+    fresh = spark.createDataFrame(
+        [(10, "wholly new words for the first accumulated group today")],
+        "doc_id long, text string",
+    )
+    fn(fresh, 0)
+    fn(
+        spark.createDataFrame(
+            [(11, "second batch content triggering the group gate now")],
+            "doc_id long, text string",
+        ),
+        1,
+    )  # trigger: publishes high-water 1
+
+    # "checkpoint wiped, staging kept": the new stream's batch 0
+    with pytest.raises(ValueError, match="desync"):
+        fn(fresh, 0)
+
+    # a legitimate post-publish replay of the trigger stays a no-op
+    fn(
+        spark.createDataFrame(
+            [(11, "second batch content triggering the group gate now")],
+            "doc_id long, text string",
+        ),
+        1,
+    )

@@ -56,6 +56,11 @@ def main() -> None:
         (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--sf=")),
         "/root/testdata/sf0.1",
     )
+    if passes < 2:
+        raise SystemExit(
+            "--passes must be >= 2: pass 1 is warmup and is excluded "
+            "from every leg's min"
+        )
     results: dict[str, list[list[float]]] = {tree_a: [], tree_b: []}
     for leg in range(legs):
         for tree in (tree_a, tree_b):
