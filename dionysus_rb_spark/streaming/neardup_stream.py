@@ -194,7 +194,14 @@ def indexed_neardup_gate_sink(
       alone cannot stop a twin matching the other twin's committed
       copy — found by the r11 curation soak). ``exclude_self`` rides
       along as defense in depth (requires ``id_col`` to be a stable,
-      non-null, unique doc key).
+      non-null, unique doc key). The tags are keyed by micro-batch id,
+      so the INDEX, like the staging area, lives and dies with the
+      checkpoint: restarting a wiped checkpoint against an index that
+      already holds tags from the old lineage treats genuinely new
+      batches as replays (their appends no-op against the old tags —
+      and a superseded tagged segment still no-ops the append until
+      grace-reclaim actually deletes it). Point a fresh checkpoint at
+      a fresh index lineage.
     - **Compaction never absorbs a replayable tag** (VERDICT r11
       item 1): ``auto_compact_segments=N`` makes the loop self-
       maintaining — at the start of any batch that finds >= N live
