@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import errno
 import json
+import logging
 import os
 import sys
 import time
@@ -70,6 +71,8 @@ __all__ = [
     "compact_corpus",
     "CorpusLockHeld",
 ]
+
+logger = logging.getLogger(__name__)
 
 _SHARD_COL = "_shard"
 _MANIFEST = "_corpus_manifest.json"  # leading '_': ignored by parquet scans
@@ -209,8 +212,32 @@ def _fs_newest_mtime(spark: SparkSession, path: str) -> float | None:
         if newest is not None:
             return newest
         return fs.getFileStatus(jpath).getModificationTime() / 1000.0
-    except Exception:
-        return None  # unlistable mid-scan: skip-if-unlistable
+    except Exception as e:
+        # Unlistable mid-scan: skip-if-unlistable is the fail-safe (the
+        # caller treats None as "not safely ageable" and leaves the
+        # path alone) — but swallowing it SILENTLY makes a permanent
+        # listing failure (an ACL hole, a broken scheme) read as
+        # "nothing to reclaim" forever, so the debris never ages out
+        # and nobody learns why (VERDICT r12 item 6). The benign cause
+        # (another reclaimer deleted the path between the exists probe
+        # and the listing) is distinguished by re-probing: a vanished
+        # path skips quietly, a STILL-LISTABLE-LOOKING path that cannot
+        # be statted warns. Reclaim stays skip-safe either way.
+        try:
+            if not fs.exists(jpath):
+                return None
+        except Exception:
+            pass  # even the re-probe fails: definitely worth the warning
+        logger.warning(
+            "reclaim aging skipped for %r: cannot stat/list (%s: %s) — "
+            "the path is treated as not-safely-ageable and left alone; "
+            "a persistent failure here means its debris will never be "
+            "reclaimed",
+            path,
+            type(e).__name__,
+            e,
+        )
+        return None
 
 
 def _fs_delete(spark: SparkSession, path: str) -> None:

@@ -76,6 +76,19 @@ def main() -> None:
         )
     )
     no_append = "--no-append" in sys.argv
+    if accumulate < 1 or n_batches % accumulate != 0:
+        # an availableNow stream ends after the last file: a trailing
+        # partial group (< accumulate staged batches) is never gated,
+        # so leg B's totals would read short and the equality assert
+        # below would fail with a misleading message — reject the
+        # shape up front instead (ADVICE r12 item 3)
+        raise SystemExit(
+            f"n_batches ({n_batches}) must be a positive multiple of "
+            f"--accumulate ({accumulate}): the availableNow stream "
+            "never gates a trailing partial group, so leg B would end "
+            "with staged-but-ungated batches and the decision-equality "
+            "check would fail for harness reasons, not engine reasons"
+        )
     if not (base_idx / "_dedup_index_manifest.json").exists():
         raise SystemExit(
             f"no index at {base_idx} — run delivery_batching_curve.py "
