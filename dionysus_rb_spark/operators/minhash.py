@@ -474,6 +474,23 @@ PRUNE_MAX_IDS = 100_000
 # verify join co-locates — see build_dedup_index's docstring.
 PRUNE_MIN_INDEX_DOCS = 25_000_000
 
+# Tiered-compaction carry factor (VERDICT r12 item 1): a candidate
+# segment joins the merge group only while its doc count is at most
+# this multiple of the docs already grouped (segments considered
+# smallest-first). The rule is the classic log-structured-merge
+# invariant expressed without explicit tier buckets: same-sized
+# appends always group; a previously-merged ("open tier") segment of
+# size S is re-merged only once >= S/FACTOR new docs have accumulated
+# below it, so every doc is rewritten O(log_FACTOR(corpus/delivery))
+# times in total instead of once per compaction — the difference
+# between O(new docs) and O(corpus) maintenance inside a streaming
+# loop's latency budget. 4 trades write amplification (~log_4) against
+# live-segment count (gates read ~FACTOR small segments between
+# merges); the gate's scan cost is bytes-dominated, so a handful of
+# extra segments is noise while an O(corpus) rewrite per loop
+# iteration is the measured 3.64->6.31 s soak drift.
+TIER_CARRY_FACTOR = 4
+
 
 def _read_index_manifest(spark, root: str) -> dict | None:
     """Parsed manifest, or None when absent. A torn/unparseable manifest
@@ -652,6 +669,7 @@ def _land_segment(
     n_docs: int,
     bands: int,
     supersedes: list[str],
+    lineage: str | None = None,
 ) -> None:
     """Write one index segment and COMMIT it by creating its marker
     LAST. The two relations land in any order and any completeness
@@ -741,7 +759,14 @@ def _land_segment(
         # (zero-token docs included), and a tagged replay straddling a
         # compaction can land its docs' count twice until the next
         # compaction recounts — consumers must treat it as approximate.
-        json.dumps({"supersedes": supersedes, "n_docs": n_docs}),
+        # ``lineage`` (tagged appends only — ADVICE r12 item 2) stamps
+        # WHICH checkpoint lineage owns the tag, so a restarted-fresh
+        # checkpoint reusing the tag names fails loud instead of
+        # silently no-opping its append / blinding its gate.
+        json.dumps(
+            {"supersedes": supersedes, "n_docs": n_docs}
+            | ({"lineage": lineage} if lineage is not None else {})
+        ),
     )
 
 
@@ -759,6 +784,7 @@ def build_dedup_index(
     segment_tag: str | None = None,
     reclaim_ttl: float = RECLAIM_UNCOMMITTED_TTL,
     reclaim_grace: float = RECLAIM_SUPERSEDED_GRACE,
+    lineage: str | None = None,
 ) -> None:
     """Persist the corpus side of the delta gate as a reusable,
     CRASH-ATOMIC artifact:
@@ -799,6 +825,19 @@ def build_dedup_index(
     checkpoint commit (streaming/neardup_stream.py passes the batch id).
     A crashed earlier attempt's uncommitted tagged directory is reclaimed
     and re-landed, so the retry still converges.
+
+    ``lineage`` (with ``segment_tag`` only — ADVICE r12 item 2) stamps
+    the CHECKPOINT LINEAGE that owns the tag into the segment's commit
+    marker. Tags are keyed by micro-batch id, so they are only
+    meaningful relative to one checkpoint's batch numbering: a stream
+    restarted on a FRESH checkpoint against an index still holding the
+    old lineage's tags would otherwise have its genuinely-new batches
+    silently no-op (the old tag reads as "already committed") and its
+    gates silently blinded (``exclude_segment_tag`` drops the old
+    lineage's LIVE segment). With the stamp, a tagged append that finds
+    the tag committed under a DIFFERENT lineage fails loud instead.
+    The streaming loop passes its query id automatically; ``None``
+    (batch callers, legacy indexes) skips the check both ways.
 
     Writer coordination mirrors the corpus sink: local indexes take an
     exclusive sibling flock (append, rebuild, and compaction are
@@ -877,6 +916,30 @@ def build_dedup_index(
                 seg_name = f"e{epoch}-append-{segment_tag}"
                 committed = _list_segments(spark, root).get(seg_name)
                 if committed is not None:
+                    marker_lineage = committed.get("lineage")
+                    if (
+                        lineage is not None
+                        and marker_lineage is not None
+                        and marker_lineage != lineage
+                    ):
+                        # the tag is committed, but by a DIFFERENT
+                        # checkpoint lineage: treating it as "our
+                        # replay already landed" would silently drop
+                        # this batch's docs from the index (ADVICE r12
+                        # item 2) — the tag collision is a deployment
+                        # error (fresh checkpoint pointed at an old
+                        # lineage's index), not a replay
+                        raise ValueError(
+                            f"index/checkpoint lineage desync: tagged "
+                            f"segment {seg_name!r} at {path!r} was "
+                            f"committed by checkpoint lineage "
+                            f"{marker_lineage!r}, but this append runs "
+                            f"under lineage {lineage!r} — the index's "
+                            "tagged appends live and die with the "
+                            "checkpoint; point a fresh checkpoint at a "
+                            "fresh index lineage (or restore the "
+                            "matching checkpoint) before restarting"
+                        )
                     return  # this tagged append already committed: no-op
                 # a crashed EARLIER attempt's uncommitted tagged
                 # directory is ours to re-land (attempts of one batch
@@ -957,7 +1020,15 @@ def build_dedup_index(
                 )
 
             _land_segment(
-                spark, root, seg, band_rows, shingle_rows, n_docs, bands, []
+                spark,
+                root,
+                seg,
+                band_rows,
+                shingle_rows,
+                n_docs,
+                bands,
+                [],
+                lineage=lineage if segment_tag is not None else None,
             )
         if mode == "overwrite":
             # the overwrite's COMMIT POINT: readers switch epochs on
@@ -973,6 +1044,42 @@ def build_dedup_index(
                 _fs_delete(spark, f"{root}/{legacy}")
 
 
+def _tier_merge_group(
+    sizes: dict[str, int | None],
+    tier_max_docs: int,
+    carry_factor: float = TIER_CARRY_FACTOR,
+) -> list[str]:
+    """The subset of live segments a TIERED compaction merges — pure
+    policy, unit-testable without Spark. ``sizes`` maps live segment
+    name -> marker ``n_docs`` (None/invalid = unknown).
+
+    Candidates are segments with a KNOWN size at or below
+    ``tier_max_docs`` (unknown-size segments predate the n_docs marker
+    field and are left to full compaction — guessing could turn an
+    O(new docs) maintenance pass into an O(corpus) rewrite). Sorted
+    smallest-first, the group grows greedily while the next segment's
+    docs are at most ``carry_factor`` x the docs already grouped (see
+    TIER_CARRY_FACTOR); a group of one merges nothing. Ties in size
+    break by name for determinism."""
+    cands = sorted(
+        (
+            (n_docs, name)
+            for name, n_docs in sizes.items()
+            if isinstance(n_docs, int)
+            and not isinstance(n_docs, bool)
+            and 0 <= n_docs <= tier_max_docs
+        ),
+    )
+    group: list[str] = []
+    grouped_docs = 0
+    for n_docs, name in cands:
+        if group and n_docs > carry_factor * max(grouped_docs, 1):
+            break  # too big to carry yet: wait for more small segments
+        group.append(name)
+        grouped_docs += n_docs
+    return group if len(group) >= 2 else []
+
+
 def compact_dedup_index(
     spark,
     path: str,
@@ -980,6 +1087,7 @@ def compact_dedup_index(
     reclaim_ttl: float = RECLAIM_UNCOMMITTED_TTL,
     reclaim_grace: float = RECLAIM_SUPERSEDED_GRACE,
     protect_segment_tags: Sequence[str] = (),
+    tier_max_docs: int | None = None,
 ) -> None:
     """Merge an index's committed segments into one (file-count hygiene
     under the per-delivery append cadence — VERDICT r9 item 2: N appends
@@ -1013,7 +1121,25 @@ def compact_dedup_index(
     makes compaction safe at any point in the stream's life. A
     compactor running OUTSIDE the loop cannot know the in-flight tag
     and must either pause the stream or be scheduled through the
-    loop's ``auto_compact_segments`` hook."""
+    loop's ``auto_compact_segments`` hook.
+
+    ``tier_max_docs`` (VERDICT r12 item 1) switches to SIZE-TIERED
+    compaction: only live segments whose marker ``n_docs`` is known
+    and at most the threshold are merge candidates, grouped
+    smallest-first under the TIER_CARRY_FACTOR carry rule
+    (:func:`_tier_merge_group`), and everything else — the base
+    segment, frozen tiers that grew past the threshold, pre-n_docs
+    markers — is left alone. This bounds one merge's cost by
+    O(tier_max_docs x small multiple) instead of O(corpus), which is
+    what a compaction scheduled INSIDE a streaming loop's latency
+    budget needs (the r12 soak's per-batch wall drifted 3.64 -> 6.31 s
+    purely from full rewrites of a growing index); the full-merge cost
+    moves to scheduled maintenance — run this function with
+    ``tier_max_docs=None`` while the stream is stopped, or let
+    segments above the threshold simply accumulate (the gate's scan
+    cost is bytes-dominated, so a handful of frozen tiers is noise).
+    Any subset merge is decision-identical to no merge (pinned by
+    crash-enum test), so the tier policy is purely a cost choice."""
     from contextlib import nullcontext
 
     from ..sources.corpus_sink import (
@@ -1040,7 +1166,8 @@ def compact_dedup_index(
             raise ValueError(f"no dedup index at {path!r}")
         epoch = manifest["epoch"]
         _reclaim_dead_segments(spark, root, epoch, reclaim_ttl, reclaim_grace)
-        live = _live_segments(_list_segments(spark, root), epoch)
+        segs = _list_segments(spark, root)
+        live = _live_segments(segs, epoch)
         if protect_segment_tags:
             # exact names, not endswith: tags may contain '-', so tag
             # 'b' would suffix-match an unrelated 'x-append-b' segment
@@ -1049,6 +1176,15 @@ def compact_dedup_index(
                 f"e{epoch}-append-{t}" for t in protect_segment_tags
             }
             live = [s for s in live if s not in protected]
+        if tier_max_docs is not None:
+            # tiered mode merges a SUBSET; any subset merge is
+            # decision-safe (the gate reads the union of live segments
+            # and its verify count is DISTINCT over index ids), so the
+            # policy below is purely a cost choice
+            live = _tier_merge_group(
+                {s: (segs[s] or {}).get("n_docs") for s in live},
+                tier_max_docs,
+            )
         if len(live) <= 1:
             return
         segdir = f"{root}/{_SEGMENTS_DIR}"
@@ -1097,7 +1233,10 @@ def compact_dedup_index(
 
 
 def _open_dedup_index(
-    spark, index_path: str, exclude_segment_tag: str | None = None
+    spark,
+    index_path: str,
+    exclude_segment_tag: str | None = None,
+    expect_lineage: str | None = None,
 ):
     """(manifest, band paths, shingle paths, indexed-doc total,
     band-width sidecar paths) for the index's LIVE segments — committed
@@ -1115,7 +1254,17 @@ def _open_dedup_index(
     the exclusion — one read, one epoch, no race). Exact, not a
     ``endswith('-append-<tag>')`` suffix test: tags may contain ``-``,
     so tag ``b`` would suffix-match an unrelated live segment tagged
-    ``x-append-b`` and silently blind the gate to its docs."""
+    ``x-append-b`` and silently blind the gate to its docs.
+
+    ``expect_lineage`` (with ``exclude_segment_tag`` — ADVICE r12
+    item 2) asserts the excluded tagged segment, if present, was
+    committed by the SAME checkpoint lineage: tags are keyed by
+    micro-batch id, so a fresh checkpoint replaying batch N against an
+    index holding an OLD lineage's ``batchN`` tag would silently drop
+    that old segment's LIVE docs from its index view — exactly the
+    corruption class the replay-exclusion mechanism exists to prevent.
+    Both-known-and-different fails loud; ``None`` on either side (batch
+    callers, pre-stamp markers) skips the check."""
     root = index_path.rstrip("/")
     manifest = _read_index_manifest(spark, root)
     if manifest is None:
@@ -1127,6 +1276,19 @@ def _open_dedup_index(
     live = _live_segments(segs, manifest["epoch"])
     if exclude_segment_tag is not None:
         excluded = f"e{manifest['epoch']}-append-{exclude_segment_tag}"
+        if expect_lineage is not None and excluded in live:
+            marker_lineage = (segs.get(excluded) or {}).get("lineage")
+            if marker_lineage is not None and marker_lineage != expect_lineage:
+                raise ValueError(
+                    f"index/checkpoint lineage desync: the gate would "
+                    f"exclude tagged segment {excluded!r} at "
+                    f"{index_path!r}, but that segment was committed by "
+                    f"checkpoint lineage {marker_lineage!r}, not this "
+                    f"stream's {expect_lineage!r} — excluding another "
+                    "lineage's live segment would blind the gate to its "
+                    "docs; point a fresh checkpoint at a fresh index "
+                    "lineage (or restore the matching checkpoint)"
+                )
         live = [s for s in live if s != excluded]
     counts = [segs[s].get("n_docs") for s in live]
     # bool is an int subclass and a corrupt/hand-edited marker could
@@ -1202,6 +1364,7 @@ def delta_dedup_gate_indexed(
     prune_min_index_docs: int = PRUNE_MIN_INDEX_DOCS,
     exclude_self: bool = False,
     exclude_segment_tag: str | None = None,
+    segment_lineage: str | None = None,
     use_width_sidecars: bool = True,
 ) -> GateDecision:
     """Gate a delta batch against a PERSISTED dedup index
@@ -1251,7 +1414,12 @@ def delta_dedup_gate_indexed(
     cannot cover — a replay that straddles a compaction which absorbed
     the tagged segment — where it restores identity for self-id
     matches (within-batch twins straddling a compaction remain the one
-    documented divergence).
+    documented divergence). ``segment_lineage`` (ADVICE r12 item 2)
+    pins WHOSE tag the exclusion may drop: when set and the excluded
+    tagged segment was committed by a different checkpoint lineage,
+    the gate fails loud instead of silently blinding itself to that
+    lineage's live docs (see _open_dedup_index) — the streaming loop
+    passes its query id automatically.
 
     ``exclude_self=True`` drops candidates whose index id EQUALS the
     delta id — the replay-idempotence contract for the streaming loop
@@ -1267,7 +1435,9 @@ def delta_dedup_gate_indexed(
         shingle_paths,
         n_indexed,
         width_paths,
-    ) = _open_dedup_index(spark, index_path, exclude_segment_tag)
+    ) = _open_dedup_index(
+        spark, index_path, exclude_segment_tag, expect_lineage=segment_lineage
+    )
     if not band_paths:
         # empty index (fresh epoch, nothing landed): everything admits
         return GateDecision(

@@ -127,30 +127,46 @@ _STAGED_MARKER = "_staged.json"
 _GATED_MARKER = "_gated.json"
 
 
-def _staged_batches(spark, staging_root: str) -> dict[int, str]:
-    """batch id -> staged directory path, COMMITTED stagings only (the
-    ``_staged.json`` marker is written last, so a crash mid-staging
-    reads as 'never staged' and the replay re-lands it)."""
-    from ..sources.corpus_sink import _fs_exists, _fs_list_dirs
+def _staged_batches(
+    spark, staging_root: str
+) -> dict[int, tuple[str, str | None]]:
+    """batch id -> (staged directory path, stamped lineage), COMMITTED
+    stagings only (the ``_staged.json`` marker is written last, so a
+    crash mid-staging reads as 'never staged' and the replay re-lands
+    it). The lineage is the checkpoint identity stamped at staging time
+    (ADVICE r12 item 1); pre-stamp markers read as None."""
+    import json
 
-    out: dict[int, str] = {}
+    from ..sources.corpus_sink import _fs_exists, _fs_list_dirs, _fs_read_text
+
+    out: dict[int, tuple[str, str | None]] = {}
     for name in _fs_list_dirs(spark, staging_root):
         if name.startswith("b") and name[1:].isdigit():
             path = f"{staging_root}/{name}"
             if _fs_exists(spark, f"{path}/{_STAGED_MARKER}"):
-                out[int(name[1:])] = path
+                try:
+                    meta = json.loads(
+                        _fs_read_text(spark, f"{path}/{_STAGED_MARKER}")
+                    )
+                except ValueError:
+                    meta = {}
+                lin = meta.get("lineage") if isinstance(meta, dict) else None
+                out[int(name[1:])] = (path, lin)
     return out
 
 
-def _gated_high_water(spark, staging_root: str) -> int:
+def _gated_state(spark, staging_root: str) -> tuple[int, str | None]:
+    """(high-water batch id, stamped lineage) from the ``_gated.json``
+    commit marker; (-1, None) when nothing has been gated yet."""
     import json
 
     from ..sources.corpus_sink import _fs_exists, _fs_read_text
 
     marker = f"{staging_root}/{_GATED_MARKER}"
     if not _fs_exists(spark, marker):
-        return -1
-    return int(json.loads(_fs_read_text(spark, marker))["last_gated_batch"])
+        return -1, None
+    meta = json.loads(_fs_read_text(spark, marker))
+    return int(meta["last_gated_batch"]), meta.get("lineage")
 
 
 def indexed_neardup_gate_sink(
@@ -163,8 +179,10 @@ def indexed_neardup_gate_sink(
     append_admitted: bool = True,
     lock_timeout: float = 60.0,
     auto_compact_segments: int | None = None,
+    compact_tier_max_docs: int | None = None,
     accumulate_batches: int = 1,
     staging_path: str | None = None,
+    lineage: str | None = None,
 ):
     """The continuous-curation loop (VERDICT r9 item 4): a foreachBatch
     body that gates every micro-batch against the PERSISTED dedup index
@@ -213,6 +231,18 @@ def indexed_neardup_gate_sink(
       that lands between the append commit and the checkpoint commit
       with a compaction on the restart path. Compact this index from
       OUTSIDE the loop only while the stream is stopped.
+      ``compact_tier_max_docs`` (VERDICT r12 item 1) makes the policy
+      SIZE-TIERED: only live segments with known marker ``n_docs`` at
+      or below the threshold count toward the trigger and join the
+      merge (compact_dedup_index's ``tier_max_docs`` mode), so a
+      policy compaction costs O(docs appended since the last one),
+      never O(corpus) — the r12 soak's per-batch wall drifted
+      3.64 -> 6.31 s purely from in-loop full rewrites. The base
+      segment and frozen tiers accumulate until a FULL compaction is
+      run as scheduled maintenance (stream stopped); size the
+      threshold around carry-factor x your accumulated-delivery docs
+      — a few gate-latency-bounded merges per threshold's worth of
+      arrivals.
     - **Sinks before append**: ``on_batch(admitted, rejected, decision,
       batch_id)`` runs first — if the caller's sink fails, the index is
       untouched and the whole batch replays. ``on_batch`` must be
@@ -261,6 +291,22 @@ def indexed_neardup_gate_sink(
 
     Non-trigger batches return without calling ``on_batch`` — sinks see
     data with up to N-1 batches of latency, the knob's explicit trade.
+
+    **Lineage stamping** (ADVICE r12 items 1-2): both "lives and dies
+    with the checkpoint" contracts above are ENFORCED, not just
+    documented. Every staging marker, the ``_gated`` high-water, and
+    every tagged index append carries the stream's CHECKPOINT LINEAGE
+    — by default the streaming query id (stable across restarts from
+    the same checkpoint, fresh for a wiped/replaced one), resolved per
+    batch from the stream-execution thread; ``lineage`` overrides it
+    (pass a stable token if you manage checkpoint identity yourself).
+    A batch that finds staging markers, a high-water, an already-
+    committed tag, or a to-be-excluded tagged segment stamped by a
+    DIFFERENT lineage fails loud instead of silently dropping or
+    substituting data — including the corner the batch-id ordering
+    heuristic cannot see (a stale staged ``b0`` with no high-water
+    yet). Pre-stamp artifacts (markers without a lineage field) skip
+    the check, preserving the old heuristic-only behavior.
     """
     from ..operators.minhash import (
         _list_segments,
@@ -296,11 +342,42 @@ def indexed_neardup_gate_sink(
                 "the stream"
             )
         tag = f"batch{batch_id}"
+        # the checkpoint-lineage identity every marker/tag is stamped
+        # with: the explicit override, else the streaming query id (the
+        # stream-execution thread publishes it as a local property;
+        # stable across restarts from the same checkpoint, fresh for a
+        # wiped one), else None — a direct non-stream invocation, which
+        # keeps the pre-stamp heuristic-only behavior
+        run_lineage = lineage or spark.sparkContext.getLocalProperty(
+            "sql.streaming.queryId"
+        )
+
+        def _lineage_desync(what: str, found: str | None) -> ValueError:
+            return ValueError(
+                f"staging/checkpoint desync at {staging_path!r}: {what} "
+                f"was written by checkpoint lineage {found!r}, but this "
+                f"stream runs under lineage {run_lineage!r} — staging "
+                "lives and dies with the checkpoint; clear the staging "
+                "area (or point the stream at a fresh staging_path) "
+                "before restarting"
+            )
+
         gate_input = batch_df
         staged_dirs: list[str] = []
         if accumulate_batches > 1:
             staging = staging_path.rstrip("/")
-            high_water = _gated_high_water(spark, staging)
+            high_water, gated_lineage = _gated_state(spark, staging)
+            if (
+                run_lineage is not None
+                and gated_lineage is not None
+                and gated_lineage != run_lineage
+            ):
+                # definitive (ADVICE r12 item 1): whatever the batch
+                # ids say, this staging area's commit marker belongs to
+                # another checkpoint — the ordering heuristic below
+                # cannot see the batch_id == high_water corner, the
+                # stamp can
+                raise _lineage_desync("the _gated high-water", gated_lineage)
             if batch_id < high_water:
                 # the staging area belongs to a DIFFERENT stream: batch
                 # ids restart below the persisted high-water only when
@@ -308,7 +385,9 @@ def indexed_neardup_gate_sink(
                 # survived (staging lives and dies with the checkpoint).
                 # Proceeding would silently drop this batch's rows as
                 # "already gated" — fail loud instead, BEFORE touching
-                # the old run's staged directories.
+                # the old run's staged directories. Kept alongside the
+                # lineage stamp: it also catches pre-stamp staging areas
+                # and lineage-unresolvable (direct-call) invocations.
                 raise ValueError(
                     f"staging/checkpoint desync: micro-batch {batch_id} "
                     f"is below the staged high-water {high_water} at "
@@ -317,20 +396,36 @@ def indexed_neardup_gate_sink(
                     "the stream at a fresh staging_path) before "
                     "restarting"
                 )
+            staged = _staged_batches(spark, staging)
+            if run_lineage is not None:
+                for sid, (_, slin) in sorted(staged.items()):
+                    if slin is not None and slin != run_lineage:
+                        # a foreign staged directory — checked BEFORE
+                        # this batch stages anything. Covers the
+                        # stale-b0 corner (staged by the old lineage,
+                        # no high-water yet, ids overlapping ours): a
+                        # same-id marker would silently SUBSTITUTE the
+                        # old rows for this batch's, a higher-id one
+                        # would smuggle them into a later union
+                        raise _lineage_desync(
+                            f"staged micro-batch b{sid}", slin
+                        )
             bdir = f"{staging}/b{batch_id}"
             if not _fs_exists(spark, f"{bdir}/{_STAGED_MARKER}"):
                 _fs_delete(spark, bdir)  # torn earlier attempt
                 batch_df.write.parquet(bdir)
                 _fs_write_text(
-                    spark, f"{bdir}/{_STAGED_MARKER}", json.dumps({})
+                    spark,
+                    f"{bdir}/{_STAGED_MARKER}",
+                    json.dumps({"lineage": run_lineage}),
                 )
-            staged = _staged_batches(spark, staging)
+                staged[batch_id] = (bdir, run_lineage)
             for done_id in sorted(i for i in staged if i <= high_water):
-                _fs_delete(spark, staged.pop(done_id))
+                _fs_delete(spark, staged.pop(done_id)[0])
             pending = sorted(i for i in staged if i > high_water)
             if len(pending) < accumulate_batches:
                 return  # accumulate; the Nth batch gates the union
-            staged_dirs = [staged[i] for i in pending]
+            staged_dirs = [staged[i][0] for i in pending]
             gate_input = spark.read.parquet(*staged_dirs)
 
         # maintenance only ahead of an actual gate+append: non-trigger
@@ -339,15 +434,32 @@ def indexed_neardup_gate_sink(
         # compaction job) entirely — the protected tag is the gating
         # batch's own, which is still exactly the replayable set
         if auto_compact_segments is not None:
-            live = _live_segments(
-                _list_segments(spark, root), manifest["epoch"]
-            )
+            segs = _list_segments(spark, root)
+            live = _live_segments(segs, manifest["epoch"])
+            if compact_tier_max_docs is not None:
+                # tiered policy (VERDICT r12 item 1): trigger on the
+                # count of MERGEABLE (small, known-size) segments, not
+                # all live ones — base/frozen-tier segments above the
+                # threshold are permanent residents the tier merge
+                # never touches, so counting them would fire a no-op
+                # compaction attempt every batch once they alone reach
+                # the threshold
+                live = [
+                    s
+                    for s in live
+                    if isinstance(
+                        n := (segs[s] or {}).get("n_docs"), int
+                    )
+                    and not isinstance(n, bool)
+                    and 0 <= n <= compact_tier_max_docs
+                ]
             if len(live) >= auto_compact_segments:
                 compact_dedup_index(
                     spark,
                     index_path,
                     lock_timeout=lock_timeout,
                     protect_segment_tags=[tag],
+                    tier_max_docs=compact_tier_max_docs,
                 )
 
         decision = delta_dedup_gate_indexed(
@@ -359,6 +471,7 @@ def indexed_neardup_gate_sink(
             max_bucket=max_bucket,
             exclude_self=True,
             exclude_segment_tag=tag,
+            segment_lineage=run_lineage,
         )
         try:
             kept_ids = decision.filter(F.col("kept") == 1).select(
@@ -381,6 +494,7 @@ def indexed_neardup_gate_sink(
                     mode="append",
                     lock_timeout=lock_timeout,
                     segment_tag=tag,
+                    lineage=run_lineage,
                 )
             if staged_dirs:
                 # the accumulated group's COMMIT POINT: a replay after
@@ -389,7 +503,12 @@ def indexed_neardup_gate_sink(
                 _fs_write_text_atomic(
                     spark,
                     f"{staging_path.rstrip('/')}/{_GATED_MARKER}",
-                    json.dumps({"last_gated_batch": batch_id}),
+                    json.dumps(
+                        {
+                            "last_gated_batch": batch_id,
+                            "lineage": run_lineage,
+                        }
+                    ),
                 )
         finally:
             decision.release()

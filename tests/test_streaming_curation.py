@@ -655,3 +655,270 @@ def test_accumulate_staging_checkpoint_desync_fails_loud(spark, tmp_path):
         ),
         1,
     )
+
+
+def test_lineage_stamped_tag_conflicts_fail_loud(spark, tmp_path):
+    """ADVICE r12 item 2 (unit layer): a tagged append that finds its
+    tag committed by ANOTHER checkpoint lineage must fail loud (not
+    no-op — that silently drops the new batch's docs), and a gate asked
+    to exclude another lineage's tagged segment must fail loud (not
+    blind itself to that segment's live docs). Same-lineage and
+    unknown-lineage (legacy) paths keep the old semantics."""
+    import pytest
+
+    from dionysus_rb_spark.operators.minhash import (
+        build_dedup_index,
+        delta_dedup_gate_indexed,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha0 beta1 gamma2 delta3 epsilon4 zeta5 eta6 theta7 iota8")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, idx, k=3)
+    fresh = spark.createDataFrame(
+        [(10, "wholly new words appended under the first lineage today")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(
+        fresh, idx, k=3, mode="append", segment_tag="batch0", lineage="qA"
+    )
+    # same lineage replay: idempotent no-op, still exactly one segment
+    build_dedup_index(
+        fresh, idx, k=3, mode="append", segment_tag="batch0", lineage="qA"
+    )
+    import os
+
+    segs = sorted(os.listdir(os.path.join(idx, "segments")))
+    assert sum(s.endswith("append-batch0") for s in segs) == 1
+
+    # foreign lineage reusing the tag: loud, not a silent drop
+    other = spark.createDataFrame(
+        [(20, "a different stream's batch zero content entirely here")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="lineage desync"):
+        build_dedup_index(
+            other, idx, k=3, mode="append", segment_tag="batch0", lineage="qB"
+        )
+    # unknown lineage (legacy caller): old no-op behavior preserved
+    build_dedup_index(other, idx, k=3, mode="append", segment_tag="batch0")
+
+    probe = spark.createDataFrame(
+        [(100, "wholly new words appended under the first lineage today")],
+        "doc_id long, text string",
+    )
+    # owning lineage may exclude its own tag: the probe's dup of the
+    # tagged segment's doc is then invisible -> admitted
+    with delta_dedup_gate_indexed(
+        probe,
+        idx,
+        threshold=0.5,
+        exclude_segment_tag="batch0",
+        segment_lineage="qA",
+    ) as d:
+        assert [r["kept"] for r in d.collect()] == [1]
+    # a foreign lineage must NOT silently exclude qA's live segment
+    with pytest.raises(ValueError, match="lineage desync"):
+        delta_dedup_gate_indexed(
+            probe,
+            idx,
+            threshold=0.5,
+            exclude_segment_tag="batch0",
+            segment_lineage="qB",
+        )
+    # unknown lineage: legacy exclusion behavior preserved
+    with delta_dedup_gate_indexed(
+        probe, idx, threshold=0.5, exclude_segment_tag="batch0"
+    ) as d:
+        assert [r["kept"] for r in d.collect()] == [1]
+
+
+def test_gated_marker_lineage_conflict_covers_heuristic_blind_spots(
+    spark, tmp_path
+):
+    """ADVICE r12 item 1: the batch-id ordering heuristic only fires on
+    batch_id < high_water; a wiped checkpoint whose new batch id lands
+    ON or ABOVE the old lineage's high-water slipped past it. The
+    lineage stamp in _gated.json catches every id."""
+    import pytest
+
+    from dionysus_rb_spark.operators.minhash import build_dedup_index
+    from dionysus_rb_spark.streaming.neardup_stream import (
+        indexed_neardup_gate_sink,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha0 beta1 gamma2 delta3 epsilon4 zeta5 eta6 theta7 iota8")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, idx, k=3)
+    stage = str(tmp_path / "stage")
+    fn_a = indexed_neardup_gate_sink(
+        idx,
+        threshold=0.5,
+        accumulate_batches=2,
+        staging_path=stage,
+        lineage="qA",
+    )
+    fn_a(
+        spark.createDataFrame(
+            [(10, "first fresh batch content for the original lineage")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    fn_a(
+        spark.createDataFrame(
+            [(11, "second fresh batch content triggering the group gate")],
+            "doc_id long, text string",
+        ),
+        1,
+    )  # publishes high-water 1 under lineage qA
+
+    fn_b = indexed_neardup_gate_sink(
+        idx,
+        threshold=0.5,
+        accumulate_batches=2,
+        staging_path=stage,
+        lineage="qB",
+    )
+    fresh = spark.createDataFrame(
+        [(50, "a replacement stream's batch with entirely new words")],
+        "doc_id long, text string",
+    )
+    # batch_id == high_water: invisible to the ordering heuristic,
+    # caught by the stamp
+    with pytest.raises(ValueError, match="lineage"):
+        fn_b(fresh, 1)
+    # batch_id > high_water: ditto
+    with pytest.raises(ValueError, match="lineage"):
+        fn_b(fresh, 2)
+    # the matching lineage replays/continues fine: trigger replay is a
+    # no-op, the next group proceeds
+    fn_a(
+        spark.createDataFrame(
+            [(11, "second fresh batch content triggering the group gate")],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+
+
+def test_stale_staged_b0_with_no_high_water_fails_loud(spark, tmp_path):
+    """ADVICE r12 item 1's second corner, end to end with REAL streams
+    (auto lineage = the streaming query id): the old stream staged b0
+    but never triggered (no _gated marker, high_water -1), the
+    checkpoint was wiped, and the new stream's batch 0 would previously
+    see 'b0 already staged' and silently SUBSTITUTE the old rows for
+    its own. The stamp fails it loud."""
+    import shutil
+
+    import pytest
+
+    from dionysus_rb_spark.operators.minhash import build_dedup_index
+    from dionysus_rb_spark.streaming.neardup_stream import (
+        indexed_neardup_gate_sink,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha0 beta1 gamma2 delta3 epsilon4 zeta5 eta6 theta7 iota8")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, idx, k=3)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame(
+        [(10, "first stream's only batch of wholly fresh words here")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_stream():
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(src)
+            .writeStream.foreachBatch(
+                indexed_neardup_gate_sink(
+                    idx,
+                    threshold=0.5,
+                    accumulate_batches=3,
+                    staging_path=stage,
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    run_stream()  # stages b0, never triggers (1 < 3 pending)
+    import os
+
+    assert os.path.exists(os.path.join(stage, "b0", "_staged.json"))
+    assert not os.path.exists(os.path.join(stage, "_gated.json"))
+
+    shutil.rmtree(ckpt)  # wipe the checkpoint, keep the staging area
+    with pytest.raises(Exception, match="lineage"):
+        run_stream()
+
+
+def test_wiped_checkpoint_old_index_tags_fail_loud_in_stream(spark, tmp_path):
+    """ADVICE r12 item 2, end to end with REAL streams: restarting a
+    FRESH checkpoint against an index still holding the old lineage's
+    tagged append segments previously (a) blinded the gate via
+    exclude_segment_tag and (b) no-opped the new batch's append — both
+    silent. With auto lineage stamping the new stream's first gate
+    fails loud."""
+    import shutil
+
+    import pytest
+
+    from dionysus_rb_spark.operators.minhash import build_dedup_index
+    from dionysus_rb_spark.streaming.neardup_stream import (
+        indexed_neardup_gate_sink,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha0 beta1 gamma2 delta3 epsilon4 zeta5 eta6 theta7 iota8")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, idx, k=3)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(10, "first stream's admitted batch of wholly fresh words")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_stream(checkpoint):
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(src)
+            .writeStream.foreachBatch(
+                indexed_neardup_gate_sink(idx, threshold=0.5)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream(ckpt)  # gates + appends under tag batch0, lineage = qid A
+    import os
+
+    segs = os.listdir(os.path.join(idx, "segments"))
+    assert any(s.endswith("append-batch0") for s in segs)
+
+    shutil.rmtree(ckpt)  # fresh checkpoint, same index: new query id
+    spark.createDataFrame(
+        [(20, "second stream's different content colliding tag batch0")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="lineage"):
+        run_stream(ckpt)
