@@ -48,6 +48,26 @@ from ..operators.minhash import (
 # only has to separate those regimes, not be exact.
 BROADCAST_INDEX_MAX_KEYS = 1_000_000
 
+# Scan-partition sizing for big accumulated deliveries (VERDICT r12
+# item 5, from the measured r12 OOM root-cause): the gate's verify-join
+# heap scales with concurrent tasks x spark.sql.files.maxPartitionBytes
+# (vectored parquet ranges + decompress) ON TOP of the delivery-sized
+# state, so at the stock 128 MB conf an 8 g driver covers accumulated
+# deliveries to ~500k docs, while a 1.25M-doc delivery OOMs at 128 MB
+# but passes at 32 MB (SCALING.md r12: 107.7 s vs the 16 g/128 MB
+# rung's 81.7 s — smaller scan partitions trade ~1.3x latency for half
+# the heap). The loop's ``max_partition_bytes="auto"`` therefore
+# leaves the conf ALONE up to the measured-safe delivery size (no
+# latency tax on the common case) and above it scales it down
+# inverse-linearly through the measured-safe 1.25M/32MB anchor,
+# floored to keep task counts sane. On a real cluster the same rule
+# reads executor-memory / cores-per-executor >> maxPartitionBytes x
+# decompress factor.
+GATE_MPB_SAFE_DOCS = 500_000
+GATE_MPB_ANCHOR_DOCS = 1_250_000
+GATE_MPB_ANCHOR_BYTES = 32 * 1024 * 1024
+GATE_MPB_FLOOR_BYTES = 8 * 1024 * 1024
+
 
 def band_keys_frame(
     docs: DataFrame,
@@ -183,6 +203,7 @@ def indexed_neardup_gate_sink(
     accumulate_batches: int = 1,
     staging_path: str | None = None,
     lineage: str | None = None,
+    max_partition_bytes: int | str | None = "auto",
 ):
     """The continuous-curation loop (VERDICT r9 item 4): a foreachBatch
     body that gates every micro-batch against the PERSISTED dedup index
@@ -307,6 +328,19 @@ def indexed_neardup_gate_sink(
     heuristic cannot see (a stale staged ``b0`` with no high-water
     yet). Pre-stamp artifacts (markers without a lineage field) skip
     the check, preserving the old heuristic-only behavior.
+
+    **Scoped scan-partition control** (VERDICT r12 item 5):
+    ``max_partition_bytes`` sets ``spark.sql.files.maxPartitionBytes``
+    around each TRIGGER's gate+sinks+append and restores the previous
+    value afterwards (exception-safe) — the r12-measured fix for big
+    accumulated deliveries OOMing the default heap (heap tracks
+    concurrent tasks x scan-partition bytes on top of delivery-sized
+    state). ``"auto"`` (default) counts the delivery once per trigger
+    and leaves the conf untouched up to GATE_MPB_SAFE_DOCS (~500k docs
+    — the measured-safe boundary at stock confs, so the common case
+    pays no latency tax), then scales inverse-linearly through the
+    measured 1.25M-docs/32MB anchor; an int pins that many bytes for
+    every trigger; ``None`` never touches the conf (pre-r13 behavior).
     """
     from ..operators.minhash import (
         _list_segments,
@@ -329,7 +363,6 @@ def indexed_neardup_gate_sink(
             _fs_delete,
             _fs_exists,
             _fs_write_text,
-            _fs_write_text_atomic,
         )
 
         spark = batch_df.sparkSession
@@ -428,6 +461,47 @@ def indexed_neardup_gate_sink(
             staged_dirs = [staged[i][0] for i in pending]
             gate_input = spark.read.parquet(*staged_dirs)
 
+        # scoped scan-partition control (VERDICT r12 item 5): resolve
+        # the trigger's maxPartitionBytes override BEFORE any index
+        # work so the compaction, the gate's verify scan, and the
+        # append all run under it; restored in the outermost finally.
+        # The "auto" count is one metadata-cheap job per TRIGGER
+        # (non-trigger accumulate batches returned above), paid only
+        # because the override must be known before the lazily-built
+        # gate plan executes.
+        _MPB_KEY = "spark.sql.files.maxPartitionBytes"
+        mpb_override: int | None = None
+        if max_partition_bytes is not None:
+            if max_partition_bytes == "auto":
+                n_delivery = gate_input.count()
+                if n_delivery > GATE_MPB_SAFE_DOCS:
+                    mpb_override = max(
+                        GATE_MPB_FLOOR_BYTES,
+                        GATE_MPB_ANCHOR_BYTES
+                        * GATE_MPB_ANCHOR_DOCS
+                        // n_delivery,
+                    )
+            else:
+                mpb_override = int(max_partition_bytes)
+        prev_mpb = None
+        if mpb_override is not None:
+            prev_mpb = spark.conf.get(_MPB_KEY)
+            spark.conf.set(_MPB_KEY, mpb_override)
+        try:
+            _gate_append_publish(spark, gate_input, staged_dirs, tag,
+                                 run_lineage, manifest, batch_id)
+        finally:
+            if mpb_override is not None:
+                spark.conf.set(_MPB_KEY, prev_mpb)
+
+    def _gate_append_publish(
+        spark, gate_input, staged_dirs, tag, run_lineage, manifest, batch_id
+    ):
+        import json
+
+        from ..sources.corpus_sink import _fs_write_text_atomic
+
+        root = index_path.rstrip("/")
         # maintenance only ahead of an actual gate+append: non-trigger
         # accumulate batches return above without touching the index,
         # so they skip the per-batch segment listing (and the possible

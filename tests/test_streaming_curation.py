@@ -922,3 +922,91 @@ def test_wiped_checkpoint_old_index_tags_fail_loud_in_stream(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(src)
     with pytest.raises(Exception, match="lineage"):
         run_stream(ckpt)
+
+
+def test_gate_scoped_max_partition_bytes_set_and_restored(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r12 item 5: the loop's max_partition_bytes knob scopes
+    spark.sql.files.maxPartitionBytes to the trigger's gate+sinks+
+    append and RESTORES it afterwards — including when the caller's
+    sink raises. "auto" engages only above the measured-safe delivery
+    size and scales through the anchor; None never touches the conf."""
+    import pytest
+
+    from dionysus_rb_spark.operators.minhash import build_dedup_index
+    from dionysus_rb_spark.streaming import neardup_stream as ns
+
+    key = "spark.sql.files.maxPartitionBytes"
+    original = spark.conf.get(key)
+    corpus = spark.createDataFrame(
+        [(1, "alpha0 beta1 gamma2 delta3 epsilon4 zeta5 eta6 theta7 iota8")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, idx, k=3)
+
+    seen: list[str] = []
+
+    def observe(admitted, rejected, decision, batch_id):
+        seen.append(spark.conf.get(key))
+
+    def batch(n, tag):
+        return spark.createDataFrame(
+            [
+                (100 + i, " ".join(f"{tag}{i}{c}" for c in "abcdefgh"))
+                for i in range(n)
+            ],
+            "doc_id long, text string",
+        )
+
+    # explicit int: pinned for the batch, restored after
+    fn = ns.indexed_neardup_gate_sink(
+        idx, threshold=0.5, on_batch=observe, max_partition_bytes=7_000_000
+    )
+    fn(batch(2, "aa"), 0)
+    assert seen == ["7000000"] and spark.conf.get(key) == original
+
+    # auto below the safe boundary: conf untouched during the batch
+    seen.clear()
+    fn = ns.indexed_neardup_gate_sink(idx, threshold=0.5, on_batch=observe)
+    fn(batch(2, "bb"), 1)
+    assert seen == [original] and spark.conf.get(key) == original
+
+    # auto above the boundary: inverse-linear through the anchor
+    monkeypatch.setattr(ns, "GATE_MPB_SAFE_DOCS", 2)
+    monkeypatch.setattr(ns, "GATE_MPB_ANCHOR_DOCS", 8)
+    monkeypatch.setattr(ns, "GATE_MPB_ANCHOR_BYTES", 32 * 1024 * 1024)
+    monkeypatch.setattr(ns, "GATE_MPB_FLOOR_BYTES", 1024 * 1024)
+    seen.clear()
+    fn = ns.indexed_neardup_gate_sink(idx, threshold=0.5, on_batch=observe)
+    fn(batch(4, "cc"), 2)  # 4 docs > safe 2 -> 32MB * 8/4 = 64MB
+    assert seen == [str(64 * 1024 * 1024)]
+    assert spark.conf.get(key) == original
+
+    # the floor clamps a huge delivery's scale-down
+    seen.clear()
+    fn = ns.indexed_neardup_gate_sink(idx, threshold=0.5, on_batch=observe)
+    monkeypatch.setattr(ns, "GATE_MPB_ANCHOR_DOCS", 1)
+    fn(batch(40, "dd"), 3)  # 32MB * 1/40 < 1MB floor
+    assert seen == [str(1024 * 1024)]
+    assert spark.conf.get(key) == original
+
+    # restored even when the caller's sink raises
+    def explode(admitted, rejected, decision, batch_id):
+        raise RuntimeError("sink boom")
+
+    fn = ns.indexed_neardup_gate_sink(
+        idx, threshold=0.5, on_batch=explode, max_partition_bytes=9_000_000
+    )
+    with pytest.raises(RuntimeError, match="sink boom"):
+        fn(batch(2, "ee"), 4)
+    assert spark.conf.get(key) == original
+
+    # None: never touched, not even read
+    seen.clear()
+    fn = ns.indexed_neardup_gate_sink(
+        idx, threshold=0.5, on_batch=observe, max_partition_bytes=None
+    )
+    fn(batch(2, "ff"), 5)
+    assert seen == [original] and spark.conf.get(key) == original
