@@ -1,7 +1,13 @@
 """Benchmark harness: runs the headline (bench=True) catalog queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line as the LAST
+line of stdout:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+   "sf": ..., "spread_max": ...}
+sized to fit the driver's ~2,000-char stdout tail window (VERDICT r12
+item 2 — the old verbose line outgrew it and shipped parsed:null from
+r9 on). The full per-query spread / resample / load detail prints to
+STDERR for the quiet-bench artifacts.
 
 Each query is fully materialized via the noop sink (no driver collect).
 
@@ -169,6 +175,16 @@ def main() -> None:
         if (w := warm_of(ts))
     }
 
+    # Two-channel output (VERDICT r12 item 2): the driver records only
+    # the last ~2,000 chars of stdout and parses the FINAL line as the
+    # round's bench JSON — the old single verbose line outgrew that
+    # window around r9 (per-query spread/spread_raw dicts), so every
+    # artifact since shipped parsed:null. The compact HEADLINE (value,
+    # unit, sf, per-query minima, spread_max — everything cross-round
+    # comparison needs) is now the last stdout line and stays well
+    # under the window; the full per-query spread/resample/load detail
+    # goes to stderr, where quiet-bench runs capture it into the
+    # QUIET_BENCH_* artifacts.
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -176,20 +192,32 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "passes": passes,
-        "spread": spread,
         "spread_max": max(spread.values(), default=1.0),
-        "spread_raw": spread_raw,
         "spread_raw_max": max(spread_raw.values(), default=1.0),
+        "resampled_n": len(resampled),
+        "high_load": load_start[0] > max_load or load_start[1] > 3 * max_load,
+        "load_waited_sec": load_waited,
+        "cpu_probe_sec": cpu_probe,
+    }
+    detail = {
+        **out,
+        "spread": spread,
+        "spread_raw": spread_raw,
         "resampled": resampled,
         "load_avg": {
             "start": [round(x, 2) for x in load_start],
             "end": [round(x, 2) for x in os.getloadavg()],
         },
-        "high_load": load_start[0] > max_load or load_start[1] > 3 * max_load,
-        "load_waited_sec": load_waited,
-        "cpu_probe_sec": cpu_probe,
     }
-    print(json.dumps(out))
+    print(json.dumps(detail), file=sys.stderr)
+    compact = json.dumps(out)
+    if len(compact) > 1900:
+        # future-proofing: should the headline set outgrow the window,
+        # drop the per-query dict (it survives in the stderr detail)
+        # rather than ship another decade of unparseable artifacts
+        out.pop("queries")
+        compact = json.dumps(out)
+    print(compact)
     spark.stop()
 
 
