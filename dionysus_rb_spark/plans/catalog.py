@@ -179,9 +179,21 @@ _PLAN_CHANGED: dict[str, int] = {
     # gate_input), and the bucketed build's table cleanup resolves
     # catalog locations before deleting. Decisions identical by test,
     # flagged conservatively per the r4 policy:
-    "dd_delta_gate_indexed": 12,
+    # round 12 flags for dd_delta_gate_indexed / dd_delta_gate_bucketed
+    # / stream_t6 superseded by the round-13 entries below where
+    # re-flagged; dd_delta_gate_bucketed's r12 flag stands (its path
+    # did not change in r13):
     "dd_delta_gate_bucketed": 12,
-    "stream_t6_neardup_index_gate": 12,
+    # round 13 (ADVICE r12 items 1-2 + VERDICT r12 items 1/5): the
+    # indexed gate's _open_dedup_index grew the lineage-stamp check on
+    # its execution path (signature change; expression tree identical),
+    # and the streaming loop restructured around the scoped
+    # maxPartitionBytes override (an extra per-trigger count job, the
+    # gate/append body split into a helper) plus tiered auto-compaction
+    # and lineage stamping of staging/append markers. Decisions
+    # identical by test; flagged conservatively per the r4 policy:
+    "dd_delta_gate_indexed": 13,
+    "stream_t6_neardup_index_gate": 13,
 }
 
 
