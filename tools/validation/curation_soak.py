@@ -45,8 +45,17 @@ sawtooth is bounded (max observed < N + 2 — the on_batch reading is
 taken after any compaction but before that batch's own append) and
 that at least one policy compaction actually fired.
 
+``--tier-max-docs=M`` (VERDICT r12 item 1) runs the policy in
+SIZE-TIERED mode (compact_tier_max_docs=M): in-loop merges touch only
+small known-size segments, so per-batch wall stays flat while the base
+segment and frozen tiers wait for the end-of-soak FULL compaction (the
+scheduled-maintenance stand-in, which still converges to 1 segment).
+The sawtooth assertion then applies to the SMALL-segment count (frozen
+tiers are permanent residents by design); the soak additionally
+asserts the base segment's commit marker is never rewritten.
+
 Usage: python tools/validation/curation_soak.py [n_batches] [docs_per_batch]
-       [--auto-compact=N]
+       [--auto-compact=N] [--tier-max-docs=M]
        (defaults 50 x 2000; base corpus 20k docs)
 """
 
@@ -88,6 +97,16 @@ AUTO_COMPACT = next(
     ),
     None,
 )
+TIER_MAX_DOCS = next(
+    (
+        int(a.split("=", 1)[1])
+        for a in sys.argv[1:]
+        if a.startswith("--tier-max-docs=")
+    ),
+    None,
+)
+if TIER_MAX_DOCS is not None and AUTO_COMPACT is None:
+    raise SystemExit("--tier-max-docs requires --auto-compact=N")
 BASE_DOCS = 20_000
 DUP_OF_BASE = 0.15  # fraction of each batch duplicating base-corpus text
 DUP_OF_PRIOR = 0.15  # fraction duplicating an earlier batch's text
@@ -164,6 +183,13 @@ def main() -> None:
     t0 = time.time()
     build_dedup_index(base, idx, k=3)
     print(f"base index: {BASE_DOCS} docs in {time.time() - t0:.1f}s")
+    base_seg = [
+        s for s in _list_segments(spark, idx) if "-overwrite-" in s
+    ]
+    base_marker = os.path.join(
+        idx, "segments", base_seg[0], "_seg_commit.json"
+    )
+    base_marker_mtime = os.path.getmtime(base_marker)
 
     batches, expected, admitted_texts = make_batches(N_BATCHES, DOCS_PER_BATCH)
     for i, batch in enumerate(batches):
@@ -195,9 +221,20 @@ def main() -> None:
         # completion stamp; per-batch wall = diff to the previous stamp
         # within a pass (the kill/restart boundary is excluded below)
         batch_times[int(batch_id)] = time.time()
-        seg_counts.append(
-            len(_live_segments(_list_segments(spark, idx), 1))
-        )
+        segs = _list_segments(spark, idx)
+        live = _live_segments(segs, 1)
+        if TIER_MAX_DOCS is not None:
+            # tiered mode: the sawtooth contract covers MERGEABLE
+            # (small) segments; base + frozen tiers are permanent
+            # residents between full compactions
+            live = [
+                s
+                for s in live
+                if isinstance(n := (segs[s] or {}).get("n_docs"), int)
+                and not isinstance(n, bool)
+                and 0 <= n <= TIER_MAX_DOCS
+            ]
+        seg_counts.append(len(live))
 
     def start():
         stream = (
@@ -212,6 +249,7 @@ def main() -> None:
                     threshold=0.5,
                     on_batch=on_batch,
                     auto_compact_segments=AUTO_COMPACT,
+                    compact_tier_max_docs=TIER_MAX_DOCS,
                 )
             )
             .option("checkpointLocation", ckpt)
@@ -257,6 +295,7 @@ def main() -> None:
         threshold=0.5,
         on_batch=on_batch,
         auto_compact_segments=AUTO_COMPACT,
+        compact_tier_max_docs=TIER_MAX_DOCS,
     )
     first_attempt(spark.read.parquet(src_files[replayed]), replayed)
     print(
@@ -332,6 +371,12 @@ def main() -> None:
             f"auto-compact policy (N={AUTO_COMPACT}): max live segments "
             f"{max(seg_counts)}, {drops} observed compaction drops"
         )
+    if TIER_MAX_DOCS is not None:
+        # the O(corpus) term really left the loop: the base segment was
+        # never rewritten by any in-loop policy compaction
+        assert os.path.getmtime(base_marker) == base_marker_mtime, (
+            "tiered policy rewrote the base segment inside the loop"
+        )
 
     # a final compaction converges and decisions stay derivable
     compact_dedup_index(spark, idx)
@@ -361,6 +406,7 @@ def main() -> None:
                 "replayed_rows": n_replayed_rows,
                 "compact_at": compactions,
                 "auto_compact": AUTO_COMPACT,
+                "tier_max_docs": TIER_MAX_DOCS,
                 "max_live_segments": max(seg_counts),
                 "live_segments_over_time": seg_counts[:: max(1, len(seg_counts) // 10)],
                 "batch_secs_early_avg": round(early, 2),
