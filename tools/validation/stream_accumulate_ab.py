@@ -27,9 +27,15 @@ at-decade indexes (9 GiB at 10M) where the measurement target is the
 gate schedule, not the append (fresh disjoint docs admit either way,
 so decisions are schedule-independent in both modes).
 
+``--only-accumulated`` runs just leg B (no A/B ratio): the mode for
+single-rung capacity checks — e.g. the r13 verification that a 1.25M-
+doc accumulated delivery passes at the 8 g default driver heap with
+the loop's auto maxPartitionBytes scaling engaged (VERDICT r12
+item 5), where the per-batch leg's wall is not the question.
+
 Usage: python tools/validation/stream_accumulate_ab.py
            [n_batches] [docs_per_batch] [--accumulate=5]
-           [--index=PATH] [--no-append]
+           [--index=PATH] [--no-append] [--only-accumulated]
 """
 
 from __future__ import annotations
@@ -117,8 +123,12 @@ def main() -> None:
             ).alias("text"),
         ).coalesce(1).write.mode("append").parquet(src)
 
+    only_accumulated = "--only-accumulated" in sys.argv
+    legs = (("per_batch", 1), (f"every_{accumulate}", accumulate))
+    if only_accumulated:
+        legs = legs[1:]
     results = {}
-    for label, acc in (("per_batch", 1), (f"every_{accumulate}", accumulate)):
+    for label, acc in legs:
         if no_append:
             idx = str(base_idx)  # read-only gates can share one index
         else:
@@ -157,23 +167,24 @@ def main() -> None:
         results[label] = {"wall_s": round(wall, 1), "kept": kept, "total": total}
         print(f"{label}: {wall:.1f}s, {kept}/{total} kept", flush=True)
 
-    a, b = results["per_batch"], results[f"every_{accumulate}"]
-    assert a["kept"] == b["kept"] == a["total"] == b["total"], results
-    assert a["total"] == n_batches * per_batch, results
-    print(
-        json.dumps(
-            {
-                "n_batches": n_batches,
-                "docs_per_batch": per_batch,
-                "accumulate": accumulate,
-                "index": str(base_idx),
-                "append": not no_append,
-                "per_batch_wall_s": a["wall_s"],
-                "accumulated_wall_s": b["wall_s"],
-                "speedup_x": round(a["wall_s"] / b["wall_s"], 2),
-            }
-        )
-    )
+    b = results[f"every_{accumulate}"]
+    assert b["kept"] == b["total"] == n_batches * per_batch, results
+    summary = {
+        "n_batches": n_batches,
+        "docs_per_batch": per_batch,
+        "accumulate": accumulate,
+        "index": str(base_idx),
+        "append": not no_append,
+        "accumulated_wall_s": b["wall_s"],
+    }
+    if not only_accumulated:
+        a = results["per_batch"]
+        assert a["kept"] == a["total"] == n_batches * per_batch, results
+        summary |= {
+            "per_batch_wall_s": a["wall_s"],
+            "speedup_x": round(a["wall_s"] / b["wall_s"], 2),
+        }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
