@@ -14,9 +14,25 @@ log4j/regex message formatting on the stream thread), not this
 package's sink.
 
 Exit status: 0 either way — this is an evidence-gatherer, not a test.
-It prints ``SOE_OBSERVED <n>/<attempts>`` plus the first captured
-stack's top frames. Run a few attempts; the print is racy by nature
-(the interrupt must land inside the formatter).
+Run a few attempts; the print is racy by nature (the interrupt must
+land inside the formatter).
+
+FINDING (r13 run, 6 attempts): the trivial body NEVER fires it —
+stop_exceptions=0, stderr clean — while the curation soak printed the
+identical SOE again on this tree the same hour (one per planned stop:
+``Exception in thread "stream execution thread for [id=...]"
+java.lang.StackOverflowError`` with every visible frame in
+``java.util.regex Pattern$Loop/GroupTail``, immediately after
+DAGScheduler's "Failed to cancel job group" warning, AFTER the last
+checkpoint commit; ``q.exception()`` stays None and the restart
+resumes cleanly). Read together: the overflow is catastrophic regex
+recursion inside Spark's stop-path log/error formatting and needs a
+VERY LONG subject string to recurse deep enough — the soak's
+corpus-sized gate plans / job descriptions provide one, a trivial
+count() body does not. It is Spark-internal and cosmetic to this
+package's sinks (no dionysus frame ever appears in the stack; state
+and decisions are unaffected on three consecutive round trees) — see
+README's streaming section for the known-issue note.
 
 Usage: python tools/validation/stop_soe_repro.py [attempts=5]
 """
