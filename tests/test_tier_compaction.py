@@ -346,3 +346,117 @@ def test_loop_tier_policy_bounds_sawtooth_without_touching_base(
     }
     for doc_id, kept in got.items():
         assert kept == (0 if doc_id % 10 == 2 else 1), (doc_id, kept, got)
+
+
+def test_accumulated_replay_straddling_tier_compaction_with_lineage(
+    spark, tmp_path
+):
+    """The full r13 stack in one scenario: delivery accumulation +
+    TIERED auto-compaction + lineage stamping + a trigger replay
+    (crash after the group's append committed, before the high-water
+    published) landing on a restart path where the tier policy fires
+    MID-REPLAY. The tier merge must absorb the earlier append segments
+    but protect the replayed trigger's tag AND leave the (frozen) base
+    alone; the re-gate over the identical staged union must be
+    bit-identical — within-group twins split across staged batches and
+    a cross-group duplicate whose corpus copy MOVES into the merged
+    tier segment between the two attempts included. Every marker the
+    round stamps must carry the explicit lineage."""
+    import json as _json
+    import os
+
+    from dionysus_rb_spark.streaming.neardup_stream import (
+        indexed_neardup_gate_sink,
+    )
+
+    base = _mk(
+        spark,
+        [(i, f"{_BASE} tail{i}a tail{i}b") for i in range(30)],
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(base, idx, k=3)
+    base_seg = [s for s in _list_segments(spark, idx) if "-overwrite-" in s]
+    base_mtime = os.path.getmtime(
+        os.path.join(idx, "segments", base_seg[0], "_seg_commit.json")
+    )
+
+    seen = []
+
+    def capture(admitted, rejected, decision, batch_id):
+        seen.append(
+            sorted(
+                (r["doc_id"], r["n_dup_matches"], r["kept"])
+                for r in decision.collect()
+            )
+        )
+
+    stage = str(tmp_path / "stage")
+    fn = indexed_neardup_gate_sink(
+        idx,
+        threshold=0.5,
+        on_batch=capture,
+        accumulate_batches=2,
+        staging_path=stage,
+        auto_compact_segments=3,
+        compact_tier_max_docs=10,
+        lineage="qA",
+    )
+    g0a = "first group first batch content wholly new to the index"
+    g0b = "first group second batch content also wholly new today"
+    tw = "twin text split across the second accumulated group staged"
+    tw2 = "another twin text split across the third group batches ok"
+    fn(_mk(spark, [(10, g0a)]), 0)
+    fn(_mk(spark, [(11, g0b)]), 1)  # trigger 0: appends tag batch1
+    fn(_mk(spark, [(20, tw)]), 2)
+    fn(_mk(spark, [(21, tw), (22, g0a)]), 3)  # trigger 1: tag batch3
+    assert seen[0] == [(10, 0, 1), (11, 0, 1)]
+    assert seen[1] == [(20, 0, 1), (21, 0, 1), (22, 1, 0)]
+
+    fn(_mk(spark, [(30, tw2)]), 4)
+    fn(_mk(spark, [(31, tw2), (32, g0a)]), 5)  # trigger 2: tag batch5
+    assert seen[2] == [(30, 0, 1), (31, 0, 1), (32, 1, 0)]
+
+    # crash between the group's append commit and the high-water
+    # publish; the replay's restart path now counts 3 mergeable
+    # append segments (batch1, batch3, batch5) -> the TIER policy
+    # fires mid-replay, protecting the replayed trigger's own tag
+    os.remove(os.path.join(stage, "_gated.json"))
+    fn(_mk(spark, [(31, tw2), (32, g0a)]), 5)
+    assert seen[3] == seen[2], (
+        "trigger replay straddling the tier compaction must be "
+        "bit-identical (twins stay admitted; the cross-group dup's "
+        "match count survives its corpus copy moving into the merged "
+        "tier segment)"
+    )
+
+    segs = _list_segments(spark, idx)
+    live = _live_segments(segs, 1)
+    # base untouched and still live; batch1+batch3 merged into ONE
+    # tier segment; the replayed trigger's tagged segment survives
+    assert base_seg[0] in live
+    assert os.path.getmtime(
+        os.path.join(idx, "segments", base_seg[0], "_seg_commit.json")
+    ) == base_mtime
+    assert sum("-compact-" in s for s in live) == 1
+    assert sum(s.endswith("append-batch5") for s in live) == 1
+    assert not any(
+        s.endswith("append-batch1") or s.endswith("append-batch3")
+        for s in live
+    )
+
+    # every stamp carries the explicit lineage
+    tag_seg = next(s for s in live if s.endswith("append-batch5"))
+    marker = _json.loads(
+        open(
+            os.path.join(idx, "segments", tag_seg, "_seg_commit.json")
+        ).read()
+    )
+    assert marker["lineage"] == "qA"
+    gated = _json.loads(open(os.path.join(stage, "_gated.json")).read())
+    assert gated == {"last_gated_batch": 5, "lineage": "qA"}
+    for b in os.listdir(stage):
+        if b.startswith("b"):
+            staged = _json.loads(
+                open(os.path.join(stage, b, "_staged.json")).read()
+            )
+            assert staged == {"lineage": "qA"}, (b, staged)
