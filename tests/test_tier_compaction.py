@@ -460,3 +460,62 @@ def test_accumulated_replay_straddling_tier_compaction_with_lineage(
                 open(os.path.join(stage, b, "_staged.json")).read()
             )
             assert staged == {"lineage": "qA"}, (b, staged)
+
+
+@pytest.mark.parametrize("seed", [0, 7, 1234])
+def test_tier_policy_amortization_bound(seed):
+    """The carry rule's write-amplification claim, pinned formally: a
+    segment of size S only joins a merge group once the smaller
+    candidates sum to >= S/FACTOR, so every rewrite grows a doc's
+    containing segment by >= (1 + 1/FACTOR)x — each doc is rewritten
+    at most log_{1+1/F}(total docs) times no matter the append
+    schedule. Simulated in pure Python with randomized append sizes,
+    merging EAGERLY (worst case for rewrite counting) whenever the
+    policy proposes a group; segments above the threshold freeze and
+    never merge again, exactly like the loop."""
+    import math
+    import random
+
+    from dionysus_rb_spark.operators.minhash import (
+        TIER_CARRY_FACTOR,
+        _tier_merge_group,
+    )
+
+    rng = random.Random(seed)
+    tier_max = 5_000
+    sizes: dict[str, int] = {}
+    rewrites: dict[str, int] = {}  # per-SEGMENT lineage max rewrite depth
+    seg_depth: dict[str, int] = {}  # max rewrites any member doc has seen
+    total_docs = 0
+    next_id = 0
+    for _ in range(400):
+        name = f"a{next_id}"
+        next_id += 1
+        n = rng.randint(1, 200)
+        sizes[name] = n
+        seg_depth[name] = 0
+        total_docs += n
+        while True:
+            group = _tier_merge_group(sizes, tier_max)
+            if not group:
+                break
+            merged = f"m{next_id}"
+            next_id += 1
+            new_size = sum(sizes[g] for g in group)
+            # the invariant that gives the log bound: the LARGEST
+            # group member grows by at least the carried smaller sum
+            biggest = max(sizes[g] for g in group)
+            assert new_size * TIER_CARRY_FACTOR >= (
+                TIER_CARRY_FACTOR + 1
+            ) * biggest, (group, {g: sizes[g] for g in group})
+            depth = 1 + max(seg_depth[g] for g in group)
+            for g in group:
+                del sizes[g]
+                del seg_depth[g]
+            sizes[merged] = new_size
+            seg_depth[merged] = depth
+            rewrites[merged] = depth
+    growth = math.log(1 + 1 / TIER_CARRY_FACTOR)
+    bound = math.ceil(math.log(max(total_docs, 2)) / growth) + 1
+    worst = max([*seg_depth.values(), *rewrites.values()], default=0)
+    assert worst <= bound, (worst, bound, total_docs)
