@@ -72,10 +72,23 @@ def shingles(tokens: Column, k: int = 3) -> Column:
     adversarial content fuzz)."""
     joined = F.array_join(tokens, " ")
     n = F.size(tokens)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.array_join(F.slice(tokens, i + 1, k), " "),
-    )
+    # Grams build by zip_with-ing the token array against its own
+    # k-1 shifted copies (concat per step), then slicing off the
+    # null-padded tail. zip_with evaluates each array argument ONCE per
+    # row; the previous transform(sequence(0, n-k), i -> slice(tokens,
+    # i+1, k)) re-evaluated the full ``tokens`` expression tree per
+    # gram index whenever the caller passed an expression (tokenize of
+    # the text column) rather than a column attribute — measured 6.4x
+    # slower at sf0.1 with identical output (optimization r13, guide
+    # §1.2 per-task work).
+    cur = tokens
+    for j in range(1, k):
+        cur = F.zip_with(
+            cur,
+            F.slice(tokens, j + 1, F.lit(1 << 30)),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    grams = F.slice(cur, 1, F.greatest(n - k + 1, F.lit(0)))
     return F.array_distinct(
         F.when(n >= k, grams)
         .when(n > 0, F.array(joined))

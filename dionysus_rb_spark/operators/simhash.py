@@ -86,26 +86,40 @@ def simhash(
 
     toks = F.array_distinct(tokenize(F.col(text_col)))
     hashes = F.transform(toks, lambda t: _token_hash(t, bits))
-    # vote for bit i: +1 if set, -1 if not; fingerprint bit = vote > 0
+    # vote for bit i: +1 if set, -1 if not; fingerprint bit = vote > 0.
+    # ONE pass over the token hashes building a bits-wide vote array
+    # (zip_with per hash), then one fold packing signs into the
+    # fingerprint. The old shape — an outer aggregate over bit indices
+    # whose lambda ran an inner aggregate over the hashes — invoked a
+    # full interpreted HOF per bit per row (bits x n_tokens nested
+    # iterations with per-invocation setup); measured 10.2x slower on
+    # the 60-bit fingerprint at sf0.1 with bit-identical output
+    # (optimization r13, guide §1.2 per-task work).
+    votes = F.aggregate(
+        F.col("__hs"),
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            # the 1 MUST be a long: shiftleft on an int wraps the
+            # shift count mod 32 (Java semantics), so at bits > 32
+            # the high-bit votes would silently re-test low bits
+            lambda a, i: a
+            + F.when(
+                h.bitwiseAND(shl(F.lit(1).cast("long"), i)) > 0, 1
+            ).otherwise(-1),
+        ),
+    )
     fp = F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, i: F.when(v > 0, shl(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
         F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                # the 1 MUST be a long: shiftleft on an int wraps the
-                # shift count mod 32 (Java semantics), so at bits > 32
-                # the high-bit votes would silently re-test low bits
-                lambda a, h: a
-                + F.when(
-                    h.bitwiseAND(shl(F.lit(1).cast("long"), i)) > 0, 1
-                ).otherwise(-1),
-            )
-            > 0,
-            shl(F.lit(1).cast("long"), i),
-        ).otherwise(0),
+        lambda a, x: a + x,
     )
     return (
         # raw-text ASCII-alnum gate <=> ">= 1 token" — a pushdown-able
@@ -113,7 +127,8 @@ def simhash(
         # the pushed predicate re-tokenize every row; see
         # minhash.doc_shingles)
         df.filter(F.lower(F.col(text_col)).rlike("[a-z0-9]"))
-        .select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
+        .select(F.col(id_col).alias("doc_id"), hashes.alias("__hs"))
+        .select("doc_id", fp.alias("simhash"))
     )
 
 
