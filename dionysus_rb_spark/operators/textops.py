@@ -63,6 +63,43 @@ def extract_urls(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(URL_RE), 0)
 
 
+def token_tf(tokens: Column) -> Column:
+    """Per-row term frequencies: array<struct<token, tf>> of each
+    distinct token with its occurrence count, computed from the SORTED
+    token array's run boundaries — all of a document's tokens are
+    already co-located in its row, so counting them needs no shuffle
+    (optimization r13: replaces a corpus-sized groupBy(doc, token)
+    exchange with per-row array work; the tf values are the identical
+    integers count(*) would produce). Zero-token rows yield an empty
+    array. Linear in the token count: run starts come from comparing
+    the sorted array against its 1-shifted self, counts from adjacent
+    start positions.
+    """
+
+    def _runs(st: Column) -> Column:
+        n = F.size(st)
+        starts = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == 1) | (F.element_at(st, i) != F.element_at(st, i - 1)),
+        )
+        return F.zip_with(
+            starts,
+            F.concat(F.slice(starts, 2, F.lit(1 << 30)), F.array(n + 1)),
+            lambda s, nxt: F.struct(
+                F.element_at(st, s).alias("token"),
+                (nxt - s).cast("long").alias("tf"),
+            ),
+        )
+
+    empty = F.array().cast("array<struct<token:string,tf:bigint>>")
+    return F.transform(
+        F.array(F.array_sort(tokens)),
+        # sequence(1, 0) DESCENDS in Spark, so the zero-token row must
+        # short-circuit to the typed empty array
+        lambda st: F.when(F.size(st) >= 1, _runs(st)).otherwise(empty),
+    )[0]
+
+
 def subword_count(text: Column, piece_len: int = 4) -> Column:
     """BPE-ish token estimate: words split into fixed-size sub-word
     pieces — ``ceil(len(word)/piece_len)`` summed over words, digits and
@@ -78,7 +115,9 @@ def subword_count(text: Column, piece_len: int = 4) -> Column:
     )
 
 
-def quality_score(text: Column, n_chars: Column) -> Column:
+def quality_score(
+    text: Column, n_chars: Column, tokens: Column | None = None
+) -> Column:
     """Composite [0,1] quality heuristic: alphabetic-character ratio,
     stopword presence, and a length prior — the length/punct/stopword
     trio every web-scale corpus filter starts from."""
@@ -89,7 +128,7 @@ def quality_score(text: Column, n_chars: Column) -> Column:
     # array): the old inline form evaluated tokenize+array_distinct
     # twice per row (intersect + size)
     stop_ratio = F.transform(
-        F.array(F.array_distinct(tokenize(text))),
+        F.array(F.array_distinct(tokens if tokens is not None else tokenize(text))),
         lambda toks: F.size(
             F.array_intersect(toks, F.array(*[F.lit(s) for s in EN_STOPWORDS]))
         )
@@ -126,7 +165,7 @@ def predicted_lang(scores: dict[str, Column]) -> Column:
     return best.otherwise("und")
 
 
-def fingerprint(text: Column) -> Column:
+def fingerprint(text: Column, tokens: Column | None = None) -> Column:
     """Canonical content fingerprint: md5 of the token-normalized text
     (case/punctuation/whitespace-insensitive exact identity). NULL for
     ZERO-token docs: no content, no identity claim — Spark's
@@ -136,7 +175,7 @@ def fingerprint(text: Column) -> Column:
     ASCII tokenizer yields zero tokens for all of them) into one
     md5('') "exact-dup" group at corpus scale."""
     return F.transform(
-        F.array(tokenize(text)),
+        F.array(tokens if tokens is not None else tokenize(text)),
         lambda toks: F.when(F.size(toks) > 0, F.md5(F.array_join(toks, " "))),
     )[0]
 
@@ -172,7 +211,9 @@ def bigrams(tokens: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def repetition_stats(text: Column) -> dict[str, Column]:
+def repetition_stats(
+    text: Column, tokens: Column | None = None
+) -> dict[str, Column]:
     """Gopher-style within-document repetition signals, shuffle-free:
 
     - ``dup_token_frac``: 1 - distinct/total tokens (a page of the same
@@ -232,7 +273,9 @@ def repetition_stats(text: Column) -> dict[str, Column]:
             ),
         )
 
-    both = F.transform(F.array(tokenize(text)), _stats)[0]
+    both = F.transform(
+        F.array(tokens if tokens is not None else tokenize(text)), _stats
+    )[0]
     return {
         "dup_token_frac": both["dup_token_frac"],
         "top_token_frac": both["top_token_frac"],
@@ -484,19 +527,26 @@ def passage_dedup(
     """
     from pyspark.sql import Window
 
-    toks = tokenize(F.col(text_col))
-    n_pass = F.ceil(F.size(toks) / F.lit(passage_tokens)).cast("long")
-    # guard: sequence(1, 0) DESCENDS in Spark — a token-less doc must
-    # yield zero passages, not two bogus ones
-    windows = F.when(
-        n_pass >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_pass),
-            lambda i: F.array_join(
-                F.slice(toks, (i - 1) * passage_tokens + 1, passage_tokens), " "
+    # let-bind the token array (transform over a 1-element array): the
+    # window lambda slices ``toks`` per passage index, which re-evaluated
+    # the whole tokenize tree per window when embedded (optimization
+    # r13, same fix as shingles/bigrams)
+    def _windows(toks: Column) -> Column:
+        n_pass = F.ceil(F.size(toks) / F.lit(passage_tokens)).cast("long")
+        # guard: sequence(1, 0) DESCENDS in Spark — a token-less doc must
+        # yield zero passages, not two bogus ones
+        return F.when(
+            n_pass >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_pass),
+                lambda i: F.array_join(
+                    F.slice(toks, (i - 1) * passage_tokens + 1, passage_tokens),
+                    " ",
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    windows = F.transform(F.array(tokenize(F.col(text_col))), _windows)[0]
     passages = df.select(
         F.col(id_col), F.posexplode(windows).alias("pos", "passage")
     )

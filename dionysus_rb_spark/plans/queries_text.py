@@ -848,17 +848,28 @@ def pipe_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     docs = _docs(spark, sf_dir)
-    rep = textops.repetition_stats(F.col("text"))
     from ..functions.hashing import tokenize
 
-    scored = docs.select(
+    # tokenize ONCE per row into an attribute the score expressions
+    # reference (optimization r13): quality, both repetition fractions,
+    # the fingerprint and the token count all consume the same token
+    # array, and CollapseProject leaves the two-projection shape alone
+    # because the alias is non-cheap and multiply referenced — the old
+    # single projection re-ran the regex tokenizer once per consumer.
+    toked = docs.select(
+        "doc_id", "lang", "n_chars", "text", tokenize(F.col("text")).alias("__toks")
+    )
+    rep = textops.repetition_stats(F.col("text"), tokens=F.col("__toks"))
+    scored = toked.select(
         "doc_id",
         "lang",
-        textops.quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+        textops.quality_score(
+            F.col("text"), F.col("n_chars"), tokens=F.col("__toks")
+        ).alias("quality"),
         rep["dup_token_frac"].alias("dup_frac"),
         rep["top_token_frac"].alias("top_frac"),
-        textops.fingerprint(F.col("text")).alias("__fp"),
-        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+        textops.fingerprint(F.col("text"), tokens=F.col("__toks")).alias("__fp"),
+        F.size(F.col("__toks")).cast("long").alias("n_tokens"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     gated = scored.filter(
         (F.col("quality") >= 0.3)
@@ -1044,7 +1055,13 @@ def t_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus doc count stays IN the plan (1-row frame, broadcast onto
     # the vocabulary-sized agg — the oracle's count CTE shape) instead
     # of a separate driver count job
-    n_docs = docs.agg(F.count("*").alias("__nd"))
+    # count the RAW scan, not the spread frame: the corpus count
+    # needs no parallelism and the min-parallelism repartition is a
+    # full exchange the 1-row aggregate would otherwise pay for
+    # (optimization r13)
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("__nd")
+    )
     expanded = docs.select(
         F.explode(F.array_distinct(tokenize(F.col("text")))).alias("token")
     )
@@ -1112,14 +1129,28 @@ def t_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     # corpus doc count as a 1-row in-plan frame, not a driver count job
-    n_docs = docs.agg(F.count("*").alias("__nd"))
-    # tf feeds both the df reaggregation and the scored join: persist it
-    # so the corpus is exploded and shuffled ONCE (at cluster scale this
-    # is a staged table, the same move as minhash's shingle stage)
+    # count the RAW scan, not the spread frame: the corpus count
+    # needs no parallelism and the min-parallelism repartition is a
+    # full exchange the 1-row aggregate would otherwise pay for
+    # (optimization r13)
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("__nd")
+    )
+    # term frequencies are PER-ROW quantities (all of a document's
+    # tokens live in its own row), so they come from a sorted-run count
+    # inside the scan (textops.token_tf) — the old explode +
+    # groupBy(doc_id, token) shuffled the entire exploded corpus to
+    # count what each row already contained (optimization r13: one
+    # corpus-sized Exchange removed; tf values identical). The tf frame
+    # still feeds both the df reaggregation and the scored join, so it
+    # stays persisted (a staged table at cluster scale, the same move
+    # as minhash's shingle stage).
     tf = (
-        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
+        docs.select(
+            "doc_id",
+            F.explode(textops.token_tf(tokenize(F.col("text")))).alias("__e"),
+        )
+        .select("doc_id", F.col("__e.token").alias("token"), F.col("__e.tf").alias("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # idf is a per-TOKEN quantity: compute it once on the vocabulary-
