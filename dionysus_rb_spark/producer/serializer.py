@@ -90,7 +90,25 @@ def serialize_aggregate(
         struct_cols = [F.col(c) for c in ([rel.child_id] + rel.attributes)]
         obj = F.struct(*struct_cols)
         id_col, obj_col = F.col(rel.child_id), obj
-        if rel.order_col:
+        if rel.order_col and rel.order_col == rel.child_id:
+            # order key == the object struct's FIRST field, so sorting
+            # the objects directly gives the identical sequence the
+            # keyed pair sort would (struct comparison is field-by-
+            # field: equal ids fall through to the same attribute
+            # tie-break either way) — and the shuffle stops carrying a
+            # duplicate copy of the sort key per child row
+            # (optimization r13: the sideload aggregate's exchange is
+            # the corpus-sized one in this operator).
+            sorted_objs = F.array_sort(F.collect_list(obj_col))
+            grouped = rel.child.groupBy(rel.fk).agg(sorted_objs.alias("__p"))
+            grouped = grouped.select(
+                rel.fk,
+                F.transform(F.col("__p"), lambda x: x[rel.child_id]).alias(
+                    f"__ids_{name}"
+                ),
+                F.col("__p").alias(f"__objs_{name}"),
+            )
+        elif rel.order_col:
             # collect under a sort key, then strip it: deterministic arrays
             # independent of task/partition ordering. One collect_list +
             # one array_sort; both the id array and the object array are
