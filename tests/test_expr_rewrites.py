@@ -1,0 +1,160 @@
+"""Equivalence pins for the optimization-round expression rewrites.
+
+Round 13 rewrote several per-row text expressions (shingles, bigrams,
+repetition top-token count, simhash voting, per-row term frequencies)
+from index-per-element / nested-aggregate shapes into zip_with /
+single-pass folds. The rewrites must be VALUE-identical — the oracle
+parity suite checks them end-to-end against DuckDB, and these tests pin
+each operator's new internals against a brute-force Python reference on
+adversarial inputs (empty, single-token, all-repeats, ties, unicode)
+so a future edit cannot drift the semantics without a red test.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+ADVERSARIAL_TEXTS = [
+    "",                                     # zero tokens
+    "    ",                                 # whitespace only
+    "one",                                  # single token (< k)
+    "a b",                                  # exactly 2 tokens
+    "a b c",                                # exactly k=3 tokens
+    "x x x x x x",                          # all-repeats
+    "the the a a a zz zz",                  # tie-shaped counts
+    "Hello, WORLD!  hello world 123 one2three",
+    "CJK 文字 only あ",         # tokens that vanish under ascii tokenizer
+    "a-b c.d e_f",                          # punctuation splits
+    "k K İstanbul",                    # lowercases INTO ascii
+    "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w1 w2 w1",
+]
+
+
+def _py_tokenize(text: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _frame(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ADVERSARIAL_TEXTS)], ["doc_id", "text"]
+    )
+
+
+def test_shingles_matches_reference(spark):
+    from dionysus_rb_spark.functions.hashing import shingles, tokenize
+
+    for k in (1, 2, 3, 5):
+        rows = (
+            _frame(spark)
+            .select("doc_id", shingles(tokenize(F.col("text")), k).alias("s"))
+            .collect()
+        )
+        for r in rows:
+            toks = _py_tokenize(ADVERSARIAL_TEXTS[r["doc_id"]])
+            if len(toks) >= k:
+                expect = [
+                    " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+                ]
+            elif toks:
+                expect = [" ".join(toks)]
+            else:
+                expect = []
+            # array_distinct keeps first-occurrence order
+            seen: list[str] = []
+            for g in expect:
+                if g not in seen:
+                    seen.append(g)
+            assert list(r["s"]) == seen, (k, r["doc_id"], r["s"], seen)
+
+
+def test_bigrams_matches_reference(spark):
+    from dionysus_rb_spark.functions.hashing import tokenize
+    from dionysus_rb_spark.operators.textops import bigrams
+
+    rows = (
+        _frame(spark)
+        .select("doc_id", bigrams(tokenize(F.col("text"))).alias("b"))
+        .collect()
+    )
+    for r in rows:
+        toks = _py_tokenize(ADVERSARIAL_TEXTS[r["doc_id"]])
+        expect = (
+            [f"{a} {b}" for a, b in zip(toks, toks[1:])] if len(toks) >= 2 else []
+        )
+        assert list(r["b"]) == expect, (r["doc_id"], r["b"], expect)
+
+
+def test_repetition_top_count_matches_reference(spark):
+    from dionysus_rb_spark.operators.textops import repetition_stats
+
+    stats = repetition_stats(F.col("text"))
+    rows = (
+        _frame(spark)
+        .select(
+            "doc_id",
+            stats["dup_token_frac"].alias("dup"),
+            stats["top_token_frac"].alias("top"),
+        )
+        .collect()
+    )
+    for r in rows:
+        toks = _py_tokenize(ADVERSARIAL_TEXTS[r["doc_id"]])
+        n = max(len(toks), 1)
+        top = max((toks.count(t) for t in set(toks)), default=0)
+        assert r["top"] == pytest.approx(round(top / n, 6), abs=0), r
+        assert r["dup"] == pytest.approx(
+            round(1 - len(set(toks)) / n, 6), abs=0
+        ), r
+
+
+def test_token_tf_matches_groupby_counts(spark):
+    from dionysus_rb_spark.functions.hashing import tokenize
+    from dionysus_rb_spark.operators.textops import token_tf
+
+    df = _frame(spark)
+    per_row = (
+        df.select(
+            "doc_id", F.explode(token_tf(tokenize(F.col("text")))).alias("e")
+        )
+        .select("doc_id", "e.token", "e.tf")
+    )
+    reference = (
+        df.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    assert per_row.exceptAll(reference).count() == 0
+    assert reference.exceptAll(per_row).count() == 0
+
+
+def test_simhash_matches_bit_vote_reference(spark):
+    from dionysus_rb_spark.operators.simhash import WIDE_BITS, simhash
+
+    for bits in (32, WIDE_BITS):
+        rows = simhash(_frame(spark), "text", "doc_id", bits=bits).collect()
+        got = {r["doc_id"]: r["simhash"] for r in rows}
+        ndigits = (bits + 3) // 4
+        for i, text in enumerate(ADVERSARIAL_TEXTS):
+            toks = _py_tokenize(text)
+            if not toks:
+                assert i not in got  # zero-token docs emit no fingerprint
+                continue
+            distinct: list[str] = []
+            for t in toks:
+                if t not in distinct:
+                    distinct.append(t)
+            hashes = [
+                int(hashlib.md5(t.encode()).hexdigest()[:ndigits], 16)
+                for t in distinct
+            ]
+            fp = 0
+            for b in range(bits):
+                votes = sum(1 if h & (1 << b) else -1 for h in hashes)
+                if votes > 0:
+                    fp |= 1 << b
+            assert got[i] == fp, (bits, i, got[i], fp)
