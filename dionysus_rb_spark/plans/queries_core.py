@@ -66,6 +66,7 @@ _OUTBOXISH_SQL = """
     "a1_keep_latest_dedup",
     refs="A1,O3",
     bench=True,
+    pure_plan=True,
     oracle="""
     SELECT event_id, ts, user_id, event_type, value, props
     FROM events
@@ -86,6 +87,7 @@ def a1_keep_latest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a2_consecutive_dedup",
     refs="A2",
     bench=True,
+    pure_plan=True,
     oracle="""
     SELECT event_id, ts, user_id, event_type, value, props
     FROM (
@@ -244,6 +246,7 @@ F1_ORACLE_SQL = f"""
     "f1_guarded_merge_snapshot",
     refs="J1,F1,F3,F8,A1,S7",
     bench=True,
+    pure_plan=True,
     oracle=F1_ORACLE_SQL,
 )
 def f1_guarded_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,6 +352,7 @@ def f2_soft_delete_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j2_dependency_parent_fanout",
     refs="J2,J6",
     bench=True,
+    pure_plan=True,
     oracle="""
     SELECT DISTINCT o.o_orderkey,
            'order_updated' AS event,

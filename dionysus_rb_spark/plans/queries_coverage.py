@@ -70,6 +70,7 @@ def s5_genesis_topic_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s10_tombstone_merge",
     refs="S10,T7,S8,J1",
     bench=True,
+    pure_plan=True,
     oracle="""
     WITH tgt AS (
         SELECT user_id AS synced_id, ts AS synced_updated_at, value AS val
@@ -778,6 +779,7 @@ def d5_polymorphic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d4_aggregate_dismantle",
     refs="D4,P3",
     bench=True,
+    pure_plan=True,
     oracle="""
     SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
     FROM lineitem l
@@ -974,6 +976,7 @@ def g5_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "j8_asof_join",
     bench=True,
+    pure_plan=True,
     refs="beyond:joins,J6",
     oracle="""
     WITH pur AS (
@@ -1057,6 +1060,7 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ev_interval_join",
     bench=True,
+    pure_plan=True,
     refs="beyond:joins,T4",
     oracle="""
     WITH win AS (

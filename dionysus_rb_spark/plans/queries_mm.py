@@ -62,6 +62,7 @@ def _hexbyte(pos: int) -> str:
     "mm_decode_features",
     refs="beyond:multimodal",
     bench=True,
+    pure_plan=True,
     oracle=f"""
     SELECT doc_id AS media_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -116,6 +117,7 @@ def _mm_planes():
 @query(
     "mm_embed_lsh",
     bench=True,
+    pure_plan=True,
     refs="beyond:multimodal,beyond:similarity",
     oracle=f"""
     WITH base AS (

@@ -92,6 +92,7 @@ def d1_batched_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     "p3_aggregate_assembly",
     refs="P1,P2,P3,J2",
     bench=True,
+    pure_plan=True,
     oracle="""
     SELECT o.o_orderkey,
            o.o_custkey AS customer_id,

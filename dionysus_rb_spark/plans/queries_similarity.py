@@ -24,6 +24,7 @@ LSH_PLANES = similarity.planes(num_planes=8, dim=64, seed=42)
     "ann_bruteforce_topk",
     refs="beyond:similarity",
     bench=True,
+    pure_plan=True,
     oracle=similarity.brute_force_topk_sql(QUERY_IDS, k=10),
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,6 +38,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_lsh_neardup",
     refs="beyond:similarity",
     bench=True,
+    pure_plan=True,
     oracle=similarity.lsh_near_dup_sql(LSH_PLANES, threshold=0.2, max_bucket=1000),
 )
 def ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,6 +171,7 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "emb_quantize_int8",
     bench=True,
+    pure_plan=True,
     refs="beyond:similarity,beyond:multimodal",
     oracle=f"""
     WITH base AS (

@@ -27,6 +27,7 @@ _DTOKS = f"list_distinct({_TOKS})"
     "t_token_stats",
     refs="beyond:text",
     bench=True,
+    pure_plan=True,
     oracle=f"""
     SELECT doc_id,
            CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
@@ -346,6 +347,7 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd_minhash_lsh",
     refs="beyond:dedup",
     bench=True,
+    pure_plan=True,
     oracle=minhash.minhash_lsh_dedup_sql(k=3, threshold=0.5),
 )
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,6 +363,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd_delta_gate",
     refs="beyond:dedup",
     bench=True,  # new surface gets round-over-round numbers (r8 policy)
+    pure_plan=True,
     oracle=minhash.delta_dedup_gate_sql(
         "doc_id % 4 = 0", "doc_id % 4 <> 0", k=3, threshold=0.5
     ),
@@ -791,6 +794,7 @@ def pipe_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_full_curation",
     refs="beyond:text,beyond:dedup",
     bench=True,
+    pure_plan=True,
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, lang,
@@ -957,6 +961,7 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production-regime knob, so regressions need a round-over-round
     # number, not just the 32-bit twin's.
     bench=True,
+    pure_plan=True,
     refs="beyond:dedup",
     oracle=simhash.simhash_sql(max_hamming=3, bands=4, bits=simhash.WIDE_BITS),
 )
@@ -980,6 +985,7 @@ def dd_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "t_repetition_quality",
     bench=True,
+    pure_plan=True,
     refs="beyond:text",
     oracle=f"""
     WITH toks AS (
@@ -1026,6 +1032,7 @@ def t_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "t_doc_frequency",
     bench=True,
+    pure_plan=True,
     refs="beyond:text",
     oracle=f"""
     WITH expanded AS (
@@ -1082,6 +1089,7 @@ def t_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "t_tfidf_keywords",
     bench=True,
+    pure_plan=True,
     refs="beyond:text",
     oracle=f"""
     WITH tf AS (
@@ -1182,6 +1190,7 @@ def t_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_lm_quality",
     refs="beyond:text",
     bench=True,
+    pure_plan=True,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS} AS t FROM documents
@@ -1302,6 +1311,7 @@ def t_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ctx_pack_sequences",
     refs="beyond:text",
     bench=True,
+    pure_plan=True,
     oracle=f"""
     WITH sized AS (
       SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
@@ -1384,6 +1394,7 @@ def samp_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "samp_domain_cap",
     refs="beyond:text,beyond:dedup",
     bench=True,
+    pure_plan=True,
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, source,
@@ -1700,6 +1711,7 @@ def dd_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dd_passage_dedup",
     bench=True,
+    pure_plan=True,
     refs="beyond:dedup",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

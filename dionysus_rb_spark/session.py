@@ -46,6 +46,67 @@ def apply_runtime_confs(spark: SparkSession) -> None:
             # silently missing conf (e.g. inferTimestampNTZ) breaks
             # timestamp arithmetic downstream — leave a trace.
             logger.warning("could not set %s=%s on session: %s", k, v, exc)
+    _enable_py4j_nodelay(spark)
+
+
+def _enable_py4j_nodelay(spark: SparkSession) -> None:
+    """Disable Nagle on Py4J's TCP command channel (optimization r13).
+
+    Py4J leaves TCP_NODELAY unset on its gateway sockets. A
+    request-response RPC channel under Nagle can stall a small write
+    behind the peer's delayed ACK, so turning it off is the correct
+    protocol setting; a raw localhost ping-pong with NODELAY measures a
+    62 us floor. Honest measurement note: on this sandbox the observed
+    Py4J roundtrip (1-5 ms) is dominated by host scheduling jitter, and
+    an interleaved on/off A/B showed no consistent latency win — the
+    real construction-cost fix is fewer roundtrips (the pure_plan
+    construction memo in plans/catalog.py and the expression-string
+    builders). Kept because it removes Nagle's worst-case stall class
+    at zero risk: command-channel latency only; plans, results, and
+    execution are untouched. Safe no-op on non-TCP transports.
+    """
+    import socket as _socket
+
+    def _nodelay(sock) -> None:
+        try:
+            if sock is not None:
+                sock.setsockopt(_socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1)
+        except Exception:
+            pass  # non-TCP transport or closed socket: nothing to tune
+
+    try:
+        from py4j import clientserver, java_gateway
+
+        gateway = spark.sparkContext._gateway
+        for conn in list(getattr(gateway._gateway_client, "deque", [])):
+            _nodelay(getattr(conn, "socket", None))
+
+        for cls in (
+            clientserver.ClientServerConnection,
+            java_gateway.GatewayConnection,
+        ):
+            if getattr(cls, "_dionysus_nodelay", False):
+                continue
+            if hasattr(cls, "connect_to_java_server"):
+                orig_connect = cls.connect_to_java_server
+
+                def connect_to_java_server(self, _orig=orig_connect):
+                    _orig(self)
+                    _nodelay(getattr(self, "socket", None))
+
+                cls.connect_to_java_server = connect_to_java_server
+            elif hasattr(cls, "start"):
+                orig_start = cls.start
+
+                def start(self, *a, _orig=orig_start, **kw):
+                    out = _orig(self, *a, **kw)
+                    _nodelay(getattr(self, "socket", None))
+                    return out
+
+                cls.start = start
+            cls._dionysus_nodelay = True
+    except Exception:
+        pass  # no py4j gateway (e.g. Spark Connect): latency knob n/a
 
 
 def get_spark(

@@ -52,6 +52,10 @@ def main() -> None:
         .master(f"local[{cpus}]")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", f"file:{evdir}")
+        # the sandbox has no zstd binary and no python zstandard module,
+        # so the parse below can only read plain-text event logs
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
