@@ -43,17 +43,27 @@ def _assign(base: DataFrame, cents: Centroids) -> DataFrame:
     is exactly ``ORDER BY cos DESC, id ASC LIMIT 1``; the third field
     carries the winner's cosine out bit-identically (−(−x) == x for
     every double, signed zeros included)."""
+    # bind the row norm once (optimization r13): inlined in each
+    # candidate's cosine it re-evaluated the fold K times per row
+    from .similarity import _norm_sql
+
+    normed = base.select("*", F.expr(_norm_sql("__v")).alias("__vn"))
     cands = ",".join(
-        f"struct(-round({cos_lit_sql('__v', cv)}, 6) AS nc,"
+        f"struct(-round({cos_lit_sql('__v', cv, norm_name='__vn')}, 6) AS nc,"
         f" {int(cid)}L AS cluster_id)"
         for cid, cv in cents
     )
-    best = f"array_min(array({cands}))"
-    return base.select(
+    # bind the argmin struct once as well: projecting .cluster_id and
+    # -.nc from the inlined text evaluated the whole candidate array
+    # twice per row
+    best = normed.select(
+        "*", F.expr(f"array_min(array({cands}))").alias("__best")
+    )
+    return best.select(
         "vec_id",
         "__v",
-        F.expr(f"{best}.cluster_id").alias("cluster_id"),
-        F.expr(f"-{best}.nc").alias("__cos"),
+        F.col("__best.cluster_id").alias("cluster_id"),
+        (-F.col("__best.nc")).alias("__cos"),
     )
 
 

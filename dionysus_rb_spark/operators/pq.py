@@ -110,35 +110,64 @@ def pq_encode(
     if n_sub * len(codebook) > literal_max_entries:
         return _pq_encode_arrow(embeddings, codebook, n_sub, id_col, vec_col)
     dim = len(codebook[0])
-    sub_len = dim // n_sub
-    v_sql = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
-
-    code_sqls: list[str] = []
-    dist_sqls: list[str] = []
-    for m in range(n_sub):
-        sv = f"slice({v_sql}, {m * sub_len + 1}, {sub_len})"
-        cands = ",".join(
-            f"struct({_l2_sql(sv, codebook[k][m * sub_len : (m + 1) * sub_len])}"
-            f" AS d, {k}L AS k)"
-            for k in range(len(codebook))
-        )
-        # array_min over (d, k) structs: lexicographic = argmin, ties to
-        # the lowest code id
-        best = f"array_min(array({cands}))"
-        code_sqls.append(f"{best}.k")
-        dist_sqls.append(f"{best}.d")
-
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__v"),
+    )
+    best = _best_codes_literal(base, codebook, n_sub)
     # fixed-order left fold over sub-spaces: ((d0+d1)+d2)+... — matches
     # the oracle's list_reduce in m order exactly
-    mse_sql = f"round(({' + '.join(dist_sqls)}) / {_dlit(float(dim))}, 9)"
-    csv_sql = "concat_ws(',', {})".format(
-        ", ".join(f"CAST({c} AS STRING)" for c in code_sqls)
+    mse_sql = "round(({}) / {}, 9)".format(
+        " + ".join(f"__b{m}.d" for m in range(n_sub)), _dlit(float(dim))
     )
-    return embeddings.select(
-        F.col(id_col).alias("vec_id"),
+    csv_sql = "concat_ws(',', {})".format(
+        ", ".join(f"CAST(__b{m}.k AS STRING)" for m in range(n_sub))
+    )
+    return best.select(
+        "vec_id",
         F.expr(csv_sql).alias("codes_csv"),
         F.expr(mse_sql).alias("recon_mse"),
     )
+
+
+def _best_codes_literal(
+    base: DataFrame, codebook: list[list[float]], n_sub: int
+) -> DataFrame:
+    """Per-sub-space literal argmin over a frame carrying ``__v``
+    (double vector): adds ``__b0..__b{n_sub-1}`` struct(d, k) columns —
+    array_min over (d, k) structs is lexicographic, i.e. argmin with
+    ties to the lowest code id.
+
+    Let-bound shape (optimization r13): the old single projection
+    inlined the ``slice(transform(vec, cast), ...)`` TEXT into every
+    candidate's L2, so each sub-vector slice (and the cast of the whole
+    vector) re-evaluated once per code — K x n_sub interpreted
+    evaluations of the embedded tree per row, pure allocation churn
+    (the profiler read 2.5 s of GC inside emb_pq_adc_topk's 9 s scan).
+    Slices now bind once per row as ``__s{m}`` attributes and the
+    candidates reference the attribute; every alias is non-cheap and
+    multiply referenced, which is exactly the shape CollapseProject
+    leaves alone. Same arithmetic per element, same fold order — codes
+    and distances are bit-identical (pinned by the oracle and
+    tests/test_pq_adc_paths.py)."""
+    dim = len(codebook[0])
+    sub_len = dim // n_sub
+    sliced = base.select(
+        "*",
+        *[
+            F.expr(f"slice(__v, {m * sub_len + 1}, {sub_len})").alias(f"__s{m}")
+            for m in range(n_sub)
+        ],
+    )
+    bests = []
+    for m in range(n_sub):
+        cands = ",".join(
+            f"struct({_l2_sql(f'__s{m}', codebook[k][m * sub_len : (m + 1) * sub_len])}"
+            f" AS d, {k}L AS k)"
+            for k in range(len(codebook))
+        )
+        bests.append(F.expr(f"array_min(array({cands}))").alias(f"__b{m}"))
+    return sliced.select(*base.columns, *bests)
 
 
 def _pq_encode_arrow(
@@ -330,13 +359,29 @@ def pq_adc_topk(
         for q, qv in qvecs.items()
     }
 
-    enc = pq_encode(embeddings, codebook, n_sub, id_col, vec_col).select(
-        F.col("vec_id").alias("cand_id"),
-        F.split("codes_csv", ",").cast("array<long>").alias("codes"),
-    )
     if n_sub * len(codebook) <= literal_max_entries:
+        # literal path: take the code ids straight off the let-bound
+        # argmin structs — the old shape rendered them to a csv string
+        # in pq_encode only to split it back into an array here (one
+        # string build + parse per row for nothing; codes identical)
+        base = embeddings.select(
+            F.col(id_col).alias("cand_id"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__v"),
+        )
+        enc = _best_codes_literal(base, codebook, n_sub).select(
+            "cand_id",
+            F.expr(
+                "array({})".format(
+                    ", ".join(f"__b{m}.k" for m in range(n_sub))
+                )
+            ).alias("codes"),
+        )
         exploded = _adc_score_literal(enc, dtab, n_sub)
     else:
+        enc = pq_encode(embeddings, codebook, n_sub, id_col, vec_col).select(
+            F.col("vec_id").alias("cand_id"),
+            F.split("codes_csv", ",").cast("array<long>").alias("codes"),
+        )
         exploded = _adc_score_broadcast(enc, dtab, n_sub)
     w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("cand_id"))
     return (
@@ -718,19 +763,18 @@ def ivfpq_topk(
     assigned = ivf_assign(base, coarse, id_col).filter(
         F.col("cent_id").isin(allowed)
     )
-    code_sqls: list[str] = []
-    for m in range(n_sub):
-        sv = f"slice(__v, {m * sub_len + 1}, {sub_len})"
-        cands = ",".join(
-            f"struct({_l2_sql(sv, codebook[c][m * sub_len : (m + 1) * sub_len])}"
-            f" AS d, {c}L AS k)"
-            for c in range(len(codebook))
-        )
-        code_sqls.append(f"array_min(array({cands})).k")
-    enc = assigned.select(
-        F.col(id_col).alias("cand_id"),
+    # same let-bound literal argmin as pq_encode (optimization r13):
+    # the old shape inlined the slice(__v, ...) text per candidate
+    enc = _best_codes_literal(
+        assigned.select(F.col(id_col).alias("cand_id"), "cent_id", "__v"),
+        codebook,
+        n_sub,
+    ).select(
+        "cand_id",
         "cent_id",
-        F.expr("array({})".format(", ".join(code_sqls))).alias("codes"),
+        F.expr(
+            "array({})".format(", ".join(f"__b{m}.k" for m in range(n_sub)))
+        ).alias("codes"),
     )
 
     def l2(a: list[float], b: list[float]) -> float:

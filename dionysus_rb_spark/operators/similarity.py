@@ -96,20 +96,27 @@ def sane_vec_sql(v: str) -> str:
     return f"(len({v}) > 0 AND {s} > 0 AND {s} < 'Infinity'::DOUBLE)"
 
 
-def cos_lit_sql(vec_name: str, lits: list[float]) -> str:
+def cos_lit_sql(vec_name: str, lits: list[float], norm_name: str | None = None) -> str:
     """Cosine of a vector COLUMN NAME against a LITERAL vector as one
     SQL expression string — identical math to :func:`cosine` (sequential
     left-folds, dot / (na * nb)), but one ``F.expr`` parse instead of a
     Py4J round trip per literal (~0.5 s of serial driver time per 8x64
     candidate block — the lsh_bucket lesson, round 3; generalized to
     the centroid argmins in round 4). ``repr`` literals round-trip to
-    the identical IEEE double."""
+    the identical IEEE double.
+
+    ``norm_name`` (optimization r13): name of a column already holding
+    sqrt(fold(x*x)) of the vector. The centroid-argmin callers evaluate
+    this expression once per CENTROID, so inlining the norm fold text
+    re-computed the row's norm K times per row; the callers now bind it
+    once as an attribute and pass its name. Identical expression tree
+    per element either way — the norm value is the same double."""
     arr = "array(" + ",".join(f"{float(x)!r}D" for x in lits) + ")"
     dot = (
         f"aggregate(zip_with({vec_name}, {arr}, (x, y) -> x * y),"
         f" 0.0D, (acc, s) -> acc + s)"
     )
-    na = (
+    na = norm_name or (
         f"sqrt(aggregate(transform({vec_name}, x -> x * x),"
         f" 0.0D, (acc, s) -> acc + s))"
     )
@@ -119,6 +126,15 @@ def cos_lit_sql(vec_name: str, lits: list[float]) -> str:
     )
     # same degenerate-input contract as cosine(): NULL, never raise/NaN
     return f"nanvl(try_divide({dot}, ({na} * {nb})), CAST(NULL AS DOUBLE))"
+
+
+# the norm fold cos_lit_sql inlines when no norm_name is given — bound
+# once per row by the argmin callers (see cos_lit_sql's norm_name note)
+def _norm_sql(vec_name: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({vec_name}, x -> x * x),"
+        f" 0.0D, (acc, s) -> acc + s))"
+    )
 
 
 def brute_force_topk(
@@ -324,12 +340,16 @@ def ivf_assign(
     MAP-ONLY — one codegen corpus scan, no join, no per-vector window
     (lexicographic array_min over (−cos, id) == ORDER BY cos DESC,
     id ASC LIMIT 1)."""
+    # bind the row norm once (optimization r13): inlined in each
+    # candidate's cosine it re-evaluated the fold K times per row
+    normed = base.select("*", F.expr(_norm_sql("__v")).alias("__vn"))
     cands = ",".join(
-        f"struct(-{cos_lit_sql('__v', cv)} AS nc, {int(cid)}L AS cent_id)"
+        f"struct(-{cos_lit_sql('__v', cv, norm_name='__vn')} AS nc,"
+        f" {int(cid)}L AS cent_id)"
         for cid, cv in centroids
     )
     best = f"array_min(array({cands}))"
-    return base.select(
+    return normed.select(
         id_col, "__v", F.expr(f"{best}.cent_id").alias("cent_id")
     )
 

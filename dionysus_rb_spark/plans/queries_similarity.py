@@ -213,25 +213,55 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-away rounding diverges between engines; the MSE fold is a
     sequential left fold in index order on both sides, so the double
     math is bit-identical. One codegen scan, no shuffle."""
-    v = similarity.as_double(F.col("embedding"))
-    scale = 127.0 / F.greatest(
-        F.array_max(F.transform(v, F.abs)), F.lit(1e-30)
-    )
-    q = F.transform(
-        v, lambda x: F.greatest(F.least(F.floor(x * scale + 0.5), F.lit(127.0)), F.lit(-127.0))
-    )
-    err = F.zip_with(v, q, lambda x, qi: (x - qi / scale) * (x - qi / scale))
-    mse = F.aggregate(err, F.lit(0.0), lambda a, b: a + b) / F.size(v)
     # non-finite vectors are excluded (an Inf element makes max|x| = Inf
     # => scale 0 => the dequant division raises under ANSI; a NaN makes
     # every derived stat NaN). Zero/constant vectors stay: the 1e-30
     # floor keeps their scale finite. Round-7 adversarial content fuzz.
-    return _emb(spark, sf_dir).filter(
-        similarity.finite_vec(similarity.as_double(F.col("embedding")))
-    ).select(
+    #
+    # Let-bound shape (optimization r13): the old single projection
+    # inlined the cast vector / scale / quantized array TREES into every
+    # consumer, so per row the cast ran ~4x, the scale fold ~3x and the
+    # whole quantize transform twice (n_saturated + the error fold).
+    # Each now binds once as an attribute; every alias is non-cheap and
+    # multiply referenced, the shape CollapseProject leaves alone. Same
+    # expressions per element, same fold order — outputs bit-identical
+    # (oracle-pinned).
+    base = (
+        _emb(spark, sf_dir)
+        .filter(similarity.finite_vec(similarity.as_double(F.col("embedding"))))
+        .select(
+            "vec_id", similarity.as_double(F.col("embedding")).alias("__v")
+        )
+    )
+    scaled = base.select(
+        "*",
+        (
+            127.0
+            / F.greatest(
+                F.array_max(F.transform(F.col("__v"), F.abs)), F.lit(1e-30)
+            )
+        ).alias("__scale"),
+    )
+    quant = scaled.select(
+        "*",
+        F.transform(
+            F.col("__v"),
+            lambda x: F.greatest(
+                F.least(F.floor(x * F.col("__scale") + 0.5), F.lit(127.0)),
+                F.lit(-127.0),
+            ),
+        ).alias("__q"),
+    )
+    err = F.zip_with(
+        F.col("__v"),
+        F.col("__q"),
+        lambda x, qi: (x - qi / F.col("__scale")) * (x - qi / F.col("__scale")),
+    )
+    mse = F.aggregate(err, F.lit(0.0), lambda a, b: a + b) / F.size(F.col("__v"))
+    return quant.select(
         "vec_id",
-        F.round(scale, 6).alias("scale"),
-        F.size(F.filter(q, lambda x: F.abs(x) == 127.0))
+        F.round(F.col("__scale"), 6).alias("scale"),
+        F.size(F.filter(F.col("__q"), lambda x: F.abs(x) == 127.0))
         .cast("long")
         .alias("n_saturated"),
         F.round(mse, 9).alias("recon_mse"),
