@@ -28,8 +28,9 @@ class QueryDef:
     # pure_plan=True asserts the query fn is a PURE PLAN BUILDER: it
     # launches no jobs, collects nothing, and lands no files — the
     # returned DataFrame recomputes everything from the base parquet
-    # tables on every action (persist() is fine: it is lazy, and a
-    # clearCache() simply makes the next action recompute). Audited
+    # tables on every action (persist() is lazy but NOT construction-
+    # pure — it registers a CacheManager entry clearCache() removes, so
+    # the memo captures and re-registers staging on hits). Audited
     # per query; queries whose construction performs real work (CC
     # checkpoint loops, ingest landings, driver-collected codebooks)
     # must stay False so repeated timing re-pays that work.
@@ -252,6 +253,64 @@ _CERTIFIED_ROUND: dict[str, int] = _latest_green_rounds()
 _DRIVER_CERTIFIED: frozenset[str] = frozenset(_CERTIFIED_ROUND)
 
 
+_PERSIST_CAPTURE: list[list] = []
+
+
+def _construct_capturing_persists(fn: SparkQuery, spark: SparkSession, sf_dir: str):
+    """Run ``fn`` recording every DataFrame.persist() it performs.
+
+    persist() is NOT construction-pure: it registers the frame's
+    analyzed plan in the session CacheManager, and a later
+    spark.catalog.clearCache() (which bench.py issues before every
+    pass, and arbitrary tests issue at will) REMOVES that registration.
+    A memoized handle would then silently execute without its staged
+    frames — a different physical plan from the one the query was
+    audited and certified with (caught by tests/test_plan_staging.py
+    on the first full-suite run after the memo landed). So the memo
+    records the persisted frames + storage levels at construction and
+    re-registers any that have been dropped on every memo hit: the
+    handle's executed plan then always contains the same
+    InMemoryTableScan staging points as a fresh construction, while
+    each action still recomputes all data from the parquet inputs
+    (re-persist is lazy — it restores the staging POINT, not any
+    cached bytes). Driver-side construction is single-threaded here;
+    the patch window is scoped to the fn call.
+    """
+    # patch the CONCRETE DataFrame class: since Spark 4 the sessions
+    # hand out pyspark.sql.classic.dataframe.DataFrame, whose own
+    # persist() would shadow a patch on the abstract base
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _DFImpl
+    except ImportError:  # older Spark: the one class is the impl
+        _DFImpl = DataFrame
+
+    captured: list = []
+    _PERSIST_CAPTURE.append(captured)
+    orig = _DFImpl.persist
+
+    def patched(self, *args, **kwargs):
+        out = orig(self, *args, **kwargs)
+        for lst in _PERSIST_CAPTURE:
+            lst.append((out, args, kwargs))
+        return out
+
+    _DFImpl.persist = patched
+    try:
+        df = fn(spark, sf_dir)
+    finally:
+        _DFImpl.persist = orig
+        _PERSIST_CAPTURE.pop()
+    return df, captured
+
+
+def _restage(staged: list) -> None:
+    """Re-register any staged frame clearCache() has dropped."""
+    for frame, args, kwargs in staged:
+        sl = frame.storageLevel
+        if not (sl.useMemory or sl.useDisk or sl.useOffHeap):
+            frame.persist(*args, **kwargs)
+
+
 def _memoize_pure_plan(name: str, fn: SparkQuery) -> SparkQuery:
     """Construction memo for pure-plan queries (optimization r13).
 
@@ -265,9 +324,11 @@ def _memoize_pure_plan(name: str, fn: SparkQuery) -> SparkQuery:
     (QueryDef.pure_plan) are wrapped, so any fn that does real eager
     work (checkpoints, landings, collects) still re-runs in full.
     Execution is untouched: each action still computes from the parquet
-    inputs (bench clearCache() drops all cached data between passes).
-    The cache lives on the session object and dies with it; set
-    SPARK_GRAFT_QUERY_MEMO=0 to disable (used to A/B the memo itself).
+    inputs (bench clearCache() drops all cached data between passes;
+    in-plan persist staging is re-registered on memo hits — see
+    _construct_capturing_persists). The cache lives on the session
+    object and dies with it; set SPARK_GRAFT_QUERY_MEMO=0 to disable
+    (used to A/B the memo itself).
     """
     import os
 
@@ -279,10 +340,13 @@ def _memoize_pure_plan(name: str, fn: SparkQuery) -> SparkQuery:
             cache = {}
             spark._dionysus_query_cache = cache
         key = (name, os.path.abspath(sf_dir))
-        df = cache.get(key)
-        if df is None:
-            df = fn(spark, sf_dir)
-            cache[key] = df
+        hit = cache.get(key)
+        if hit is None:
+            df, staged = _construct_capturing_persists(fn, spark, sf_dir)
+            cache[key] = (df, staged)
+            return df
+        df, staged = hit
+        _restage(staged)
         return df
 
     wrapper.__name__ = fn.__name__

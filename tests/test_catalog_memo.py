@@ -88,3 +88,22 @@ def test_memo_survives_clear_cache_on_persisting_plans(spark, sf_dir, name):
     r1 = df.count()
     spark.catalog.clearCache()
     assert q.fn(spark, sf_dir).count() == r1
+
+
+@pytest.mark.parametrize("name", ["dd_minhash_lsh", "pipe_full_curation"])
+def test_memo_hit_restages_persists_after_clear_cache(spark, sf_dir, name):
+    """clearCache() unREGISTERS in-plan persist staging (not just the
+    cached bytes), so a memo hit must re-register it: the executed plan
+    of a post-clearCache hit has to show the same InMemoryTableScan
+    staging points as a fresh construction — without this, passes 2+ of
+    the bench silently measured a different (unstaged) physical plan
+    (caught by tests/test_plan_staging.py on the first full-suite run
+    after the memo landed)."""
+    q = all_queries()[name]
+    q.fn(spark, sf_dir)  # populate the memo (and register staging)
+    spark.catalog.clearCache()  # drops data AND the cache registration
+    df = q.fn(spark, sf_dir)  # memo hit: must re-register staging
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, (
+        f"{name}: memo hit lost its persist staging after clearCache()"
+    )
