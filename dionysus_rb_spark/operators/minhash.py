@@ -138,6 +138,12 @@ def lsh_candidate_pairs(
         " transform(slice(ids, i + 2, size(ids)),"
         " y -> named_struct('doc_a', x, 'doc_b', y))))"
     )
+    # NOT spread_for_compute'd like simhash_pairs/lsh_near_dup_pairs:
+    # this expansion emits bare (doc_a, doc_b) ids with no per-pair
+    # verify math (Jaccard runs in the join AFTER the distinct), so the
+    # coalesced stage measured only ~0.13 s — an interleaved A/B of the
+    # spread read 1.35x WORSE (the extra exchange + lost stage fusion
+    # cost more than the expansion it parallelized). Optimization r13.
     return (
         buckets.select(F.explode(pairs_arr).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -148,12 +154,20 @@ def lsh_candidate_pairs(
 def verify_jaccard(
     pairs: DataFrame, sh: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact shingle-set Jaccard on candidate pairs only."""
+    """Exact shingle-set Jaccard on candidate pairs only.
+
+    Union size is computed by inclusion-exclusion (|A| + |B| - |A∩B|),
+    never by materializing array_union: shingle sets are distinct by
+    construction (shingles() array_distincts) and inner joins admit no
+    NULL arrays, so the counts are identical while the per-pair work
+    drops to ONE set operation instead of two (optimization r13, guide
+    §1.2 per-task work — array_union built and discarded a combined
+    array per candidate pair)."""
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle_set").alias("__sa"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle_set").alias("__sb"))
     joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
     inter = F.size(F.array_intersect("__sa", "__sb"))
-    union = F.size(F.array_union("__sa", "__sb"))
+    union = F.size("__sa") + F.size("__sb") - inter
     return (
         joined.withColumn("n_intersect", inter.cast("long"))
         .withColumn("n_union", union.cast("long"))
@@ -382,8 +396,10 @@ def _gate_against(
     sa = sh_d.select(
         F.col("doc_id").alias("delta_id"), F.col("shingle_set").alias("__sa")
     )
+    # inclusion-exclusion union size — same rationale (and identical
+    # counts) as verify_jaccard: shingle sets are distinct, joins inner
     inter = F.size(F.array_intersect("__sa", "__sb"))
-    union = F.size(F.array_union("__sa", "__sb"))
+    union = F.size("__sa") + F.size("__sb") - inter
     matches = (
         cand.join(sa, "delta_id")
         .join(sb, "index_id")

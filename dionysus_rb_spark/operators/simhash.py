@@ -181,8 +181,22 @@ def simhash_pairs(
         "'doc_a', x.doc_id, 'doc_b', y.doc_id,"
         " 'hamming', cast(bit_count(x.simhash ^ y.simhash) as bigint)))))"
     )
+    # spread the quadratic pair expansion: the bucket-row frame out of
+    # the aggregate is kilobytes, so AQE's byte-based coalescing ran
+    # the whole expansion on ONE task (1.36 s single-task stage at
+    # sf0.1 while 31 cores idled — optimization r13, guide §2.5); an
+    # explicit width-pinned repartition of the TINY bucket rows buys
+    # full-width parallelism for the compute-dense expansion at the
+    # cost of one metadata-sized exchange. (Pinning the band exchange
+    # itself instead was measured WORSE — it dropped the map-side
+    # partial collect_set and doubled the query's task seconds. A
+    # same-key repartition here is optimized away as redundant, so the
+    # spread is keyless round-robin.)
+    from .skew import spread_for_compute
+
     return (
-        buckets.select(F.explode(pairs_arr).alias("p"))
+        spread_for_compute(buckets)
+        .select(F.explode(pairs_arr).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

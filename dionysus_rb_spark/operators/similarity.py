@@ -319,6 +319,11 @@ def lsh_near_dup_pairs(
         " round(nanvl(try_divide(aggregate(zip_with(x.v, y.v, (p, q) -> p * q), 0.0D,"
         " (a, b) -> a + b), (x.n * y.n)), CAST(NULL AS DOUBLE)), 6)))))"
     )
+    # the per-bucket expansion stage is byte-coalesced by AQE onto one
+    # task (~0.27 s at sf0.1); width-pinning it via spread_for_compute
+    # (the simhash_pairs fix) measured 1.13x WORSE here in an
+    # interleaved A/B — the stage is too small to amortize the extra
+    # exchange. Left alone per guide §1 measure-first. r13.
     return (
         members.select(F.explode(pairs_arr).alias("p"))
         .select("p.id_a", "p.id_b", "p.cos")

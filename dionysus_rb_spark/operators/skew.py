@@ -20,6 +20,42 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_for_compute(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition on ``cols`` at the session's configured shuffle
+    width, PINNING the exchange against AQE's byte-based coalescing.
+
+    AQE sizes post-shuffle partitions by BYTES
+    (advisoryPartitionSizeInBytes / minPartitionSize), which is the
+    right call when stage cost tracks bytes — but a bucket-expansion or
+    per-group fold stage does O(group²) or O(collected array) compute
+    over kilobytes of input, and AQE happily coalesces it onto ONE task
+    (measured: dd_simhash_wide's pair expansion ran 1.36 s single-task
+    behind a <1 MB exchange while 31 cores idled — optimization r13,
+    guide §2.5: a partition-count decision the optimizer cannot make
+    from sizes it can see). An explicit repartition(N, key) keeps the
+    exchange (the aggregate/window downstream reuses it — no extra
+    shuffle) but fixes its width: user-specified partition counts are
+    exempt from AQE coalescing.
+
+    N is the session's ``spark.sql.shuffle.partitions`` — the same
+    scale knob every other exchange uses (cores-sized locally,
+    cluster-sized in production), so this is a shape pin, not a local
+    tune. Trade-off stated: the pinned exchange gives up AQE's
+    small-partition merging for that hop, which is exactly the point —
+    only use it in front of compute-dense, low-byte stages.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if not cols:
+        # keyless round-robin: the only shape that survives when the
+        # child is ALREADY hash-partitioned on every candidate key (a
+        # same-key repartition is optimized away as redundant — no
+        # exchange, no spread). Pays the deterministic
+        # sort-before-repartition of the (tiny) input; that is the
+        # price of retry-safe row placement (SPARK-23207).
+        return df.repartition(n)
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def salted_collect_list(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h32_sql, shingles_sql, tokenize_sql
-from ..operators import minhash, simhash, sketch, textops
+from ..operators import minhash, simhash, sketch, skew, textops
 from ..operators.dedup import exact_dedup
 from ..tables import ensure_min_parallelism, load_table
 from .catalog import query
@@ -718,7 +718,10 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect("a.s2", "b.s2"))
-    union = F.size(F.array_union("a.s2", "b.s2"))
+    # inclusion-exclusion union size (minhash.verify_jaccard rationale):
+    # s2 is distinct by construction, the self-join is inner — counts
+    # identical, one set operation per pair instead of two
+    union = F.size("a.s2") + F.size("b.s2") - inter
     jac = F.round(inter / union, 6)
     return (
         a.join(
@@ -1179,6 +1182,11 @@ def t_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("tf") * F.col("__idf"), 6).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    # the rank window's doc-keyed exchange is byte-coalesced by AQE
+    # onto one task (0.31 s at sf0.1) — but width-pinning it via
+    # spread_for_compute measured 1.18x WORSE in an interleaved A/B
+    # (the stage is too small to amortize the pinned exchange's lost
+    # coalescing); left alone, per guide §1 measure-first. r13.
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
@@ -1293,6 +1301,16 @@ def t_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = bi.join(model, "bg").select("doc_id", "logp")
+    # pin the doc-keyed exchange ahead of the per-doc sort+fold: the
+    # scored rows leave the model join partitioned by bg, the final
+    # aggregate's own exchange carries few bytes (doc_id + rounded
+    # logp), and AQE's byte-based coalescing ran the whole
+    # collect+sort+fold on one task (0.47 s single-task stage at sf0.1
+    # — optimization r13, guide §2.5). The explicit width is the
+    # session's shuffle-partition knob; collect_list partials
+    # concatenate rather than reduce, so forgoing the partial
+    # aggregate shuffles the same bytes.
+    scored = skew.spread_for_compute(scored, "doc_id")
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(
