@@ -178,8 +178,9 @@ _PLAN_CHANGED: dict[str, int] = {
     # and the streaming loop (whose per-batch gate is the same code
     # path) changed plan shape; the INLINE gate kept the window but its
     # shared helper _gate_against changed and the query now returns the
-    # unwrapped frame — flagged conservatively per the r4 policy:
-    "dd_delta_gate": 11,
+    # unwrapped frame — flagged conservatively per the r4 policy.
+    # ("dd_delta_gate": 11 superseded by the round-13 optimization
+    # entry below, kept as the audit trail.)
     # round 12 (ADVICE r11 items 1/3/4 + VERDICT r11 item 1): the
     # indexed gate resolves its replay exclusion by tag suffix inside a
     # SINGLE manifest read (_open_dedup_index signature change on its
@@ -191,19 +192,75 @@ _PLAN_CHANGED: dict[str, int] = {
     # flagged conservatively per the r4 policy:
     # round 12 flags for dd_delta_gate_indexed / dd_delta_gate_bucketed
     # / stream_t6 superseded by the round-13 entries below where
-    # re-flagged; dd_delta_gate_bucketed's r12 flag stands (its path
-    # did not change in r13):
-    "dd_delta_gate_bucketed": 12,
-    # round 13 (ADVICE r12 items 1-2 + VERDICT r12 items 1/5): the
-    # indexed gate's _open_dedup_index grew the lineage-stamp check on
-    # its execution path (signature change; expression tree identical),
-    # and the streaming loop restructured around the scoped
+    # re-flagged.
+    #
+    # round 13 BUILD (ADVICE r12 items 1-2 + VERDICT r12 items 1/5):
+    # the indexed gate's _open_dedup_index grew the lineage-stamp check
+    # on its execution path (signature change; expression tree
+    # identical), and the streaming loop restructured around the scoped
     # maxPartitionBytes override (an extra per-trigger count job, the
     # gate/append body split into a helper) plus tiered auto-compaction
     # and lineage stamping of staging/append markers. Decisions
-    # identical by test; flagged conservatively per the r4 policy:
+    # identical by test; flagged conservatively per the r4 policy.
+    #
+    # round 13 OPTIMIZATION: the expression-rewrite and stage-shape
+    # commits changed the optimized trees of every query below —
+    # derived MECHANICALLY this round, not by hand: normalized
+    # optimized-plan fingerprints of the whole catalog on the r12-end
+    # tree (afa05d4) vs HEAD, diffed by
+    # tools/validation/plan_fingerprint.py (expression ids, lambda
+    # counters, scratch paths and cache detail normalized away). The
+    # changes: zip_with shingles/bigrams, one-pass simhash votes,
+    # sorted-run repetition/token_tf, let-bound quality/char_entropy
+    # (7c18f4d, a803622), sideload sort-key elision (9d1658e), PQ/
+    # quantize/centroid let-bindings (c4071c2), the pair-expansion
+    # spread + inclusion-exclusion union sizes and the t_lm_quality
+    # width pin (optimization session). All oracle-parity-verified at
+    # sf0.001 AND sf0.1 this round; flagged so the driver's rotation
+    # re-certifies the new trees first:
+    "ann_ivf_topk": 13,
+    "ann_ivfpq_topk": 13,
+    "ann_recall_eval": 13,
+    "d4_aggregate_dismantle": 13,
+    "dd_bloom_gate": 13,
+    "dd_contamination": 13,
+    "dd_delta_gate": 13,
+    "dd_delta_gate_bucketed": 13,
     "dd_delta_gate_indexed": 13,
+    "dd_exact_dedup": 13,
+    "dd_minhash_lsh": 13,
+    "dd_ngram_jaccard": 13,
+    "dd_passage_dedup": 13,
+    "dd_simhash": 13,
+    "dd_simhash_wide": 13,
+    "emb_kmeans": 13,
+    "emb_outlier_filter": 13,
+    "emb_pq_adc_topk": 13,
+    "emb_pq_encode": 13,
+    "emb_pq_trained": 13,
+    "emb_quantize_int8": 13,
+    "emb_semantic_dedup": 13,
+    "p3_aggregate_assembly": 13,
+    "pipe_corpus_filter": 13,
+    "pipe_full_curation": 13,
+    "samp_domain_cap": 13,
+    "samp_token_budget": 13,
+    "t_char_entropy": 13,
+    "t_doc_frequency": 13,
+    "t_fingerprint": 13,
+    "t_lm_quality": 13,
+    "t_quality_score": 13,
+    "t_repetition_quality": 13,
+    "t_tfidf_keywords": 13,
+    "t_token_stats": 13,
     "stream_t6_neardup_index_gate": 13,
+    # ...plus the two construction-EAGER CC queries the fingerprint
+    # diff cannot see (their returned frame reads the loop's final
+    # checkpoint, so the changed minhash/verify subtrees live in
+    # construction, not the captured plan) — flagged per the r4
+    # shared-helper policy:
+    "dd_dedup_final": 13,
+    "samp_cluster_split": 13,
 }
 
 
