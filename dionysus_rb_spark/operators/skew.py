@@ -44,7 +44,13 @@ def spread_for_compute(df: DataFrame, *cols: str) -> DataFrame:
     small-partition merging for that hop, which is exactly the point —
     only use it in front of compute-dense, low-byte stages.
     """
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # platforms that report a non-numeric sentinel (e.g. "auto")
+        # fall back to the scheduler's default parallelism — the same
+        # cluster-sized quantity by another name
+        n = df.sparkSession.sparkContext.defaultParallelism
     if not cols:
         # keyless round-robin: the only shape that survives when the
         # child is ALREADY hash-partitioned on every candidate key (a
