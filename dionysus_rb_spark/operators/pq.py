@@ -21,6 +21,8 @@ break to the lowest code id — bit-reproducible end to end.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -82,6 +84,42 @@ def seed_codebook(
         .collect()
     )
     return [list(r["v"]) for r in rows]
+
+
+def seed_codebook_with_queries(
+    embeddings: DataFrame,
+    n_codes: int,
+    query_ids: Sequence[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], dict[int, list[float]]]:
+    """seed_codebook + the ADC query-vector lookup in ONE collect job.
+
+    The ADC search path paid two eager driver jobs per run — the K
+    lowest-id seed scan and the query-id filter scan — each a
+    hyperparameter-sized collect whose cost is dominated by job
+    submission latency, not data (optimization r13, guide §5: the
+    driver should do almost no data work, and here it queued two jobs
+    to fetch rows that fit in one). Both selections union under a tag
+    column and collect together; rows are tagged, so no cross-branch
+    ordering is relied on. Same admission filter (_finite_only), same
+    values, same Python-side shapes as the two-call form.
+    """
+    base = _finite_only(embeddings, vec_col).select(
+        F.col(id_col).alias("i"), as_double(F.col(vec_col)).alias("v")
+    )
+    seeds = base.orderBy("i").limit(n_codes).select(F.lit("s").alias("t"), "i", "v")
+    queries = base.filter(F.col("i").isin(list(query_ids))).select(
+        F.lit("q").alias("t"), "i", "v"
+    )
+    rows = seeds.unionAll(queries).collect()
+    codebook = [
+        list(r["v"]) for r in sorted(
+            (r for r in rows if r["t"] == "s"), key=lambda r: r["i"]
+        )
+    ]
+    qvecs = {r["i"]: list(r["v"]) for r in rows if r["t"] == "q"}
+    return codebook, qvecs
 
 
 def pq_encode(
@@ -306,6 +344,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     *,
     literal_max_entries: int = ADC_LITERAL_MAX_ENTRIES,
+    query_vecs: dict[int, list[float]] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: each query's
     distances to all M*K sub-centroids precompute into a table, so
@@ -331,12 +370,18 @@ def pq_adc_topk(
     dim = len(codebook[0])
     sub_len = dim // n_sub
     embeddings = _finite_only(embeddings, vec_col)
-    qrows = (
-        embeddings.filter(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("i"), as_double(F.col(vec_col)).alias("v"))
-        .collect()
-    )
-    qvecs = {r["i"]: list(r["v"]) for r in qrows}
+    if query_vecs is not None:
+        # caller pre-collected the query vectors (normally via
+        # seed_codebook_with_queries, which shares the codebook scan's
+        # collect job) — skip the second driver job
+        qvecs = query_vecs
+    else:
+        qrows = (
+            embeddings.filter(F.col(id_col).isin(query_ids))
+            .select(F.col(id_col).alias("i"), as_double(F.col(vec_col)).alias("v"))
+            .collect()
+        )
+        qvecs = {r["i"]: list(r["v"]) for r in qrows}
 
     def l2(a: list[float], b: list[float]) -> float:
         acc = 0.0

@@ -327,8 +327,12 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full ANN trade: exact rank over raw vectors vs O(M) lookups
     over 8-byte codes."""
     emb = _emb(spark, sf_dir)
-    codebook = pq.seed_codebook(emb, n_codes=8)
-    return pq.pq_adc_topk(emb, codebook, QUERY_IDS, k=10)
+    # one collect job for codebook seed + query vectors instead of two
+    # (optimization r13, guide §5 — identical values, tagged union)
+    codebook, qvecs = pq.seed_codebook_with_queries(
+        emb, n_codes=8, query_ids=QUERY_IDS
+    )
+    return pq.pq_adc_topk(emb, codebook, QUERY_IDS, k=10, query_vecs=qvecs)
 
 
 @query(
@@ -371,9 +375,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.brute_force_topk(emb, QUERY_IDS, k=10).select(
         "query_id", "cand_id"
     )
-    codebook = pq.seed_codebook(emb, n_codes=8)
+    # same one-collect seed+queries job as emb_pq_adc_topk (r13)
+    codebook, qvecs = pq.seed_codebook_with_queries(
+        emb, n_codes=8, query_ids=QUERY_IDS
+    )
     adc = (
-        pq.pq_adc_topk(emb, codebook, QUERY_IDS, k=11)
+        pq.pq_adc_topk(emb, codebook, QUERY_IDS, k=11, query_vecs=qvecs)
         .filter(F.col("cand_id") != F.col("query_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("cand_id"))
