@@ -17,7 +17,10 @@ Current sites, audited bounded:
   micro-batch (<= num_buckets)
 - operators/pq.py: seed vectors (n_codes), per-iteration codebook
   update (n_codes x n_sub), query vectors (len(query_ids)), IVF
-  centroid seeds (n_centroids) -- all hyperparameter-scale
+  centroid seeds (n_centroids) -- all hyperparameter-scale; plus the
+  r13 merged seed+query collect (seed_codebook_with_queries: n_codes +
+  len(query_ids) tagged rows in ONE job, replacing two driver jobs on
+  the ADC path -- same bounds, one fewer submission)
 - operators/similarity.py: IVF centroid seeds (n_centroids)
 - operators/clustering.py: k seed vectors; per-iteration k x dim
   centroid update
@@ -49,7 +52,7 @@ AUDITED_SITES = {
     "producer/pipeline.py": 1,
     "consumer/persistor.py": 1,
     "streaming/snapshot_store.py": 1,
-    "operators/pq.py": 6,
+    "operators/pq.py": 7,
     "operators/similarity.py": 1,
     "operators/clustering.py": 2,
     "operators/minhash.py": 3,
