@@ -84,6 +84,17 @@ def minhash_signature(
     # from ~100 Py4J round trips to one (the same expression-string
     # technique pq.py uses for ADC distance tables). h32 values are
     # longs, so the int literals promote and all arithmetic stays int64.
+    #
+    # Allocation-free alternatives MEASURED AND REJECTED (optimization
+    # r13 round 2): (a) per-permutation scalar aggregate(...,
+    # (acc, h) -> least(acc, perm(h))) folds — values identical (pinned
+    # by tests/test_expr_rewrites.py::test_minhash_signature_matches_
+    # reference), but interleaved A/B read 1.07x WORSE on dd_delta_gate
+    # (5 legs; event-log task_s 39.0 vs 31.1) — aggregate's per-element
+    # lambda machinery costs more than the num_perm intermediate arrays
+    # it avoids; (b) one-pass 16-wide array accumulator — noop
+    # micro-bench read worse still (0.60-0.79 s vs 0.46-0.66 s per
+    # signature pass at sf0.1). transform + native array_min stands.
     sig_sql = "array(%s)" % ", ".join(
         f"array_min(transform(shingle_hashes,"
         f" h -> (h * {a} + {b}) % {MERSENNE_PRIME}))"

@@ -158,3 +158,50 @@ def test_simhash_matches_bit_vote_reference(spark):
                 if votes > 0:
                     fp |= 1 << b
             assert got[i] == fp, (bits, i, got[i], fp)
+
+
+def test_minhash_signature_matches_reference(spark):
+    """Value pin for minhash_signature against a brute-force Python
+    minhash (md5-prefix h32, (h*a+b) % P per permutation) on the
+    adversarial texts, plus the empty/NULL hash-array edge (signs to
+    NULLs). Added in optimization r13 round 2 while A/B-ing alternative
+    signature folds (both rejected — see the minhash_signature comment);
+    any future rewrite must keep this pin green."""
+    from dionysus_rb_spark.functions.hashing import MERSENNE_PRIME
+    from dionysus_rb_spark.operators.minhash import (
+        doc_shingles,
+        minhash_signature,
+        perm_params,
+    )
+
+    rows = minhash_signature(
+        doc_shingles(_frame(spark), "text", "doc_id", k=3)
+    ).collect()
+    got = {r["doc_id"]: r["signature"] for r in rows}
+    params = perm_params()
+    for i, text in enumerate(ADVERSARIAL_TEXTS):
+        toks = _py_tokenize(text)
+        if not toks:
+            assert i not in got  # zero-token docs never reach signing
+            continue
+        if len(toks) >= 3:
+            sh = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        else:
+            sh = {" ".join(toks)}
+        hashes = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh
+        ]
+        expect = [
+            min((h * a + b) % MERSENNE_PRIME for h in hashes)
+            for a, b in params
+        ]
+        assert got[i] == expect, (i, got[i], expect)
+
+    # direct-caller edge: empty and NULL hash arrays sign to NULLs,
+    # exactly as array_min(transform(...)) did before the rewrite
+    edge = spark.createDataFrame(
+        [(1, []), (2, None)],
+        "doc_id long, shingle_hashes array<long>",
+    )
+    for r in minhash_signature(edge).collect():
+        assert r["signature"] == [None] * len(params), r
