@@ -1,5 +1,6 @@
 """Capture `.explain('formatted')` for every bench-flagged catalog query
-into plans/r13/<query>_<tag>.txt (optimization-round evidence).
+into plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt (optimization-round
+evidence; the round dir defaults to r14).
 
 Usage: python tools/validation/capture_plans.py <tag> [query ...]
 """
@@ -19,7 +20,10 @@ def main() -> None:
     tag = sys.argv[1]
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "plans", "r13")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+    outdir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", "plans", rnd
+    )
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark("plan-capture")
     qdefs = {n: q for n, q in sorted(all_queries().items()) if q.bench}
@@ -33,7 +37,7 @@ def main() -> None:
         )
         with open(os.path.join(outdir, f"{name}_{tag}.txt"), "w") as fh:
             fh.write(txt)
-        print(name, "->", f"plans/r13/{name}_{tag}.txt")
+        print(name, "->", f"plans/{rnd}/{name}_{tag}.txt")
     spark.stop()
 
 
