@@ -205,3 +205,76 @@ def test_minhash_signature_matches_reference(spark):
     )
     for r in minhash_signature(edge).collect():
         assert r["signature"] == [None] * len(params), r
+
+
+def test_lm_quality_tf_fold_matches_occurrence_fold(spark):
+    # Round 14 (VERDICT r13 item 1): a t_lm_quality variant joining the
+    # LM model against per-doc DISTINCT bigrams with tf weights needs a
+    # tf-expanded final fold — expand each (logp, tf) back to tf copies,
+    # sort, fold. The variant was measured 1.3x WORSE at sf0.1 (token_tf's
+    # per-row sort of the bigram strings outweighs the join rows it
+    # saves at this duplicate rate) and is NOT shipped, but the fold's
+    # bit-identity (exact float equality vs the per-occurrence
+    # collect+sort+fold the oracle computes) is the hard part of the
+    # idea, so it stays pinned here for whenever a higher-duplicate
+    # corpus makes the variant worth re-measuring.
+    from dionysus_rb_spark.functions.hashing import tokenize
+    from dionysus_rb_spark.operators.textops import bigrams, token_tf
+
+    texts = ADVERSARIAL_TEXTS + [
+        "a b a b a b a b a b",               # one bigram pair repeated
+        "x y x y z x y z z x y",             # mixed repeats
+        " ".join(["q r"] * 50),              # 99 occurrences, 1 distinct
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    toks = df.select("doc_id", tokenize(F.col("text")).alias("t"))
+    # synthetic per-bigram logp: deterministic, collision-prone enough
+    # to produce equal doubles across distinct bigrams (tie coverage)
+    logp = (-(F.abs(F.xxhash64(F.col("bg"))) % 7) / 3.0) - 0.1
+
+    occ = (
+        toks.select("doc_id", F.explode(bigrams(F.col("t"))).alias("bg"))
+        .withColumn("logp", logp)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.aggregate(
+                F.array_sort(F.collect_list("logp")),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("fold"),
+        )
+    )
+    tf = (
+        toks.select(
+            "doc_id", F.explode(token_tf(bigrams(F.col("t")))).alias("tt")
+        )
+        .select("doc_id", F.col("tt.token").alias("bg"), F.col("tt.tf").alias("tf"))
+        .withColumn("logp", logp)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n"),
+            F.aggregate(
+                F.array_sort(
+                    F.flatten(
+                        F.transform(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("logp"),
+                                    F.col("tf").cast("int").alias("tf"),
+                                )
+                            ),
+                            lambda p: F.array_repeat(p.logp, p.tf),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("fold"),
+        )
+    )
+    got_occ = {r["doc_id"]: (r["n"], r["fold"]) for r in occ.collect()}
+    got_tf = {r["doc_id"]: (r["n"], r["fold"]) for r in tf.collect()}
+    assert got_occ == got_tf  # exact: counts AND float folds bit-equal
