@@ -52,6 +52,7 @@ def connected_components(
     max_iter: int = 50,
     dedup_edges: bool = False,
     checkpoint: str = "reliable",
+    checkpoint_interval: int = 1,
 ) -> DataFrame:
     """Return (vertex, component) where component = min vertex id in the
     connected component. Only vertices appearing in ``edges`` are
@@ -70,7 +71,29 @@ def connected_components(
     ``"reliable"`` (default — survives executor loss) or ``"local"``
     (executor-memory blocks, faster, aborts on any executor death; see
     operators/lineage.py for the measured failure).
+
+    ``checkpoint_interval`` (optimization r14, VERDICT r13 item 2) runs
+    that many star iterations per lineage truncation instead of one:
+    each checkpoint JOB pipelines ``interval`` unrolled iteration
+    bodies, so an N-iteration run pays ceil(N/interval) full edge-list
+    materializations instead of N. The DEFAULT IS 1 because unrolling
+    was MEASURED WORSE on the near-dup workload (within-process
+    alternating A/B on dd_dedup_final at sf0.1: interval=1 med 2.74 s,
+    interval=2 med 3.02 s, interval=4 med 4.00 s): near-dup components
+    converge in 1-3 iterations, and chunk-granular fixpoint detection
+    runs up to ``interval`` extra IDENTITY iterations (2 exchanges each
+    over the final star forest) — on fast-converging graphs the wasted
+    exchanges exceed the saved checkpoint I/O. The knob exists for the
+    opposite regime: a deep-diameter graph (many iterations) on storage
+    where the per-truncation edge-list write/read dominates two in-memory
+    exchanges. Costs when raised, stated: the task-failure recompute
+    window widens to ``interval`` iterations of lineage (still bounded —
+    the edge count never grows; executor-LOSS safety is unchanged, the
+    boundary is still the reliable parquet roundtrip). Labels are
+    interval-independent — pinned by tests/test_graph.py against
+    interval=1 and the union-find reference.
     """
+    interval = max(1, int(checkpoint_interval))
     # Canonical orientation (lo, hi): the undirected edge set as sorted
     # pairs. Star emissions below always produce m < v, so orientation
     # is preserved for free after the first iteration.
@@ -80,18 +103,32 @@ def connected_components(
     ).where(F.col("lo") != F.col("hi"))
     if dedup_edges:
         ecur = ecur.distinct()
-    ecur = truncate_lineage(ecur, checkpoint)
+    # No up-front truncation (optimization r14): the first chunk's job
+    # consumes the caller's edge plan exactly ONCE (the explode
+    # symmetrization below replaced the union's double scan), so
+    # materializing a canonical copy first would be one extra full
+    # write+read of the edge list for nothing. Task-level retries inside
+    # the first job recompute through the caller's (deterministic)
+    # lineage, exactly as any single-job consumer of that plan would.
 
     # Fixpoint detection without a comparison job: track (edge count,
-    # decimal sum of lo+hi) per iteration. Large-star maps each
-    # canonical edge (lo, hi) -> (m(lo), hi) with m(lo) <= lo — count
-    # preserved, sum never increases, and any change strictly drops the
-    # sum. Small-star re-attaches (lo, hi) with lo != m to (m, lo) —
-    # m < hi, so the sum strictly drops — and collapses duplicate
-    # (m, hi) rows through the mins2 aggregate — count strictly drops.
-    # Nothing ever increases either scalar (for ANY ids, negative
-    # included), so both unchanged across a full iteration iff the
-    # iteration was the identity, i.e. the star-forest fixpoint.
+    # decimal sum of lo+hi) per CHUNK of ``interval`` iterations.
+    # Large-star maps each canonical edge (lo, hi) -> (m(lo), hi) with
+    # m(lo) <= lo — count preserved, sum never increases, and any change
+    # strictly drops the sum. Small-star re-attaches (lo, hi) with
+    # lo != m to (m, lo) — m < hi, so the sum strictly drops — and
+    # collapses duplicate (m, hi) rows through the rn=1 emission — count
+    # strictly drops. Nothing ever increases either scalar (for ANY ids,
+    # negative included), so both unchanged across a chunk iff EVERY
+    # iteration in the chunk was the identity, i.e. the star-forest
+    # fixpoint — chunk-granular detection is exactly as sound as
+    # per-iteration detection, one checkpoint later at worst. The single
+    # observation sits at the chunk TOP (not one per unrolled body):
+    # AQE's runtime empty-relation propagation can eliminate an INNER
+    # CollectMetrics node when a body's output is empty, losing its
+    # metrics (measured: obs.get raised on the empty-input case), while
+    # the top-of-plan node always survives. n = 0 short-circuits —
+    # an empty edge set is trivially a fixpoint.
     prev: tuple | None = None
 
     # Both star halves are expressed as WINDOW minima + single-pass
@@ -110,6 +147,15 @@ def connected_components(
     # selectExpr parses to the same Catalyst tree the DSL built
     # (window minima, row_number, the IF/filter/explode emission);
     # results are bit-identical and the fixpoint scalars unchanged.
+    # The symmetrization is a single-pass generator (inline over both
+    # orientations) rather than a UNION of two projections of ecur
+    # (optimization r14): the union scanned the checkpointed edge list
+    # TWICE per iteration — at corpus scale a second full read of the
+    # edge files per iteration, for rows a generator emits from one
+    # scan. Same row multiset, same windows, bit-identical emissions.
+    sym_expr = (
+        "inline(array(struct(lo AS u, hi AS v), struct(hi AS u, lo AS v)))"
+    )
     ls_m = "min(least(u, v)) OVER (PARTITION BY u) AS m"
     ss_exprs = [
         "lo",
@@ -123,34 +169,39 @@ def connected_components(
         " IF(rn = 1, struct(m AS lo, hi AS hi), NULL)"
         "), x -> x IS NOT NULL)) AS e"
     )
-    converged = False
-    rounds = 0
-    for _ in range(max_iter):
-        rounds += 1
+
+    def star_iteration(e: DataFrame) -> DataFrame:
         # --- large-star ---------------------------------------------
         # m(u) = min of u's closed neighborhood; every neighbor v > u
         # re-attaches to m(u). m(u) <= u < v, so emissions stay
         # canonically oriented and never self-loop.
-        sym = ecur.selectExpr("lo AS u", "hi AS v").union(
-            ecur.selectExpr("hi AS u", "lo AS v")
-        )
         e_ls = (
-            sym.selectExpr("u", "v", ls_m)
+            e.selectExpr(sym_expr)
+            .selectExpr("u", "v", ls_m)
             .where("v > u")
             .selectExpr("m AS lo", "v AS hi")
         )
-
         # --- small-star ---------------------------------------------
         # Seen from the larger endpoint hi: m = min of its smaller
         # neighbors; each other smaller neighbor re-attaches to m, and
         # hi itself attaches to m (emitted once per hi, from its first
         # row). m < lo and m < hi: still canonical.
-        obs = Observation()
-        e_ss = truncate_lineage(
+        return (
             e_ls.selectExpr(*ss_exprs)
             .selectExpr(emit_expr)
             .selectExpr("e.lo AS lo", "e.hi AS hi")
-            .observe(
+        )
+
+    converged = False
+    rounds = 0
+    while rounds < max_iter and not converged:
+        steps = min(interval, max_iter - rounds)
+        frame = ecur
+        for _ in range(steps):
+            frame = star_iteration(frame)
+        obs = Observation()
+        ecur = truncate_lineage(
+            frame.observe(
                 obs,
                 F.count(F.lit(1)).alias("n"),
                 F.sum(
@@ -160,12 +211,11 @@ def connected_components(
             checkpoint,
             supersedes=ecur,  # loop holds <= 2 materialized copies
         )
+        rounds += steps
         got = obs.get
         cur = (got["n"], got["s"])
-        ecur = e_ss
-        if cur == prev:
+        if cur == prev or got["n"] == 0:
             converged = True
-            break
         prev = cur
 
     if converged:

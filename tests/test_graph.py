@@ -136,3 +136,43 @@ def test_connected_components_chain_and_islands(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20,
     }
+
+
+def test_connected_components_interval_independent(spark):
+    # Round 14: iterations are chunked checkpoint_interval at a time
+    # (one truncation + one chunk-top observation per chunk). Labels
+    # must be interval-independent — same fixpoint, chunk-granular
+    # detection only changes WHEN it is noticed. Covers a multi-chunk
+    # chain, duplicate edges, negatives, and the empty edge set (the
+    # n=0 short-circuit).
+    import random
+
+    rng = random.Random(3)
+    graphs = {
+        "chain": [(i, i + 1) for i in range(60)],
+        "mixed": [(5, 3), (3, 5), (-2, 7), (7, -2), (1, 2), (2, 3), (100, 50)],
+        "random": [
+            (rng.randrange(200), rng.randrange(200)) for _ in range(120)
+        ],
+        "empty": [],
+    }
+    for name, edges in graphs.items():
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(
+            edges or [(0, 0)], "doc_a LONG, doc_b LONG"
+        )
+        if not edges:
+            df = df.where("doc_a != doc_a")
+        want = None
+        for interval in (1, 2, 4):
+            got = {
+                r["vertex"]: r["component"]
+                for r in connected_components(
+                    df, checkpoint_interval=interval
+                ).collect()
+            }
+            if want is None:
+                want = got
+            assert got == want, (name, interval)
+        if edges:
+            assert want == _union_find(edges), name
