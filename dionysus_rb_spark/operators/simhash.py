@@ -174,9 +174,20 @@ def simhash_pairs(
     buckets = buckets.filter(F.size("ids") >= 2)
     if max_bucket is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket)
+    # hamming filter INSIDE the expansion (optimization r14, VERDICT r13
+    # item 4): far pairs are dropped bucket-locally before a struct is
+    # ever built for them, so the explode materializes (and the global
+    # distinct deduplicates) only within-radius rows — at web scale the
+    # overwhelming majority of bucket-pair candidates are far. bit_count
+    # runs twice per SURVIVING pair (once in the filter, once for the
+    # emitted column) and once per rejected pair — cheaper than building
+    # a 3-field struct per rejected pair. Values identical: the dropped
+    # rows are exactly the ones the downstream hamming filter dropped.
     pairs_arr = F.expr(
         "flatten(transform(ids, (x, i) ->"
-        " transform(slice(ids, i + 2, size(ids)),"
+        " transform("
+        "  filter(slice(ids, i + 2, size(ids)),"
+        f"  y -> bit_count(x.simhash ^ y.simhash) <= {int(max_hamming)}),"
         " y -> named_struct("
         "'doc_a', x.doc_id, 'doc_b', y.doc_id,"
         " 'hamming', cast(bit_count(x.simhash ^ y.simhash) as bigint)))))"
@@ -198,7 +209,9 @@ def simhash_pairs(
         spread_for_compute(buckets)
         .select(F.explode(pairs_arr).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.hamming")
-        .filter(F.col("hamming") <= max_hamming)
+        # no hamming filter here: the expansion above already dropped
+        # every pair past the radius, so only near rows reach the
+        # distinct exchange
         .distinct()
     )
 
