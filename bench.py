@@ -89,6 +89,63 @@ def _cpu_probe() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _parse_event_log(
+    evdir: str, app_id: str, min_idx: dict[str, int]
+) -> dict[str, dict[str, float]]:
+    """Per-query executor task-seconds / GC-seconds / job count for the
+    sample named by ``min_idx`` (the one whose wall the headline
+    reports), keyed off the ``q:<name>:<sample>`` job groups. Spark 4
+    rolls the log into an eventlog_v2_<appId>/ directory of events_*
+    part files; older layouts use a flat file."""
+    v2dir = os.path.join(evdir, f"eventlog_v2_{app_id}")
+    if os.path.isdir(v2dir):
+        paths = [
+            os.path.join(v2dir, p)
+            for p in sorted(os.listdir(v2dir))
+            if p.startswith("events_")
+        ]
+    else:
+        paths = [os.path.join(evdir, app_id)]
+    stage_key: dict[int, tuple[str, int]] = {}
+    agg: dict[str, dict[str, float]] = {}
+    for path in paths:
+        with open(path) as fh:
+            for line in fh:
+                ev = json.loads(line)
+                e = ev.get("Event")
+                if e == "SparkListenerJobStart":
+                    grp = (ev.get("Properties") or {}).get(
+                        "spark.jobGroup.id", ""
+                    )
+                    if grp.startswith("q:"):
+                        _, qname, p = grp.split(":")
+                        key = (qname, int(p))
+                        for s in ev.get("Stage IDs", []):
+                            stage_key[s] = key
+                        if int(p) == min_idx.get(qname, -1):
+                            d = agg.setdefault(qname, {})
+                            d["jobs"] = d.get("jobs", 0) + 1
+                elif e == "SparkListenerTaskEnd":
+                    key = stage_key.get(ev["Stage ID"])
+                    if key is not None and key[1] == min_idx.get(key[0], -1):
+                        m = ev.get("Task Metrics") or {}
+                        d = agg.setdefault(key[0], {})
+                        d["task_s"] = d.get("task_s", 0.0) + m.get(
+                            "Executor Run Time", 0
+                        ) / 1e3
+                        d["gc_s"] = d.get("gc_s", 0.0) + m.get(
+                            "JVM GC Time", 0
+                        ) / 1e3
+    return {
+        n: {
+            "task_s": round(d.get("task_s", 0.0), 2),
+            "gc_s": round(d.get("gc_s", 0.0), 2),
+            "jobs": d.get("jobs", 0),
+        }
+        for n, d in agg.items()
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -118,13 +175,43 @@ def main() -> None:
     load_waited = round(time.monotonic() - wait_t0, 1)
     load_start = os.getloadavg()
     cpu_probe = _cpu_probe()
-    spark = get_spark("dionysus-rb-spark-bench")
+    # Event-log attribution (optimization r14, VERDICT r13 item 5): the
+    # bench at sf0.1 is overhead-bound (255 task-seconds against ~23 s
+    # wall in the r13 audit), so wall alone cannot separate engine wins
+    # from driver-overhead wins. Each run now records per-query
+    # task-seconds / GC-seconds (parsed from the Spark event log, job
+    # groups set OUTSIDE the timed region) into the STDERR detail line —
+    # the stdout headline contract (last line, same keys, < 1,900 chars)
+    # is unchanged, and so is the timed region (clearCache, t0, noop
+    # write, t1). Interleaved A/B measured the event log's write cost
+    # below host noise (numbers in OPTIMIZATION_r14.md); set
+    # SPARK_GRAFT_BENCH_TASKS=0 to run without it.
+    want_tasks = os.environ.get("SPARK_GRAFT_BENCH_TASKS", "1") == "1"
+    evdir = None
+    extra_confs = None
+    if want_tasks:
+        import tempfile
+
+        evdir = tempfile.mkdtemp(prefix="bench_events_")
+        extra_confs = {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file:{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        }
+    spark = get_spark("dionysus-rb-spark-bench", extra_confs=extra_confs)
 
     qdefs = {n: q for n, q in sorted(all_queries().items()) if q.bench}
     # warm the JVM + parquet footers once with the cheapest action
     next(iter(qdefs.values())).fn(spark, sf_dir).limit(1).count() if qdefs else None
 
-    def run_once(qd) -> float:
+    def run_once(qd, sample_idx: int) -> float:
+        # the job group labels this sample's jobs for the event-log
+        # attribution; set BEFORE the timed region starts
+        if want_tasks:
+            spark.sparkContext.setJobGroup(
+                f"q:{qd.name}:{sample_idx}", qd.name
+            )
         # drop any persisted intermediates so every pass measures the
         # full pipeline, not a previous pass's cache
         spark.catalog.clearCache()
@@ -137,7 +224,7 @@ def main() -> None:
     samples: dict[str, list[float]] = {n: [] for n in qdefs}
     for _ in range(passes):
         for name, qd in qdefs.items():
-            samples[name].append(run_once(qd))
+            samples[name].append(run_once(qd, len(samples[name])))
 
     # spread is computed over WARM passes only (pass 1 always pays
     # codegen/JIT, which would read as 2-4x "noise" on every query);
@@ -163,10 +250,28 @@ def main() -> None:
         if not noisy:
             break
         for name in noisy:
-            samples[name].append(run_once(qdefs[name]))
+            samples[name].append(run_once(qdefs[name], len(samples[name])))
             resampled[name] = resampled.get(name, 0) + 1
 
     timings = {n: round(min(ts), 3) for n, ts in samples.items()}
+    # per-query task/GC seconds for the SAMPLE that produced the
+    # reported min wall, so the two numbers describe the same run; the
+    # session must stop first to flush the event log
+    task_detail: dict[str, dict[str, float]] = {}
+    if want_tasks:
+        min_idx = {n: ts.index(min(ts)) for n, ts in samples.items()}
+        app_id = spark.sparkContext.applicationId
+        spark.stop()
+        try:
+            task_detail = _parse_event_log(evdir, app_id, min_idx)
+        except Exception as exc:  # noqa: BLE001 — attribution is advisory
+            print(f"bench: event-log parse failed: {exc!r}", file=sys.stderr)
+        finally:
+            import shutil
+
+            shutil.rmtree(evdir, ignore_errors=True)
+    else:
+        spark.stop()
     core = {n: sorted(warm_of(ts))[:3] for n, ts in samples.items()}
     spread = {n: round(max(ts) / min(ts), 2) for n, ts in core.items()}
     spread_raw = {
@@ -209,6 +314,16 @@ def main() -> None:
             "end": [round(x, 2) for x in os.getloadavg()],
         },
     }
+    if task_detail:
+        detail["task_s"] = {
+            n: d.get("task_s", 0.0) for n, d in task_detail.items()
+        }
+        detail["gc_s"] = {
+            n: d.get("gc_s", 0.0) for n, d in task_detail.items()
+        }
+        detail["jobs"] = {
+            n: int(d.get("jobs", 0)) for n, d in task_detail.items()
+        }
     print(json.dumps(detail), file=sys.stderr)
     compact = json.dumps(out)
     if len(compact) > 1900:
@@ -218,7 +333,6 @@ def main() -> None:
         out.pop("queries")
         compact = json.dumps(out)
     print(compact)
-    spark.stop()
 
 
 if __name__ == "__main__":

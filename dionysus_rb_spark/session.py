@@ -113,6 +113,7 @@ def get_spark(
     app_name: str = "dionysus-rb-spark",
     cpus: int | None = None,
     task_retries: int = 1,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a session.
 
@@ -123,6 +124,9 @@ def get_spark(
     ``local[N,R]``) — used by the task-retry chaos validation
     (tools/validation/task_retry_chaos.py) to prove results survive
     first-attempt task failures; the default matches plain local mode.
+    ``extra_confs`` are applied at builder time (instrumentation only —
+    bench.py's event-log attribution; never query semantics): they only
+    take effect when this call CREATES the session.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -146,6 +150,8 @@ def get_spark(
     # every conf that tables.load_table() must be able to set on an
     # external session is also baked into our own builder.
     for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     apply_runtime_confs(spark)
