@@ -330,8 +330,26 @@ def pq_encode_sql(n_codes: int = 8, n_sub: int = 8, dim: int = 64) -> str:
 # entries (1.7s vs 2.9s — the pandas path's flat Arrow overhead), loses
 # from 512 up (2.3s vs 0.5s), and at the production 64x256=16k shape the
 # literal plan spends 45s in analysis/codegen vs 0.5s total for the
-# broadcast path. Crossover sits between 64 and 512.
-ADC_LITERAL_MAX_ENTRIES = 256
+# broadcast path. The 256 that interpolation suggested was re-measured
+# end-to-end in optimization r14 (tools/validation/adc_crossover_ab.py
+# + an all-literal/all-arrow probe, 3 interleaved passes each):
+#
+#   rows    entries   all-literal  all-arrow   winner
+#   20,000     64        0.36 s      0.59 s    literal (0.60x)
+#   20,000    128        0.55 s      0.65 s    literal (0.86x)
+#   20,000    256        1.03 s      0.67 s    ARROW   (1.54x)
+#   200,000    64        1.89 s      1.23 s    ARROW   (1.54x)
+#   200,000   256        5.54 s      0.98 s    ARROW   (5.65x)
+#
+# The demo-scale crossover sits between 128 and 256 — 256 kept the
+# literal path at a shape where Arrow is already 1.5x faster — so the
+# gate is 128, the largest entry count at which the literal path still
+# measures a win at any scale. (The literal path's advantage is a
+# SMALL-corpus property: at 200k rows Arrow wins at every shape, so
+# production codebooks always take the Arrow path regardless of this
+# constant.) Every catalog query uses 8x8 = 64 entries: under either
+# value of the gate their plans are byte-identical.
+ADC_LITERAL_MAX_ENTRIES = 128
 
 
 def pq_adc_topk(
