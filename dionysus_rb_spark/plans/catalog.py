@@ -258,9 +258,31 @@ _PLAN_CHANGED: dict[str, int] = {
     # diff cannot see (their returned frame reads the loop's final
     # checkpoint, so the changed minhash/verify subtrees live in
     # construction, not the captured plan) — flagged per the r4
-    # shared-helper policy:
-    "dd_dedup_final": 13,
-    "samp_cluster_split": 13,
+    # shared-helper policy. ("dd_dedup_final": 13 /
+    # "samp_cluster_split": 13 superseded by the round-14 entries
+    # below, kept as the audit trail.)
+    #
+    # round 14 OPTIMIZATION: derived mechanically again —
+    # plan_fingerprint.py diff of the r13-end tree (aadf359) vs HEAD
+    # names exactly dd_simhash and dd_simhash_wide (the pair expansion
+    # now drops far pairs inside the bucket-local transform, so the
+    # explode and the global distinct see only within-radius rows).
+    # t_lm_quality's two measured-and-REJECTED variants left its tree
+    # byte-identical (confirmed by the same diff); the ADC literal-gate
+    # re-measure changed no catalog plan (all catalog codebooks are 64
+    # entries — normalized plan diff verified). The three
+    # construction-EAGER CC consumers are hand-flagged per the r4
+    # policy: the loop now symmetrizes with a single-scan generator,
+    # folds the first checkpoint into iteration 1, and detects the
+    # fixpoint per checkpoint chunk — construction-side changes the
+    # captured final plan cannot see. All five oracle-parity-verified
+    # at sf0.001 AND sf0.1 this round; flagged so the driver's rotation
+    # re-certifies the new trees first:
+    "dd_simhash": 14,
+    "dd_simhash_wide": 14,
+    "dd_dedup_final": 14,
+    "samp_cluster_split": 14,
+    "dd_dup_clusters": 14,
 }
 
 
